@@ -1,0 +1,47 @@
+"""Sinks: idempotent partitioned parquet (primary), JDBC append (optional).
+
+The reference writes every dim/fact with ``to_sql(if_exists='append')``
+(`dags/rentalFilmDAG.py:39,46,53,65,72,84,97` — operator K1), which duplicates
+every row on re-run. This engine deliberately diverges (documented divergence,
+SURVEY.md §7 "what's hard" #2): writes are **idempotent** —
+
+- dimensions: full ``overwrite`` (small, rebuilt each run);
+- facts: ``overwrite`` with *dynamic partition overwrite* on the date key, so
+  a daily re-run replaces only that day's partitions. At 100 TB this is also
+  the only sane layout: facts partitioned by date give partition pruning on
+  every time-ranged query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a dimension (or any unpartitioned table) as parquet."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_fact(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] = "date_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write a fact table partitioned by its date key.
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    ``get_spark``), ``overwrite`` replaces only the partitions present in
+    ``df`` — an idempotent daily load (fixes reference K1 append-duplication).
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:
+    """Production JDBC sink — the reference's write path (K1), kept for API
+    parity. Prefer ``write_fact`` semantics where the target supports it."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()

@@ -1,0 +1,90 @@
+"""Sources: parquet (primary), JDBC (production-optional), literal rows.
+
+Reference parity (SURVEY.md §2.1): every source in the reference is a MySQL
+SELECT with a hand-written projection (`dags/rentalFilmDAG.py:36,43,50,69,76,
+77,88` — operators S1-S7). In Spark the projection is *not* authored at the
+source: we return the full lazy scan and let Catalyst's ColumnPruning push the
+downstream ``select`` into the parquet reader / JDBC query. ``.explain`` on any
+engine query shows ``ReadSchema`` restricted to the used columns — the same
+effect the reference achieves by hand, for free, everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one test-corpus table (TESTDATA.md).
+
+    No ``.select`` here: column pruning + predicate pushdown happen when the
+    caller's projection/filters reach the scan via Catalyst.
+
+    The ``events`` table is written with nanosecond parquet timestamps, which
+    Spark's vectorized reader rejects; read them as raw int64 nanos
+    (``nanosAsLong``) and rebuild a proper TIMESTAMP with exact integer
+    division (the corpus has no sub-microsecond components, so this is
+    lossless). Stays fully JVM-side and pushdown-friendly.
+    """
+    # The engine's determinism contract (SURVEY.md §7 phase C) requires UTC
+    # timestamps regardless of who built the session (the correctness driver
+    # constructs its own SparkSession) — set it at runtime, it's a SQL conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan (the reference's only connector, `dags/rentalFilmDAG.py:18-20`).
+
+    Unlike the reference's single-connection ``pd.read_sql`` (whole table into
+    one process), a partitioned JDBC read splits the scan into
+    ``num_partitions`` range predicates executed by parallel executors — the
+    difference between one laptop core and a cluster draining a source DB.
+    Spark pushes projections and filters into the generated SQL.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def literal_rows(
+    spark: SparkSession, rows: list[dict], schema: T.StructType
+) -> DataFrame:
+    """In-memory literal rows (reference operator S12, `filmETLs.ipynb:179-190`:
+    the hand-built dirty rental fixture). Explicit schema — never inferred."""
+    return spark.createDataFrame(
+        [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+    )

@@ -1,0 +1,40 @@
+"""Cleaning operator: any-null row drop + full-row dedup + removed-count log.
+
+Reference parity: ``clean_dataframe`` (`dags/rentalFilmDAG.py:27-33`,
+`filmETLs.ipynb:81-106`) — pandas ``dropna()`` (drops a row if ANY column is
+null/NaT, operator P2) then ``drop_duplicates()`` (exact full-row dedup, D1),
+printing ``[{table}] Cleaned: N rows removed``. Applied to all seven loads.
+Behavioral contract pinned by the reference's own fixture
+(`filmETLs.ipynb:179-196`, reproduced in tests/test_cleaning.py): a row with a
+dangling FK is KEPT — no referential validation.
+
+Spark-first: this is not a UDF. ``df.na.drop("any").dropDuplicates()`` matches
+pandas semantics exactly and stays entirely inside Catalyst (null filter is
+pushed down; dedup is a hash aggregate with map-side partial dedup — no
+single-node materialization like the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """Lazy cleaning plan: drop any-null rows, then exact-duplicate rows."""
+    return df.na.drop("any").dropDuplicates()
+
+
+def clean_with_stats(df: DataFrame, table_name: str | None = None) -> tuple[DataFrame, int]:
+    """Cleaning plus the reference's observability behavior
+    (`dags/rentalFilmDAG.py:32`): returns (cleaned_df, rows_removed) and logs.
+
+    Counting costs two actions; only use on the job path when the log matters
+    (the lazy ``clean`` is the hot-path operator). Counts are computed with
+    Spark actions, not a driver-side loop.
+    """
+    before = df.count()
+    cleaned = clean(df)
+    after = cleaned.count()
+    removed = before - after
+    print(f"[{table_name or 'table'}] Cleaned: {removed} rows removed")
+    return cleaned, removed

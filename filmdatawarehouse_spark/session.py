@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference has no engine configuration at all (eager single-threaded pandas,
+`dags/rentalFilmDAG.py:37` etc.); this module is where the Spark-first design
+front-loads the decisions that matter at 100 TB:
+
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  dynamic broadcast conversion),
+- UTC session timezone (deterministic date_id encodings, oracle comparability),
+- Arrow transfers for the few pandas boundaries (vectorized UDFs),
+- dynamic partition overwrite so fact re-loads are idempotent — the reference's
+  blind `to_sql(if_exists='append')` (`dags/rentalFilmDAG.py:39`) duplicates
+  rows on every re-run; we deliberately diverge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "filmdatawarehouse",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller leaves it unset and spark-submit provides it.
+    ``shuffle_partitions`` defaults to the local core count — on a cluster,
+    set it to ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing + skew-join handling + dynamic
+        # broadcast conversion. Essential at scale, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the pandas boundaries (pandas_udf / mapInPandas / toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Idempotent fact re-loads: overwrite only the partitions present in
+        # the incoming DataFrame instead of the whole table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Keep parquet scan partitions a sane size at any SF.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
