@@ -1,0 +1,375 @@
+"""Deduplication operators: exact, MinHash+LSH, char-n-gram, SimHash,
+embedding-cosine.
+
+The reference's only dedup is full-row ``drop_duplicates`` (D1,
+`dags/rentalFilmDAG.py:29`); a 100 TB training-data pipeline needs fuzzy
+dedup too. Design stance for scale:
+
+- candidate generation NEVER compares all pairs: MinHash banding (shingle →
+  signature → band bucket → equi-join on bucket) and SimHash block pigeonhole
+  (Hamming ≤ 3 ⇒ one of 4 15-bit blocks equal) turn O(n²) into
+  shuffle-on-key joins;
+- verification (exact Jaccard / exact Hamming) runs only on candidates;
+- everything is built-in expressions (md5, conv, array ops) — JVM-side,
+  no Python UDFs; one shuffle per stage (explode → groupBy doc, join on
+  bucket).
+
+MinHash recall at these parameters (64 perms, 32 bands × 2 rows): a pair at
+Jaccard 0.8 is missed with probability (1-0.8²)^32 ≈ 6e-15 — candidate
+generation is effectively exact for the verify threshold. SimHash block
+recall is exact (pigeonhole), not probabilistic.
+
+Hashing is cross-engine portable: shingle/token hash = first 8 (or 15) hex
+chars of md5 as an integer, permutations are (a*h + b) mod p with constants
+from a fixed seed — the DuckDB oracle replays the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+# 32 perms / 16 bands x 2 rows: a pair at Jaccard 0.8 is missed with
+# probability (1-0.8^2)^16 ≈ 1e-7; planted near-dups (J≈0.97) at ~1e-19.
+# Halving from the textbook 64 halves Catalyst plan-build + codegen cost of
+# the min-aggregate stage; crank `num_perm` up for lower thresholds.
+NUM_PERM = 32
+BAND_ROWS = 2
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int
+SIMHASH_BLOCKS = 4  # pigeonhole: hamming <= SIMHASH_BLOCKS-1 guaranteed
+
+
+def _perm_constants(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for h_i(x) = (a*x + b) mod p. Fixed seed so the
+    SQL oracle can embed the same constants."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)])
+    )
+    return F.array_distinct(gram)
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def _hash32(s: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as integer."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def _hash60(s: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as integer."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup: hash-groupBy on all (or given) columns — distributed
+    two-phase aggregate, map-side partial dedup before the shuffle."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dup_groups(docs: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups over a column: survivor id + group size."""
+    return docs.groupBy(key).agg(
+        F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def hashed_shingles(shingles: Column) -> Column:
+    """Distinct 32-bit md5-derived hashes of a shingle array. Downstream
+    Jaccard is computed over these int sets (the production MinHash semantic:
+    cheap int-array intersections instead of long-string compares; the SQL
+    oracle hashes identically, so any hash collision affects both engines
+    the same way)."""
+    return F.array_distinct(F.transform(shingles, _hash32))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    hashes_col: Column,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): min over shingle hashes of (a_i*h + b_i) mod p.
+
+    Shape: explode hashed shingles → one shuffle (groupBy id) with k
+    min-aggregates, partial-aggregated map-side. h is reduced mod p before
+    the multiply so a*h stays < 2^62 (no bigint overflow under ANSI mode).
+    """
+    perms = _perm_constants(num_perm, seed)
+    exploded = docs.select(
+        F.col(id_col), F.explode(hashes_col).alias("h0")
+    ).select(F.col(id_col), (F.col("h0") % F.lit(MERSENNE_P)).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Banding: bucket = md5 of the band's signature slice; candidates are
+    pairs sharing any (band, bucket) — an equi-join, never a cross join."""
+    n_bands = num_perm // band_rows
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * band_rows + r}").cast("string")
+                        for r in range(band_rows)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays; int/int division in
+    double — operand-order identical to the SQL twin."""
+    return F.size(F.array_intersect(sh_a, sh_b)).cast("double") / F.size(
+        F.array_union(sh_a, sh_b)
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by word-shingle Jaccard ≥ threshold.
+
+    MinHash+LSH generates candidates (one shuffle + one equi-join); exact
+    Jaccard over hashed shingles verifies, so the output is exact given the
+    ~1e-7-per-pair LSH miss probability at the threshold.
+    Returns (doc_id_a, doc_id_b, jaccard).
+    """
+    shingled = docs.select(
+        F.col(id_col),
+        hashed_shingles(word_shingles(text_col, shingle_words)).alias("shingles"),
+    )
+    sigs = minhash_signatures(shingled, F.col("shingles"), id_col, num_perm, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm)
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold — same
+    MinHash+LSH candidate machinery over char shingles."""
+    shingled = docs.select(
+        F.col(id_col), hashed_shingles(char_ngrams(text_col, n)).alias("shingles")
+    )
+    sigs = minhash_signatures(shingled, F.col("shingles"), id_col, num_perm, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm)
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+
+
+def simhash_values(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Frequency-weighted 60-bit SimHash per document.
+
+    explode tokens (multiset — term frequency is the weight) → one shuffle
+    (groupBy id) with 60 sum-aggregates (±1 per bit), then pack bits.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).withColumn("h", _hash60(F.col("t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s_{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for k in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{k}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, k)
+        packed = term if packed is None else packed + term
+    return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    hamming_max: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash Hamming distance ≤ hamming_max.
+
+    Scale path: split the 60-bit hash into 4 15-bit blocks; Hamming ≤ 3
+    implies at least one block is equal (pigeonhole), so candidates come from
+    an equi-join on (block_idx, block_value) — guaranteed recall, no cross
+    join. Returns (doc_id_a, doc_id_b, hamming).
+    """
+    if hamming_max >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"block pigeonhole guarantees recall only for hamming_max < "
+            f"{SIMHASH_BLOCKS}; got {hamming_max}"
+        )
+    sh = simhash_values(docs, id_col, text_col)
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << block_bits) - 1
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), j * block_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for j in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("int"),
+        )
+        .filter(F.col("hamming") <= F.lit(hamming_max))
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by exact cosine ≥ threshold.
+
+    This is the exact baseline (block-nested pair join — O(n²) compare but
+    JVM-vectorized and shuffle-free after the broadcast). For corpus-scale
+    embedding dedup use the IVF route in operators/similarity.py; this exact
+    form is the correctness anchor the approximate path is measured against.
+    Returns (vec_id_a, vec_id_b, cosine).
+    """
+    from filmdatawarehouse_spark.operators.similarity import cosine, with_norm
+
+    n = with_norm(emb, vec_col)
+    a = n.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_norm").alias("n_a"),
+    )
+    b = n.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("_norm").alias("n_b"),
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn(
+            "cosine", cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: media travels as a ``binary`` column
+plus typed metadata (schemas.MEDIA_ASSETS), processed by Arrow-batched
+``mapInPandas`` stages — per-partition batch iterators, so payload bytes
+never concentrate on the driver and each task streams batches. Decoding
+libraries (PIL/ffmpeg/etc.) are NOT in this container, so the codec boundary
+is stubbed (``NotImplementedError``) behind a deterministic fake used by
+tests; everything Spark-side — schema, batch shape, UDF signatures,
+partitioning — is real.
+
+Byte-level feature extraction (histogram, entropy, mean) needs only numpy
+and IS fully implemented — it's the shape of real featurization work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BYTE_STATS_SCHEMA = (
+    "asset_id bigint, n_bytes bigint, mean_byte double, byte_entropy double"
+)
+
+
+def attach_text_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a MEDIA_ASSETS-shaped frame from the documents table (the test
+    corpus ships no binary columns): payload = utf-8 bytes of the text."""
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("blob").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Codec boundary — image decode (JPEG/PNG → HxWx3 uint8).
+
+    STUB: decoding libraries are not available in this environment. The
+    Spark-side pipeline around this call (batching, schema, partitioning)
+    is real and tested via ``fake_decode``.
+    """
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this container"
+    )
+
+
+def fake_decode(payload: bytes, shape: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Deterministic stand-in for ``decode_image``: tiles the payload bytes
+    into an HxWx3 uint8 array. Same contract, no codec dependency."""
+    h, w = shape
+    need = h * w * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(need / buf.size))
+    return np.tile(buf, reps)[:need].reshape(h, w, 3)
+
+
+def byte_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset byte statistics via Arrow-batched mapInPandas:
+    (asset_id, n_bytes, mean_byte, byte_entropy). The histogram/entropy is
+    vectorized numpy per batch — the canonical featurization shape."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = int(buf.size)
+                if n == 0:
+                    out.append((asset_id, 0, 0.0, 0.0))
+                    continue
+                hist = np.bincount(buf, minlength=256).astype(np.float64)
+                p = hist[hist > 0] / n
+                entropy = float(-(p * np.log2(p)).sum())
+                out.append((asset_id, n, float(buf.mean()), entropy))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "n_bytes", "mean_byte", "byte_entropy"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        compute, schema=BYTE_STATS_SCHEMA
+    )
+
+
+def resize_images(
+    assets: DataFrame, height: int = 64, width: int = 64, use_fake: bool = True
+) -> DataFrame:
+    """Decode → resize-to-fixed-shape → re-emit as flattened pixels.
+
+    With ``use_fake`` (default in this container) the decode is the
+    deterministic tile; a real deployment swaps ``decode_image`` in. Output:
+    (asset_id, height, width, pixels array<int>).
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload, mime in zip(
+                pdf["asset_id"], pdf["payload"], pdf["mime"]
+            ):
+                img = (
+                    fake_decode(payload or b"", (height, width))
+                    if use_fake
+                    else decode_image(payload, mime)
+                )
+                rows.append(
+                    (asset_id, height, width, img.ravel().astype(int).tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "height", "width", "pixels"]
+            )
+
+    return assets.select("asset_id", "payload", "mime").mapInPandas(
+        compute, schema="asset_id bigint, height int, width int, pixels array<int>"
+    )
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 1024, frame_bytes: int = 256
+) -> DataFrame:
+    """Frame-sampling shape for video payloads: emit one row per sampled
+    "frame" (byte window) — a one-to-many mapInPandas, the same explosion
+    pattern a real frame sampler has. Output: (asset_id, frame_idx, frame)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = payload or b""
+                for idx, off in enumerate(range(0, len(buf), every_n_bytes)):
+                    rows.append((asset_id, idx, buf[off : off + frame_bytes]))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        compute, schema="asset_id bigint, frame_idx int, frame binary"
+    )

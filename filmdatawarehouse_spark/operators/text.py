@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+Beyond the reference's surface (it has no string functions at all, SURVEY.md
+§2.8): language-ID, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table. All pure
+built-in column expressions — JVM-side, whole-stage-codegen, no Python in the
+hot path — so they scan-scale linearly with no shuffle at 100 TB.
+
+Every function here has a DuckDB-expressible twin (see queries/extended.py);
+cross-engine determinism comes from md5-based token hashing and integer
+arithmetic (no float accumulation except where operand order is pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately small, fixed marker sets — a deterministic heuristic, not a
+# trained model. Priority order breaks ties (en > es > de > fr > zh).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "von"),
+    "fr": ("le", "les", "des", "et", "une", "est"),
+    "zh": ("的", "了", "是", "我", "不", "在"),
+}
+
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+# "BPE-ish" token pattern: letter runs, digit runs, or single non-alnum marks
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = LANG_MARKERS["en"]
+
+MOD_PRIME = 1_000_000_007
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokens (single-space split — matches the corpus format and
+    is expressible identically in any SQL engine)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(text)).cast("bigint")
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish regex token count (letter runs / digit runs / punctuation
+    marks) — the cheap proxy for subword token counts in data pipelines."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
+def _marker_score(tokens: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are language markers (multiset count)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram/stopword-heuristic language ID: argmax of per-language marker
+    counts with fixed priority-order tiebreak. Returns the language code."""
+    toks = ws_tokens(text)
+    scores = {lang: _marker_score(toks, LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    # priority-chain argmax: lang L wins if its score is strictly greater
+    # than every higher-priority language and >= every lower-priority one.
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document quality score in [0,1]:
+
+      0.25 * min(1, tokens/50)            (length)
+    + 0.25 * alpha_chars / chars          (alphabetic ratio)
+    + 0.25 * (1 - punct_chars / chars)    (punctuation penalty)
+    + 0.25 * stopword_tokens / tokens     (naturalness)
+
+    Operand order is pinned so the DuckDB twin produces identical doubles.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = ws_tokens(c)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    alpha = (F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))).cast("double")
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?'\"()]", "")).cast("double")
+    stop = _marker_score(toks, STOPWORDS).cast("double")
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(50.0))
+    alpha_ratio = alpha / n_chars
+    punct_ratio = punct / n_chars
+    stop_ratio = stop / n_tok
+    return (
+        F.lit(0.25) * len_score
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * stop_ratio
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: polynomial rolling hash over characters,
+    h = (h*31 + codepoint) mod 1e9+7. Pure integer arithmetic — identical in
+    any engine; codegen'd left fold, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MOD_PRIME),
+    )

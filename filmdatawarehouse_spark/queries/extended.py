@@ -1,0 +1,370 @@
+"""Extended-surface queries (dedup / similarity / text / windows) with
+DuckDB oracles.
+
+Cross-engine determinism strategy per family:
+
+- fuzzy dedup: Spark generates candidates with MinHash-LSH / SimHash-block
+  joins (the scale path) and verifies exactly; the oracle computes the exact
+  all-pairs answer directly (feasible at oracle SF). They agree unless LSH
+  misses a pair — parameters put that probability below 1e-14 per pair.
+- SimHash values themselves are replayed in SQL: identical md5-based token
+  hashes, identical ±1 bit sums, identical bit packing.
+- doubles (cosine, Jaccard, quality): both engines execute the same operand
+  order (left folds / pinned parentheses) over the same inputs → identical
+  bits, no rounding needed.
+- money/value sums: DECIMAL inside, DOUBLE out (exact, order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io.sources import read_table
+from filmdatawarehouse_spark.operators import dedup as dd
+from filmdatawarehouse_spark.operators import text as tx
+from filmdatawarehouse_spark.operators.similarity import cosine_topk, ivf_topk
+from filmdatawarehouse_spark.operators.multimodal import attach_text_payload, byte_stats
+from filmdatawarehouse_spark.queries.registry import Entry
+from filmdatawarehouse_spark.streaming.windows import (
+    session_windows,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+# ---------------------------------------------------------------------------
+# thresholds (calibrated on the corpus: word-Jaccard is bimodal <0.1 / >0.97;
+# max pairwise cosine is ~0.51)
+# ---------------------------------------------------------------------------
+JACCARD_T = 0.8
+NGRAM_T = 0.8
+COSINE_T = 0.4
+HAMMING_MAX = 3
+TOPK_K = 5
+N_QUERY_VECS = 10
+
+# ---------------------------------------------------------------------------
+# Spark builders
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dup_groups(read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=NGRAM_T
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(
+        read_table(spark, sf_dir, "documents"), hamming_max=HAMMING_MAX
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_cosine_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=TOPK_K)
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=TOPK_K)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_tokens_ws"),
+        tx.token_count_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_counts(read_table(spark, sf_dir, "events"))
+
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(read_table(spark, sf_dir, "events"))
+
+
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(read_table(spark, sf_dir, "events"))
+
+
+def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_stats(attach_text_payload(read_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generation (shares constants with the operators)
+# ---------------------------------------------------------------------------
+
+# shingles are 32-bit md5-hashed before the Jaccard (identical to the Spark
+# side: hashed_shingles) — int-set intersections, and hash collisions hit
+# both engines identically.
+_WORD_SHINGLES = """
+    SELECT doc_id, list_distinct(list_transform(
+             [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)],
+             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT
+           )) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+"""
+
+_CHAR_NGRAMS = """
+    SELECT doc_id, list_distinct(list_transform(
+             [substr(text, i, 5) for i in range(1, len(text)-3)],
+             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT
+           )) AS shingles
+    FROM documents
+"""
+
+
+def _jaccard_pairs_sql(shingle_cte: str, threshold: float) -> str:
+    return f"""
+        WITH sh AS ({shingle_cte}),
+        pairs AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, jaccard FROM pairs
+        WHERE jaccard >= {threshold}
+    """
+
+
+_SIMHASH_CTE = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, k,
+             CASE WHEN sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM th CROSS JOIN range({dd.SIMHASH_BITS}) AS r(k)
+      GROUP BY doc_id, k
+    ), sh AS (
+      SELECT doc_id, sum(bit << k)::BIGINT AS simhash FROM bits GROUP BY doc_id
+    )
+"""
+
+_NORMS_CTE = """
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    )
+"""
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len(a.embedding)+1), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang in tx.LANG_PRIORITY:
+        markers = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains([{markers}], t))) AS s_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(tx.LANG_PRIORITY[:-1]):
+        later = tx.LANG_PRIORITY[i + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{tx.LANG_PRIORITY[-1]}' END"
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, {", ".join(score_exprs)} FROM documents
+        )
+        SELECT doc_id, {case_sql} AS lang_pred FROM scored
+    """
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{m}'" for m in tx.STOPWORDS)
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' '))::DOUBLE AS n_tok,
+                 len(text)::DOUBLE AS n_chars,
+                 (len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE AS alpha,
+                 len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE AS punct,
+                 len(list_filter(string_split(text, ' '),
+                     t -> list_contains([{stop}], t)))::DOUBLE AS stop
+          FROM documents
+        )
+        SELECT doc_id,
+               0.25 * least(1.0, n_tok / 50.0)
+             + 0.25 * (alpha / n_chars)
+             + 0.25 * (1.0 - punct / n_chars)
+             + 0.25 * (stop / n_tok) AS quality
+        FROM m
+    """
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT text, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_minhash_lsh": _jaccard_pairs_sql(_WORD_SHINGLES, JACCARD_T),
+    "dedup_ngram_jaccard": _jaccard_pairs_sql(_CHAR_NGRAMS, NGRAM_T),
+    "dedup_simhash": f"""
+        WITH {_SIMHASH_CTE.strip()}
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH {_NORMS_CTE.strip()},
+        pairs AS (
+          SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 {_DOT} / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_id_a, vec_id_b, cosine FROM pairs WHERE cosine >= {COSINE_T}
+    """,
+    "similarity_topk": f"""
+        WITH {_NORMS_CTE.strip()},
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_DOT} / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERY_VECS}
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                 )::INT AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        WHERE rank <= {TOPK_K}
+    """,
+    "text_langid": _langid_sql(),
+    "text_quality": _quality_sql(),
+    "text_token_count": f"""
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens_ws,
+               len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}'))::BIGINT
+                 AS n_tokens_bpe
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(text, ''),
+                                  c -> unicode(c)::BIGINT)),
+                 (a, c) -> (a * 31 + c) % {tx.MOD_PRIME}) AS fingerprint
+        FROM documents
+    """,
+    "events_tumbling_window": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+                 AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "events_sliding_window": """
+        WITH w AS (
+          SELECT e.*,
+                 TIMESTAMP '1970-01-01 00:00:00'
+                   + ((epoch_ms(ts) // 1800000 - o.off) * 1800)
+                     * INTERVAL 1 SECOND AS window_start
+          FROM events e CROSS JOIN (VALUES (0), (1)) AS o(off)
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM w
+        GROUP BY 1, 2, 3
+    """,
+    "events_session_window": """
+        WITH x AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 10 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), y AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+          FROM x
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM y GROUP BY user_id, sess
+    """,
+}
+
+EXTENDED_QUERIES: dict[str, Entry] = {
+    "dedup_exact": (q_dedup_exact, ORACLES["dedup_exact"]),
+    "dedup_minhash_lsh": (q_dedup_minhash, ORACLES["dedup_minhash_lsh"]),
+    "dedup_ngram_jaccard": (q_dedup_ngram, ORACLES["dedup_ngram_jaccard"]),
+    "dedup_simhash": (q_dedup_simhash, ORACLES["dedup_simhash"]),
+    "dedup_embedding_cosine": (q_dedup_embedding, ORACLES["dedup_embedding_cosine"]),
+    "similarity_topk": (q_similarity_topk, ORACLES["similarity_topk"]),
+    "similarity_ann_ivf": (q_similarity_ann_ivf, None),  # approximate: rows-only
+    "text_langid": (q_text_langid, ORACLES["text_langid"]),
+    "text_quality": (q_text_quality, ORACLES["text_quality"]),
+    "text_token_count": (q_text_token_count, ORACLES["text_token_count"]),
+    "text_fingerprint": (q_text_fingerprint, ORACLES["text_fingerprint"]),
+    "events_tumbling_window": (q_tumbling, ORACLES["events_tumbling_window"]),
+    "events_sliding_window": (q_sliding, ORACLES["events_sliding_window"]),
+    "events_session_window": (q_session, ORACLES["events_session_window"]),
+    "multimodal_byte_stats": (q_multimodal_byte_stats, None),  # numpy floats: rows-only
+}
