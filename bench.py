@@ -36,11 +36,19 @@ HEADLINE = [
     "top10_parts",
     "filtered_daily_series",
     "sql_passthrough",
-    # extended surface (registered once implemented; missing names skipped)
+    # extended surface
     "dedup_exact",
     "dedup_minhash_lsh",
-    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_topk",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "events_tumbling_window",
+    "events_session_window",
 ]
 
 

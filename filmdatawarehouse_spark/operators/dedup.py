@@ -52,15 +52,33 @@ def _perm_constants(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[int,
     ]
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, " ")
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) from a token array.
+
+    ``toks`` MUST be a bound column (select ``split(text,' ')`` into a named
+    column first), not an inline ``split(...)`` expression: Catalyst
+    re-evaluates a non-trivial expression at every lambda reference, turning
+    the shingling quadratic (measured 15x slower inline).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)])
     )
     return F.array_distinct(gram)
+
+
+def word_shingle_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles): hashed distinct word n-gram shingles, with the token
+    array bound as a column before the per-shingle lambda touches it."""
+    with_toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    return with_toks.select(
+        F.col(id_col),
+        hashed_shingles(word_shingles(F.col("_toks"), n)).alias("shingles"),
+    )
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
@@ -108,21 +126,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = NUM_PERM,
     seed: int = 42,
+    keep_shingles: bool = False,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}): min over shingle hashes of (a_i*h + b_i) mod p.
+    """(id, sig_0..sig_{k-1}[, shingles]): min over shingle hashes of
+    (a_i*h + b_i) mod p.
 
-    Shape: explode hashed shingles → one shuffle (groupBy id) with k
-    min-aggregates, partial-aggregated map-side. h is reduced mod p before
-    the multiply so a*h stays < 2^62 (no bigint overflow under ANSI mode).
+    Shape: explode hashed shingles → ONE shuffle (groupBy id) with k
+    min-aggregates, partial-aggregated map-side. h is reduced mod p inside
+    the agg so a*h stays < 2^62 (no bigint overflow under ANSI mode).
+
+    With ``keep_shingles`` the same aggregation also rebuilds the distinct
+    hash set (``collect_set``), so the verify stage downstream joins back to
+    THIS frame and Spark reuses the single exchange instead of recomputing
+    the shingle pipeline per branch.
     """
     perms = _perm_constants(num_perm, seed)
-    exploded = docs.select(
-        F.col(id_col), F.explode(hashes_col).alias("h0")
-    ).select(F.col(id_col), (F.col("h0") % F.lit(MERSENNE_P)).alias("h"))
+    exploded = docs.select(F.col(id_col), F.explode(hashes_col).alias("h"))
+    hmod = F.col("h") % F.lit(MERSENNE_P)
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"sig_{i}")
+        F.min((F.lit(a) * hmod + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(perms)
     ]
+    if keep_shingles:
+        aggs.append(F.collect_set("h").alias("shingles"))
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -191,18 +217,31 @@ def minhash_dedup_pairs(
     ~1e-7-per-pair LSH miss probability at the threshold.
     Returns (doc_id_a, doc_id_b, jaccard).
     """
-    shingled = docs.select(
-        F.col(id_col),
-        hashed_shingles(word_shingles(text_col, shingle_words)).alias("shingles"),
+    shingled = word_shingle_frame(docs, id_col, text_col, shingle_words)
+    return _lsh_verified_pairs(shingled, threshold, id_col, num_perm, seed)
+
+
+def _lsh_verified_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str,
+    num_perm: int,
+    seed: int,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Shared LSH-candidates + exact-Jaccard-verify tail.
+
+    One aggregation produces signatures AND the shingle sets
+    (``keep_shingles``): the candidate join and both verify joins all hang
+    off the same exchange, which Spark reuses — the shingle/md5/explode
+    pipeline runs once, not once per branch.
+    """
+    sigs = minhash_signatures(
+        shingled, F.col("shingles"), id_col, num_perm, seed, keep_shingles=True
     )
-    sigs = minhash_signatures(shingled, F.col("shingles"), id_col, num_perm, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm)
-    a = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    b = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, band_rows)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -222,29 +261,23 @@ def ngram_jaccard_pairs(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = NUM_PERM,
+    num_perm: int = 128,
+    band_rows: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold — same
-    MinHash+LSH candidate machinery over char shingles."""
+    MinHash+LSH candidate machinery over char shingles.
+
+    Char-gram sets of unrelated documents overlap far more than word-shingle
+    sets (measured background J ≈ 0.2-0.4 on the corpus vs < 0.1 for words),
+    so the banding is steeper: 16 bands × 8 rows. Collision at background
+    J=0.35 is ~0.35% (candidates stay ~linear); a true pair at J=0.9 is
+    missed with p=(1-0.9^8)^16 ≈ 1e-4, at J=0.97 ≈ 5e-11.
+    """
     shingled = docs.select(
         F.col(id_col), hashed_shingles(char_ngrams(text_col, n)).alias("shingles")
     )
-    sigs = minhash_signatures(shingled, F.col("shingles"), id_col, num_perm, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm)
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select(
-            F.col("id_a").alias("doc_id_a"),
-            F.col("id_b").alias("doc_id_b"),
-            "jaccard",
-        )
-    )
+    return _lsh_verified_pairs(shingled, threshold, id_col, num_perm, seed, band_rows)
 
 
 def simhash_values(
@@ -352,24 +385,38 @@ def embedding_cosine_pairs(
     form is the correctness anchor the approximate path is measured against.
     Returns (vec_id_a, vec_id_b, cosine).
     """
-    from filmdatawarehouse_spark.operators.similarity import cosine, with_norm
+    from filmdatawarehouse_spark.operators.similarity import cosine, norm
 
-    n = with_norm(emb, vec_col)
+    # cast the float arrays to double ONCE per vector (not per pair) and
+    # precompute norms; the per-pair work is then a pure unrolled
+    # multiply-add chain that whole-stage-codegen compiles.
+    n = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vd"),
+        norm(F.col(vec_col)).alias("_norm"),
+    )
     a = n.select(
         F.col(id_col).alias("vec_id_a"),
-        F.col(vec_col).alias("v_a"),
+        F.col("_vd").alias("v_a"),
         F.col("_norm").alias("n_a"),
     )
     b = n.select(
         F.col(id_col).alias("vec_id_b"),
-        F.col(vec_col).alias("v_b"),
+        F.col("_vd").alias("v_b"),
         F.col("_norm").alias("n_b"),
     )
+    scored = a.join(b, F.col("vec_id_a") < F.col("vec_id_b")).select(
+        "vec_id_a",
+        "vec_id_b",
+        cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")).alias("_c"),
+    )
+    # aggregate barrier: without it, pushing `cosine >= t` below the
+    # projection makes Catalyst evaluate the 64-term chain twice per pair
+    # (once in the filter, once in the project) — measured 2x slower. The
+    # pair key is unique, so first() is an exact passthrough.
     return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn(
-            "cosine", cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"))
-        )
+        scored.groupBy("vec_id_a", "vec_id_b")
+        .agg(F.first("_c").alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("vec_id_a", "vec_id_b", "cosine")
     )

@@ -108,6 +108,60 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def lang_id_frame(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, lang_pred) — like ``lang_id`` but binds the per-language scores
+    as columns first. The CASE-chain argmax references each score several
+    times; bound columns are evaluated once per row, inline expressions are
+    re-evaluated at every reference (see word_shingles note in dedup.py)."""
+    toks = ws_tokens(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            _marker_score(toks, LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+    )
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return scored.select(F.col(id_col), expr.alias("lang_pred"))
+
+
+def quality_frame(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, quality) — the quality score with metric columns bound first
+    (mirrors the oracle's CTE structure; identical operand order)."""
+    c = F.col(text_col)
+    toks = ws_tokens(c)
+    m = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("n_tok"),
+        F.length(c).cast("double").alias("n_chars"),
+        (F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", "")))
+        .cast("double")
+        .alias("alpha"),
+        F.length(F.regexp_replace(c, "[^.,;:!?'\"()]", "")).cast("double").alias("punct"),
+        _marker_score(toks, STOPWORDS).cast("double").alias("stop"),
+    )
+    return m.select(
+        F.col(id_col),
+        (
+            F.lit(0.25) * F.least(F.lit(1.0), F.col("n_tok") / F.lit(50.0))
+            + F.lit(0.25) * (F.col("alpha") / F.col("n_chars"))
+            + F.lit(0.25) * (F.lit(1.0) - F.col("punct") / F.col("n_chars"))
+            + F.lit(0.25) * (F.col("stop") / F.col("n_tok"))
+        ).alias("quality"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: polynomial rolling hash over characters,
     h = (h*31 + codepoint) mod 1e9+7. Pure integer arithmetic — identical in

@@ -87,13 +87,11 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.lang_id("text").alias("lang_pred"))
+    return tx.lang_id_frame(read_table(spark, sf_dir, "documents"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+    return tx.quality_frame(read_table(spark, sf_dir, "documents"))
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
