@@ -332,7 +332,7 @@ ORACLES: dict[str, str] = {
                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                         IS NULL
                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                        >= INTERVAL 10 MINUTE
+                        > INTERVAL 10 MINUTE
                       THEN 1 ELSE 0 END AS brk
           FROM events
         ), y AS (

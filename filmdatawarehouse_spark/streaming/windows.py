@@ -69,7 +69,8 @@ def sliding_window_counts(
 
 def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Per-user session windows with an inactivity gap: a session is a maximal
-    run of events where consecutive gaps are < gap; window end is
+    run of events where consecutive gaps are <= gap (Spark merges windows
+    that touch — pinned by tests/test_streaming.py); window end is
     last_event + gap. Output: (user_id, session_start, session_end, n_events).
 
     Uses the native ``session_window`` (merging state machine; in streaming
@@ -94,9 +95,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp is rebuilt exactly as in the batch reader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanos_schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    # the file stream source watches a DIRECTORY; glob-filter to the one table
     raw = (
         spark.readStream.schema(nanos_schema)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

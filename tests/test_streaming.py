@@ -1,0 +1,93 @@
+"""Structured Streaming: the window transformations driven by a real
+readStream (file source → availableNow → memory sink) must agree with their
+batch twins, plus a fixture pinning session-window gap semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filmdatawarehouse_spark.io.sources import literal_rows, read_table
+from filmdatawarehouse_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_windows,
+    stream_events,
+    tumbling_window_counts,
+)
+
+TS = datetime.datetime
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = tumbling_window_counts(read_table(spark, sf_dir, "events"))
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+
+    stream = tumbling_window_counts(stream_events(spark, sf_dir))
+    run_stream_to_memory(stream, "tumbling_out", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert got == expected
+
+
+def test_streaming_with_watermark_runs(spark, sf_dir):
+    events = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = tumbling_window_counts(events)
+    run_stream_to_memory(agg, "wm_out", output_mode="append")
+    # append mode emits only watermark-closed windows; the file source replays
+    # everything in one availableNow batch, so emitted rows must be a subset
+    # of the batch answer
+    batch = {
+        (r.window_start, r.event_type)
+        for r in tumbling_window_counts(
+            read_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    emitted = {
+        (r.window_start, r.event_type)
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    assert emitted <= batch
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def test_session_window_gap_semantics(spark):
+    """Pin the merge rule (it drives the SQL oracle): events exactly `gap`
+    apart MERGE into one session (windows that touch are merged — the break
+    condition is diff > gap), and a gap strictly greater starts a new one."""
+    rows = [
+        dict(event_id=1, ts=TS(2024, 1, 1, 0, 0, 0), user_id=1, event_type="a", value=1.0, props=""),
+        dict(event_id=2, ts=TS(2024, 1, 1, 0, 5, 0), user_id=1, event_type="a", value=1.0, props=""),
+        # exactly 10 min after previous → windows touch → merged
+        dict(event_id=3, ts=TS(2024, 1, 1, 0, 15, 0), user_id=1, event_type="a", value=1.0, props=""),
+        # 9:59 after → same session
+        dict(event_id=4, ts=TS(2024, 1, 1, 0, 24, 59), user_id=1, event_type="a", value=1.0, props=""),
+        # 10:01 after → NEW session
+        dict(event_id=5, ts=TS(2024, 1, 1, 0, 35, 0), user_id=1, event_type="a", value=1.0, props=""),
+    ]
+    df = literal_rows(spark, rows, SESSION_SCHEMA)
+    out = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in session_windows(df, "10 minutes").collect()
+    )
+    assert out == [
+        (TS(2024, 1, 1, 0, 0, 0), TS(2024, 1, 1, 0, 34, 59), 4),
+        (TS(2024, 1, 1, 0, 35, 0), TS(2024, 1, 1, 0, 45, 0), 1),
+    ]
