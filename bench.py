@@ -49,6 +49,7 @@ HEADLINE = [
     "text_fingerprint",
     "events_tumbling_window",
     "events_session_window",
+    "pipeline_curate_documents",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Composed training-data curation pipeline — the operators working together.
+
+The canonical LLM-corpus preparation shape, as one lazy Catalyst plan:
+
+  documents
+    → clean (any-null drop + exact dedup)            [reference P2+D1]
+    → language ID + quality score + token count       [text operators]
+    → quality gate (score ≥ threshold, length bounds)
+    → near-duplicate removal (MinHash survivor pick)
+    → per-language corpus stats
+
+Everything is a single DataFrame graph: Catalyst fuses the text-metric
+projections, the dedup survivor anti-join broadcasts (pair set is tiny
+relative to the corpus), and the final rollup is a two-phase aggregate.
+The DuckDB oracle replays the identical logic in SQL, so this composition is
+hash-checked end-to-end, not just operator-by-operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io.sources import read_table
+from filmdatawarehouse_spark.operators import dedup as dd
+from filmdatawarehouse_spark.operators import text as tx
+from filmdatawarehouse_spark.operators.cleaning import clean
+
+QUALITY_MIN = 0.5
+MIN_TOKENS = 10
+JACCARD_T = 0.8
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the curated corpus:
+    (lang_pred, n_docs, total_tokens, avg_quality)."""
+    docs = clean(read_table(spark, sf_dir, "documents"))
+
+    metrics = (
+        tx.lang_id_frame(docs)
+        .join(tx.quality_frame(docs), "doc_id")
+        .join(
+            docs.select(
+                "doc_id", tx.token_count_ws("text").alias("n_tokens")
+            ),
+            "doc_id",
+        )
+    )
+    gated = metrics.filter(
+        (F.col("quality") >= F.lit(QUALITY_MIN))
+        & (F.col("n_tokens") >= F.lit(MIN_TOKENS))
+    )
+
+    # near-dup removal: drop the higher doc_id of every verified pair
+    # (survivor = lowest id). The loser set is tiny → broadcast anti-join.
+    losers = (
+        dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = gated.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        # avg over exact decimal sum → double, order-independent
+        (
+            F.sum(F.col("quality").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
+def curate_documents_oracle() -> str:
+    """DuckDB twin of ``curate_documents`` (same constants, same rules)."""
+    from filmdatawarehouse_spark.queries.extended import _WORD_SHINGLES, _langid_sql, _quality_sql
+
+    langid = _langid_sql()
+    quality = _quality_sql()
+    return f"""
+        WITH cleaned AS (
+          SELECT DISTINCT * FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+            AND source IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        documents_clean AS (SELECT * FROM cleaned),
+        lang_pred AS (
+          {langid.replace("FROM documents", "FROM documents_clean")}
+        ),
+        quality AS (
+          {quality.replace("FROM documents", "FROM documents_clean")}
+        ),
+        tokens AS (
+          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents_clean
+        ),
+        sh AS ({_WORD_SHINGLES.replace("FROM documents", "FROM documents_clean")}),
+        losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                >= {JACCARD_T}
+        ),
+        kept AS (
+          SELECT l.doc_id, l.lang_pred, q.quality, t.n_tokens
+          FROM lang_pred l
+          JOIN quality q USING (doc_id)
+          JOIN tokens t USING (doc_id)
+          WHERE q.quality >= {QUALITY_MIN} AND t.n_tokens >= {MIN_TOKENS}
+            AND l.doc_id NOT IN (SELECT doc_id FROM losers)
+        )
+        SELECT lang_pred,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(quality AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*)
+                 AS avg_quality
+        FROM kept
+        GROUP BY lang_pred
+    """

@@ -27,4 +27,17 @@ def all_queries() -> dict[str, Entry]:
         registry.update(EXTENDED_QUERIES)
     except ImportError:
         pass
+
+    try:
+        from filmdatawarehouse_spark.queries.pipeline import (
+            curate_documents,
+            curate_documents_oracle,
+        )
+
+        registry["pipeline_curate_documents"] = (
+            curate_documents,
+            curate_documents_oracle(),
+        )
+    except ImportError:
+        pass
     return registry
