@@ -29,6 +29,13 @@ def all_queries() -> dict[str, Entry]:
         pass
 
     try:
+        from filmdatawarehouse_spark.queries.relational import RELATIONAL_QUERIES
+
+        registry.update(RELATIONAL_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from filmdatawarehouse_spark.queries.pipeline import (
             curate_documents,
             curate_documents_oracle,

@@ -78,7 +78,12 @@ def assert_matches_oracle(spark_df, duck_con, oracle: str) -> None:
                 g, w, check_dtype=False, check_names=False, check_exact=True
             )
         except AssertionError:
+            # assert_series_equal can trip on representation details (NaT in
+            # object vs datetime64, unit width); elementwise equality is the
+            # authority — fail only on actual value differences
             diff = (g != w) & ~(g.isna() & w.isna())
+            if int(diff.sum()) == 0:
+                continue
             raise AssertionError(
                 f"column {c!r}: {int(diff.sum())} mismatched values; "
                 f"first: got={g[diff].head(3).tolist()} want={w[diff].head(3).tolist()}"

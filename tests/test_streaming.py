@@ -91,3 +91,38 @@ def test_session_window_gap_semantics(spark):
         (TS(2024, 1, 1, 0, 0, 0), TS(2024, 1, 1, 0, 34, 59), 4),
         (TS(2024, 1, 1, 0, 35, 0), TS(2024, 1, 1, 0, 45, 0), 1),
     ]
+
+
+def test_stateful_running_totals_equals_batch(spark, sf_dir):
+    """applyInPandasWithState over one availableNow replay must equal the
+    batch groupBy (counts exact; float sums to tolerance — pandas sums in a
+    different order than the SQL aggregate)."""
+    import math
+
+    from filmdatawarehouse_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stateful_out").collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.v)
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, v) in batch.items():
+        assert got[uid][0] == n
+        assert math.isclose(got[uid][1], v, rel_tol=1e-9)

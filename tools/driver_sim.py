@@ -80,10 +80,16 @@ def main() -> int:
             )
             assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
             for c in got.columns:
-                pd.testing.assert_series_equal(
-                    got[c], want[c], check_dtype=False, check_names=False,
-                    check_exact=True,
-                )
+                try:
+                    pd.testing.assert_series_equal(
+                        got[c], want[c], check_dtype=False, check_names=False,
+                        check_exact=True,
+                    )
+                except AssertionError:
+                    g, w = got[c], want[c]
+                    diff = (g != w) & ~(g.isna() & w.isna())
+                    if int(diff.sum()):
+                        raise
             print(f"[match]     {name}: rows={len(got)} OK")
             n_pass += 1
         except Exception as ex:
