@@ -14,10 +14,11 @@ dedup too. Design stance for scale:
   no Python UDFs; one shuffle per stage (explode → groupBy doc, join on
   bucket).
 
-MinHash recall at these parameters (64 perms, 32 bands × 2 rows): a pair at
-Jaccard 0.8 is missed with probability (1-0.8²)^32 ≈ 6e-15 — candidate
-generation is effectively exact for the verify threshold. SimHash block
-recall is exact (pigeonhole), not probabilistic.
+MinHash recall: word shingles use 32 perms / 16 bands × 2 rows (a pair at
+Jaccard 0.8 missed with p ≈ 1e-7); char n-grams use 128 perms / 16 bands × 8
+rows (steeper curve — the background char-gram similarity is much higher; see
+``ngram_jaccard_pairs``). Verification is exact on candidates either way.
+SimHash block recall is exact (pigeonhole), not probabilistic.
 
 Hashing is cross-engine portable: shingle/token hash = first 8 (or 15) hex
 chars of md5 as an integer, permutations are (a*h + b) mod p with constants
@@ -136,9 +137,9 @@ def minhash_signatures(
     the agg so a*h stays < 2^62 (no bigint overflow under ANSI mode).
 
     With ``keep_shingles`` the same aggregation also rebuilds the distinct
-    hash set (``collect_set``), so the verify stage downstream joins back to
-    THIS frame and Spark reuses the single exchange instead of recomputing
-    the shingle pipeline per branch.
+    hash set (``collect_set``), so downstream candidate and verify joins are
+    all projections of this one frame (each branch column-pruned to what it
+    needs; persist it to share the physical work across branches).
     """
     perms = _perm_constants(num_perm, seed)
     exploded = docs.select(F.col(id_col), F.explode(hashes_col).alias("h"))
@@ -209,6 +210,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     num_perm: int = NUM_PERM,
     seed: int = 42,
+    cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard ≥ threshold.
 
@@ -218,7 +220,9 @@ def minhash_dedup_pairs(
     Returns (doc_id_a, doc_id_b, jaccard).
     """
     shingled = word_shingle_frame(docs, id_col, text_col, shingle_words)
-    return _lsh_verified_pairs(shingled, threshold, id_col, num_perm, seed)
+    return _lsh_verified_pairs(
+        shingled, threshold, id_col, num_perm, seed, cache=cache
+    )
 
 
 def _lsh_verified_pairs(
@@ -228,17 +232,24 @@ def _lsh_verified_pairs(
     num_perm: int,
     seed: int,
     band_rows: int = BAND_ROWS,
+    cache: bool = False,
 ) -> DataFrame:
     """Shared LSH-candidates + exact-Jaccard-verify tail.
 
-    One aggregation produces signatures AND the shingle sets
-    (``keep_shingles``): the candidate join and both verify joins all hang
-    off the same exchange, which Spark reuses — the shingle/md5/explode
-    pipeline runs once, not once per branch.
+    One aggregation defines both the signatures and the shingle sets
+    (``keep_shingles``), so every branch (candidates, verify-a, verify-b)
+    is a projection of the same frame. Catalyst column-prunes each branch to
+    only what it needs (the verify branches skip the k min-aggregates
+    entirely), at the cost of re-running the scan+shingle pipeline per
+    branch — cheap here. On a large corpus pass ``cache=True`` to persist
+    the signature frame once instead (MEMORY_AND_DISK; caller owns the
+    lifetime via ``DataFrame.unpersist`` on the returned plan's source).
     """
     sigs = minhash_signatures(
         shingled, F.col("shingles"), id_col, num_perm, seed, keep_shingles=True
     )
+    if cache:
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, band_rows)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -264,6 +275,7 @@ def ngram_jaccard_pairs(
     num_perm: int = 128,
     band_rows: int = 8,
     seed: int = 42,
+    cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold — same
     MinHash+LSH candidate machinery over char shingles.
@@ -277,7 +289,9 @@ def ngram_jaccard_pairs(
     shingled = docs.select(
         F.col(id_col), hashed_shingles(char_ngrams(text_col, n)).alias("shingles")
     )
-    return _lsh_verified_pairs(shingled, threshold, id_col, num_perm, seed, band_rows)
+    return _lsh_verified_pairs(
+        shingled, threshold, id_col, num_perm, seed, band_rows, cache=cache
+    )
 
 
 def simhash_values(

@@ -1,0 +1,69 @@
+"""Format roundtrips (csv/json/orc/parquet) and skew utilities."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io.formats import read_source, write_source
+from filmdatawarehouse_spark.io.sources import read_table
+from filmdatawarehouse_spark.operators.skew import salted_group_count, salted_join
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_roundtrip(spark, sf_dir, tmp_path, fmt):
+    src = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    write_source(src, path, fmt=fmt)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    back = read_source(spark, path, fmt=fmt, schema=schema)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    assert back.schema.simpleString() == src.schema.simpleString()
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, str(tmp_path), fmt="csv")
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_source(spark, str(tmp_path), fmt="avro")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            customer.withColumnRenamed("c_custkey", "custkey"),
+            on="custkey",
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain.collect()} == {
+        (r.c_mktsegment, r["count"]) for r in salted.collect()
+    }
+
+
+def test_salted_group_count_matches_plain(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type, r["count"])
+        for r in events.groupBy("event_type").count().collect()
+    }
+    salted = {
+        (r.event_type, r["count"])
+        for r in salted_group_count(events, "event_type").collect()
+    }
+    assert salted == plain
