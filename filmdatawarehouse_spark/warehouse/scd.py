@@ -1,0 +1,111 @@
+"""Slowly-changing-dimension (SCD2) merge, emulated without a table format.
+
+The reference has no update semantics at all — every load is a blind append
+(`dags/rentalFilmDAG.py:39`), so re-runs duplicate and updates are
+impossible. This gives the engine the standard warehouse answer: SCD type 2
+(row versioning with validity ranges) implemented as pure DataFrame algebra
+(anti-join + union + window), the MERGE-INTO emulation for plain parquet.
+With Delta/Iceberg on the classpath the same call maps to a native MERGE.
+
+Contract: dimension rows carry (key, attributes..., valid_from TIMESTAMP,
+valid_to TIMESTAMP nullable, is_current BOOLEAN). ``scd2_apply`` takes the
+current dimension state and a batch of incoming snapshots (key, attributes,
+effective_ts) and returns the new state:
+
+- unchanged rows pass through;
+- changed attributes close the current version (valid_to = effective_ts,
+  is_current = false) and open a new one;
+- brand-new keys open their first version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_ts: str = "effective_ts",
+) -> DataFrame:
+    """Return the new SCD2 dimension state after applying ``updates``.
+
+    ``dim`` columns: key, *attrs, valid_from, valid_to, is_current.
+    ``updates`` columns: key, *attrs, effective_ts (one row per key — apply
+    batches in event order; for multi-row batches pre-reduce to the latest).
+    All logic is joins/unions — a single shuffle on the key, no windows over
+    the full history.
+    """
+    current = dim.filter(F.col("is_current"))
+    history = dim.filter(~F.col("is_current"))
+
+    attr_neq = None
+    for a in attrs:
+        ne = ~F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}"))
+        attr_neq = ne if attr_neq is None else (attr_neq | ne)
+
+    joined = current.alias("cur").join(
+        updates.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
+    )
+
+    # 1. current rows with no update, or with an identical snapshot → keep
+    unchanged = joined.filter(
+        F.col(f"upd.{key}").isNull()
+        | (F.col(f"cur.{key}").isNotNull() & ~attr_neq)
+    ).select("cur.*")
+
+    # 2. current rows whose attributes changed → close the version
+    closed = (
+        joined.filter(
+            F.col(f"cur.{key}").isNotNull()
+            & F.col(f"upd.{key}").isNotNull()
+            & attr_neq
+        )
+        .select(
+            "cur.*",
+            F.col(f"upd.{effective_ts}").alias("_close_ts"),
+        )
+        .withColumn("valid_to", F.col("_close_ts"))
+        .withColumn("is_current", F.lit(False))
+        .drop("_close_ts")
+    )
+
+    # 3. changed keys + brand-new keys → open a new current version
+    opened = (
+        joined.filter(
+            F.col(f"upd.{key}").isNotNull()
+            & (F.col(f"cur.{key}").isNull() | attr_neq)
+        )
+        .select(
+            F.col(f"upd.{key}").alias(key),
+            *[F.col(f"upd.{a}").alias(a) for a in attrs],
+            F.col(f"upd.{effective_ts}").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+    cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        history.select(*cols)
+        .unionByName(unchanged.select(*cols))
+        .unionByName(closed.select(*cols))
+        .unionByName(opened.select(*cols))
+    )
+
+
+def scd2_initial(updates: DataFrame, key: str, attrs: list[str],
+                 effective_ts: str = "effective_ts") -> DataFrame:
+    """Bootstrap an SCD2 dimension from a first snapshot batch."""
+    return (
+        updates.select(
+            F.col(key),
+            *[F.col(a) for a in attrs],
+            F.col(effective_ts).alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )

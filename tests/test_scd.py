@@ -1,0 +1,100 @@
+"""SCD2 merge semantics on a film-dimension example."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import types as T
+
+from filmdatawarehouse_spark.io.sources import literal_rows
+from filmdatawarehouse_spark.warehouse.scd import scd2_apply, scd2_initial
+
+TS = datetime.datetime
+
+UPD_SCHEMA = T.StructType(
+    [
+        T.StructField("film_id", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language_id", T.IntegerType()),
+        T.StructField("effective_ts", T.TimestampType()),
+    ]
+)
+
+ATTRS = ["title", "language_id"]
+
+
+def test_scd2_bootstrap_and_merge(spark):
+    batch1 = literal_rows(
+        spark,
+        [
+            dict(film_id=1, title="Alpha", language_id=1, effective_ts=TS(2024, 1, 1)),
+            dict(film_id=2, title="Beta", language_id=1, effective_ts=TS(2024, 1, 1)),
+        ],
+        UPD_SCHEMA,
+    )
+    dim = scd2_initial(batch1, "film_id", ATTRS)
+    assert dim.count() == 2
+    assert all(r.is_current and r.valid_to is None for r in dim.collect())
+
+    batch2 = literal_rows(
+        spark,
+        [
+            # changed title → close + reopen
+            dict(film_id=1, title="Alpha (remaster)", language_id=1,
+                 effective_ts=TS(2024, 6, 1)),
+            # identical snapshot → untouched
+            dict(film_id=2, title="Beta", language_id=1,
+                 effective_ts=TS(2024, 6, 1)),
+            # new key → first version
+            dict(film_id=3, title="Gamma", language_id=2,
+                 effective_ts=TS(2024, 6, 1)),
+        ],
+        UPD_SCHEMA,
+    )
+    dim2 = scd2_apply(dim, batch2, "film_id", ATTRS)
+    rows = {(r.film_id, r.title, r.is_current): r for r in dim2.collect()}
+    assert len(rows) == 4
+
+    old = rows[(1, "Alpha", False)]
+    assert old.valid_to == TS(2024, 6, 1)
+    new = rows[(1, "Alpha (remaster)", True)]
+    assert new.valid_from == TS(2024, 6, 1) and new.valid_to is None
+    beta = rows[(2, "Beta", True)]
+    assert beta.valid_from == TS(2024, 1, 1)  # untouched, original version
+    gamma = rows[(3, "Gamma", True)]
+    assert gamma.valid_from == TS(2024, 6, 1)
+
+
+def test_scd2_null_safe_attribute_compare(spark):
+    b1 = literal_rows(
+        spark,
+        [dict(film_id=1, title=None, language_id=1, effective_ts=TS(2024, 1, 1))],
+        UPD_SCHEMA,
+    )
+    dim = scd2_initial(b1, "film_id", ATTRS)
+    # same null title again → no new version
+    b2 = literal_rows(
+        spark,
+        [dict(film_id=1, title=None, language_id=1, effective_ts=TS(2024, 2, 1))],
+        UPD_SCHEMA,
+    )
+    assert scd2_apply(dim, b2, "film_id", ATTRS).count() == 1
+    # null → value → new version
+    b3 = literal_rows(
+        spark,
+        [dict(film_id=1, title="Named", language_id=1, effective_ts=TS(2024, 3, 1))],
+        UPD_SCHEMA,
+    )
+    assert scd2_apply(dim, b3, "film_id", ATTRS).count() == 2
+
+
+def test_scd2_apply_is_idempotent(spark):
+    b1 = literal_rows(
+        spark,
+        [dict(film_id=1, title="Alpha", language_id=1, effective_ts=TS(2024, 1, 1))],
+        UPD_SCHEMA,
+    )
+    dim = scd2_initial(b1, "film_id", ATTRS)
+    once = scd2_apply(dim, b1, "film_id", ATTRS)
+    twice = scd2_apply(once, b1, "film_id", ATTRS)
+    assert twice.count() == 1  # re-applying the same snapshot changes nothing
