@@ -39,6 +39,19 @@ def attach_text_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def payload_meta(assets: DataFrame) -> DataFrame:
+    """Typed metadata extracted JVM-side from the opaque binary column:
+    byte length + content digest. This is the fully-codegen'd metadata path
+    (no Python) — at 100 TB, digest/length run at scan speed and feed both
+    exact-dedup on payload bytes and storage accounting."""
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
 def decode_image(payload: bytes, mime: str) -> np.ndarray:
     """Codec boundary — image decode (JPEG/PNG → HxWx3 uint8).
 

@@ -24,7 +24,11 @@ from filmdatawarehouse_spark.io.sources import read_table
 from filmdatawarehouse_spark.operators import dedup as dd
 from filmdatawarehouse_spark.operators import text as tx
 from filmdatawarehouse_spark.operators.similarity import cosine_topk, ivf_topk
-from filmdatawarehouse_spark.operators.multimodal import attach_text_payload, byte_stats
+from filmdatawarehouse_spark.operators.multimodal import (
+    attach_text_payload,
+    byte_stats,
+    payload_meta,
+)
 from filmdatawarehouse_spark.queries.registry import Entry
 from filmdatawarehouse_spark.streaming.windows import (
     session_windows,
@@ -108,6 +112,23 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
 
 
+def q_text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 words by frequency (explode → group-count →
+    top-k). The generate/explode operator the reference never needs — the
+    backbone of any tokenize-then-aggregate pipeline. Ties broken by word so
+    the result set is deterministic."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_counts(read_table(spark, sf_dir, "events"))
 
@@ -122,6 +143,14 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(attach_text_payload(read_table(spark, sf_dir, "documents")))
+
+
+def q_multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (length + md5 digest) — the JVM-side half of
+    the multimodal pipeline, oracle-checked byte-for-byte."""
+    return payload_meta(
+        attach_text_payload(read_table(spark, sf_dir, "documents"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +329,23 @@ ORACLES: dict[str, str] = {
                  (a, c) -> (a * 31 + c) % {tx.MOD_PRIME}) AS fingerprint
         FROM documents
     """,
+    # \s in both engines' regex split; empty tokens filtered on both sides
+    # so leading/trailing-whitespace semantics can't diverge.
+    "text_word_freq": r"""
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents
+        ) WHERE length(word) > 0
+        GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+    # DuckDB md5(VARCHAR) hashes the utf-8 bytes == Spark md5(encode(text)).
+    "multimodal_payload_meta": """
+        SELECT doc_id AS asset_id,
+               'blob' AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
     "events_tumbling_window": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
@@ -361,8 +407,13 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_quality": (q_text_quality, ORACLES["text_quality"]),
     "text_token_count": (q_text_token_count, ORACLES["text_token_count"]),
     "text_fingerprint": (q_text_fingerprint, ORACLES["text_fingerprint"]),
+    "text_word_freq": (q_text_word_freq, ORACLES["text_word_freq"]),
     "events_tumbling_window": (q_tumbling, ORACLES["events_tumbling_window"]),
     "events_sliding_window": (q_sliding, ORACLES["events_sliding_window"]),
     "events_session_window": (q_session, ORACLES["events_session_window"]),
     "multimodal_byte_stats": (q_multimodal_byte_stats, None),  # numpy floats: rows-only
+    "multimodal_payload_meta": (
+        q_multimodal_payload_meta,
+        ORACLES["multimodal_payload_meta"],
+    ),
 }

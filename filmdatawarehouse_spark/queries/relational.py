@@ -105,6 +105,106 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "followup_id", "user_id", "purchase_ts", "followup_ts")
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = ["n_urgent", "n_high", "n_medium", "n_not_specified", "n_low"]
+
+
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status × priority, priorities as columns
+    (SURVEY §2.4: pivot absent in the reference).
+
+    Compiled to conditional aggregation rather than ``df.pivot`` — with a
+    known value list that is the same result in ONE shuffle (partial+final
+    count), where Spark's pivotfirst path plans two exchanges. Verified by
+    test_plan_hygiene.test_pivot_is_single_pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.count(F.when(F.col("o_orderpriority") == p, 1)).alias(a)
+            for p, a in zip(_PRIORITIES, _PRIO_ALIAS)
+        ]
+    )
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one shuffle
+    (SURVEY §2.4: grouping sets/cube absent in the reference)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers that never placed an urgent order (SURVEY
+    §2.3: semi/anti absent in the reference). Plans as a broadcast/shuffled
+    hash anti join — no NOT IN subquery materialization."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: suppliers with at least one urgent-priority shipment
+    — existence check without duplicating supplier rows per lineitem."""
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    urgent_items = l.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey"),
+        l["l_orderkey"] == o["o_orderkey"],
+        "left_semi",
+    )
+    return s.join(
+        urgent_items, s["s_suppkey"] == urgent_items["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of order value per
+    status — Spark `percentile` (exact, sort-based) rather than
+    `percentile_approx`, matching DuckDB's `quantile_cont` bit-for-bit."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    )
+
+
+def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge end-to-end: bootstrap the customer dimension from
+    a T1 snapshot, apply a T2 snapshot where every 10th customer changed
+    market segment, and return the versioned state (closed + reopened rows).
+
+    The reference has no update semantics at all (blind append,
+    `dags/rentalFilmDAG.py:39`); this is the engine's MERGE-INTO answer as
+    pure DataFrame algebra (warehouse/scd.py) — one shuffle on the key.
+    """
+    from filmdatawarehouse_spark.warehouse.scd import scd2_apply, scd2_initial
+
+    attrs = ["c_mktsegment", "c_acctbal"]
+    c = read_table(spark, sf_dir, "customer")
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    batch1 = c.select("c_custkey", *attrs).withColumn("effective_ts", t1)
+    dim = scd2_initial(batch1, "c_custkey", attrs)
+    batch2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+    ).withColumn("effective_ts", t2)
+    return scd2_apply(dim, batch2, "c_custkey", attrs)
+
+
 ORACLES: dict[str, str] = {
     "window_topn_per_group": """
         SELECT c_nationkey, c_custkey, c_acctbal, rank FROM (
@@ -160,6 +260,67 @@ ORACLES: dict[str, str] = {
          AND epoch_us(followup_ts) - epoch_us(purchase_ts) > 0
          AND epoch_us(followup_ts) - epoch_us(purchase_ts) <= 1800000000
     """,
+    "pivot_orders": """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+               COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+               COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                 AS n_not_specified,
+               COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "cube_order_stats": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    "semi_join_suppliers": """
+        SELECT s_suppkey, s_name, s_nationkey FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderpriority = '1-URGENT' AND l.l_suppkey = s.s_suppkey
+        )
+    """,
+    "percentile_order_value": """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50_price,
+               quantile_cont(o_totalprice, 0.9) AS p90_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    # Closed form of the SCD2 merge: unchanged keys keep their T1 version;
+    # every 10th key gets a closed T1→T2 version plus an open T2 version.
+    # TIMESTAMP_NS so DuckDB's pandas unit matches Spark's ns at compare time.
+    "scd2_customer_dim": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(TIMESTAMP '2024-01-01 00:00:00' AS TIMESTAMP_NS) AS valid_from,
+               CAST(NULL AS TIMESTAMP_NS) AS valid_to,
+               TRUE AS is_current
+        FROM customer WHERE c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(TIMESTAMP '2024-01-01 00:00:00' AS TIMESTAMP_NS),
+               CAST(TIMESTAMP '2024-06-01 00:00:00' AS TIMESTAMP_NS),
+               FALSE
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, 'RELOCATED', c_acctbal,
+               CAST(TIMESTAMP '2024-06-01 00:00:00' AS TIMESTAMP_NS),
+               CAST(NULL AS TIMESTAMP_NS),
+               TRUE
+        FROM customer WHERE c_custkey % 10 = 0
+    """,
 }
 
 RELATIONAL_QUERIES: dict[str, Entry] = {
@@ -169,4 +330,13 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
     "count_distinct": (q_count_distinct, ORACLES["count_distinct"]),
     "asof_join_events": (q_asof_join_events, ORACLES["asof_join_events"]),
     "range_join_events": (q_range_join_events, ORACLES["range_join_events"]),
+    "scd2_customer_dim": (q_scd2_customer_dim, ORACLES["scd2_customer_dim"]),
+    "pivot_orders": (q_pivot_orders, ORACLES["pivot_orders"]),
+    "cube_order_stats": (q_cube_order_stats, ORACLES["cube_order_stats"]),
+    "anti_join_customers": (q_anti_join_customers, ORACLES["anti_join_customers"]),
+    "semi_join_suppliers": (q_semi_join_suppliers, ORACLES["semi_join_suppliers"]),
+    "percentile_order_value": (
+        q_percentile_order_value,
+        ORACLES["percentile_order_value"],
+    ),
 }

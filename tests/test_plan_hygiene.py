@@ -59,6 +59,28 @@ def test_aggregates_are_two_phase(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_anti_join_broadcasts(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.relational import q_anti_join_customers
+
+    plan = plan_of(q_anti_join_customers(spark, sf_dir))
+    # existence check against a filtered fact: hash anti join, never a
+    # cartesian/nested-loop fallback
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.relational import q_pivot_orders
+
+    # explicit pivot values compiled to conditional aggregation: one scan of
+    # orders, one shuffle (partial+final agg) — df.pivot would plan two.
+    # (count in the plan TREE only; the formatted detail sections repeat
+    # every node name)
+    tree = plan_of(q_pivot_orders(spark, sf_dir)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # the formatted AQE plan hides codegen stages before execution; ask for
     # the codegen view explicitly
