@@ -330,29 +330,38 @@ def simhash_values(
 ) -> DataFrame:
     """Frequency-weighted 60-bit SimHash per document.
 
-    explode tokens (multiset — term frequency is the weight) → one shuffle
-    (groupBy id) with 60 sum-aggregates (±1 per bit), then pack bits.
+    Token hashing stays JVM-side (portable md5 over the token multiset —
+    term frequency is the weight); the ±1 bit-sum and bit-pack are pure
+    per-document math, run as a zero-shuffle numpy ``mapInPandas`` stage
+    (same shape as ``minhash_signatures``; the explode→groupBy form paid a
+    token-level shuffle plus 60 sum-aggregates).
     """
-    tok = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
-    ).withColumn("h", _hash60(F.col("t")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
+    import numpy as np
+    import pandas as pd
+
+    base = docs.select(
+        F.col(id_col),
+        F.transform(F.split(F.col(text_col), " "), _hash60).alias("_h"),
+    )
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, vals = [], []
+            for did, arr in zip(pdf[id_col], pdf["_h"]):
+                h = np.asarray(arr, dtype=np.int64)
+                bits = (h[:, None] >> shifts) & 1
+                sums = (2 * bits - 1).sum(axis=0)
+                ids.append(did)
+                vals.append(int(((sums > 0).astype(np.int64) << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(vals, dtype="int64"),
+                }
             )
-        ).alias(f"s_{k}")
-        for k in range(SIMHASH_BITS)
-    ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
-    packed = None
-    for k in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s_{k}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        term = F.shiftleft(bit, k)
-        packed = term if packed is None else packed + term
-    return sums.select(F.col(id_col), packed.alias("simhash"))
+
+    return base.mapInPandas(gen, f"{id_col} long, simhash long")
 
 
 def simhash_pairs(
@@ -373,7 +382,9 @@ def simhash_pairs(
             f"block pigeonhole guarantees recall only for hamming_max < "
             f"{SIMHASH_BLOCKS}; got {hamming_max}"
         )
-    sh = simhash_values(docs, id_col, text_col)
+    # persist: the hash frame feeds both sides of the block self-join, and a
+    # Python stage is opaque to Catalyst (it would run once per branch)
+    sh = simhash_values(docs, id_col, text_col).persist()
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     mask = (1 << block_bits) - 1
     blocks = sh.select(
