@@ -141,6 +141,21 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(read_table(spark, sf_dir, "events"))
 
 
+def q_events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (streaming/stateful.py `running_user_totals`): the final per-user state
+    after one availableNow pass equals this groupBy (equivalence asserted in
+    tests/test_streaming.py). DECIMAL-summed value so the total is
+    order-independent across engines."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(attach_text_payload(read_table(spark, sf_dir, "documents")))
 
@@ -338,6 +353,12 @@ ORACLES: dict[str, str] = {
         ) WHERE length(word) > 0
         GROUP BY word ORDER BY n DESC, word LIMIT 50
     """,
+    "events_user_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    """,
     # DuckDB md5(VARCHAR) hashes the utf-8 bytes == Spark md5(encode(text)).
     "multimodal_payload_meta": """
         SELECT doc_id AS asset_id,
@@ -411,6 +432,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "events_tumbling_window": (q_tumbling, ORACLES["events_tumbling_window"]),
     "events_sliding_window": (q_sliding, ORACLES["events_sliding_window"]),
     "events_session_window": (q_session, ORACLES["events_session_window"]),
+    "events_user_totals": (q_events_user_totals, ORACLES["events_user_totals"]),
     "multimodal_byte_stats": (q_multimodal_byte_stats, None),  # numpy floats: rows-only
     "multimodal_payload_meta": (
         q_multimodal_payload_meta,

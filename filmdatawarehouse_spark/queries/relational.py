@@ -178,6 +178,27 @@ def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders priced above their customer's
+    average. Written as SQL subqueries on purpose — Catalyst decorrelates
+    them into aggregate+join (no per-row re-execution). The comparison is
+    ``price * n > sum`` in DECIMAL, the division-free exact form of
+    ``price > avg`` (identical row set in both engines, no float boundary).
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_v o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * (
+                SELECT COUNT(*) FROM orders_v i
+                WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension merge end-to-end: bootstrap the customer dimension from
     a T1 snapshot, apply a T2 snapshot where every 10th customer changed
@@ -299,6 +320,15 @@ ORACLES: dict[str, str] = {
                quantile_cont(o_totalprice, 0.9) AS p90_price
         FROM orders GROUP BY o_orderstatus
     """,
+    "above_customer_avg": """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * (
+                SELECT COUNT(*) FROM orders i
+                WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
     # Closed form of the SCD2 merge: unchanged keys keep their T1 version;
     # every 10th key gets a closed T1→T2 version plus an open T2 version.
     # TIMESTAMP_NS so DuckDB's pandas unit matches Spark's ns at compare time.
@@ -339,4 +369,5 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
         q_percentile_order_value,
         ORACLES["percentile_order_value"],
     ),
+    "above_customer_avg": (q_above_customer_avg, ORACLES["above_customer_avg"]),
 }
