@@ -61,7 +61,11 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     re-evaluates a non-trivial expression at every lambda reference, turning
     the shingling quadratic (measured 15x slower inline).
     """
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    # guard: sequence(0, size-n) DESCENDS when size < n (Spark generates a
+    # reverse range), indexing past the array — short docs get no shingles
+    idx = F.when(
+        F.size(toks) >= F.lit(n), F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)])
     )
@@ -83,9 +87,13 @@ def word_shingle_frame(
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
-    """Distinct character n-grams."""
+    """Distinct character n-grams. Texts shorter than ``n`` get an empty
+    set (the unguarded reverse-sequence would feed ``substr`` negative
+    positions, which silently index from the END of the string)."""
     c = F.col(text) if isinstance(text, str) else text
-    idx = F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    idx = F.when(
+        F.length(c) >= F.lit(n), F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
 
 
@@ -176,7 +184,9 @@ def minhash_signatures(
             )
             out.insert(0, id_col, pd.Series(ids, dtype="int64"))
             if keep_shingles:
-                out["shingles"] = kept
+                # object dtype, explicitly: equal-length arrays would be
+                # coerced into one 2-D block that Arrow refuses to convert
+                out["shingles"] = pd.Series(kept, dtype=object)
             yield out
 
     schema = f"{id_col} long, " + ", ".join(f"{s} long" for s in sig_names)
@@ -432,6 +442,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact cosine ≥ threshold.
 
@@ -494,10 +505,16 @@ def embedding_cosine_pairs(
     cand_pdf = base.mapInPandas(gen, cand_schema).toPandas()
     cand = spark.createDataFrame(cand_pdf, cand_schema)
 
+    # dim defaults to the corpus embedding width; pass the actual width for
+    # other collections (the unrolled chain indexes 1..dim)
+    if dim is None:
+        from filmdatawarehouse_spark.operators.similarity import EMBEDDING_DIM
+
+        dim = EMBEDDING_DIM
     nd = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vd"),
-        norm(F.col(vec_col)).alias("_norm"),
+        norm(F.col(vec_col), dim).alias("_norm"),
     )
     a = nd.select(
         F.col(id_col).alias("vec_id_a"),
@@ -516,9 +533,9 @@ def embedding_cosine_pairs(
         .select(
             "vec_id_a",
             "vec_id_b",
-            cosine(F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")).alias(
-                "cosine"
-            ),
+            cosine(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"), dim
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )

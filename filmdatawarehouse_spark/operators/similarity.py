@@ -59,9 +59,12 @@ def norm(v: Column, dim: int | None = EMBEDDING_DIM) -> Column:
     )
 
 
-def cosine(v_a: Column, v_b: Column, n_a: Column, n_b: Column) -> Column:
+def cosine(
+    v_a: Column, v_b: Column, n_a: Column, n_b: Column,
+    dim: int | None = EMBEDDING_DIM,
+) -> Column:
     """Cosine from precomputed norms: dot / (n_a * n_b)."""
-    return dot(v_a, v_b) / (n_a * n_b)
+    return dot(v_a, v_b, dim) / (n_a * n_b)
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

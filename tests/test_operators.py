@@ -70,6 +70,45 @@ def test_exact_duplicate_has_jaccard_one(spark):
     assert len(rows) == 1 and rows[0].jaccard == 1.0
 
 
+def test_minhash_skips_shingleless_docs(spark):
+    # a doc shorter than the shingle width has an empty shingle set; the
+    # numpy signature stage must drop it (the old explode+groupBy shape did)
+    # rather than emit NaN/empty signatures or crash the Arrow batch
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = literal_rows(
+        spark,
+        [
+            dict(doc_id=1, text=text),
+            dict(doc_id=2, text=text),
+            dict(doc_id=3, text="too short"),  # 2 tokens < 3-word shingle
+        ],
+        DOC_SCHEMA,
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in dd.minhash_dedup_pairs(docs, 0.8).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_embedding_cosine_empty_candidate_set(spark):
+    # an impossible threshold produces zero GEMM candidates; the localized
+    # empty candidate frame must keep its schema through the re-score joins
+    emb = literal_rows(
+        spark,
+        [
+            dict(vec_id=1, embedding=[1.0, 0.0]),
+            dict(vec_id=2, embedding=[0.0, 1.0]),
+        ],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    out = dd.embedding_cosine_pairs(emb, threshold=0.99, dim=2)
+    assert out.columns == ["vec_id_a", "vec_id_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     text = "the quick brown fox jumps over the lazy dog " * 5
     docs = literal_rows(
