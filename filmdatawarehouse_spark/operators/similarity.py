@@ -113,6 +113,37 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range search: every neighbor with cosine ≥ threshold per query —
+    the radius-query sibling of ``cosine_topk`` (same broadcast linear scan,
+    but a threshold filter instead of the per-query top-k exchange; the scan
+    side never shuffles at all). Returns (query_id, neighbor_id, cosine)."""
+    coll = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_n"),
+        F.col("_norm").alias("n_n"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("v_q"),
+        F.col("_norm").alias("n_q"),
+    )
+    return (
+        coll.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", cosine(F.col("v_q"), F.col("v_n"), F.col("n_q"), F.col("n_n"))
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

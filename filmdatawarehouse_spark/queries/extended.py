@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from filmdatawarehouse_spark.io.sources import read_table
 from filmdatawarehouse_spark.operators import dedup as dd
 from filmdatawarehouse_spark.operators import text as tx
-from filmdatawarehouse_spark.operators.similarity import cosine_topk, ivf_topk
+from filmdatawarehouse_spark.operators.similarity import (
+    cosine_range_search,
+    cosine_topk,
+    ivf_topk,
+)
 from filmdatawarehouse_spark.operators.multimodal import (
     attach_text_payload,
     byte_stats,
@@ -46,6 +50,7 @@ COSINE_T = 0.4
 HAMMING_MAX = 3
 TOPK_K = 5
 N_QUERY_VECS = 10
+RANGE_T = 0.3  # above the bulk of background cosine (~max 0.51 pairwise)
 
 # ---------------------------------------------------------------------------
 # Spark builders
@@ -88,6 +93,16 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=TOPK_K)
+
+
+def q_similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query: all neighbors with cosine ≥ RANGE_T for the query set
+    (same pinned-chain cosine as top-k, so the threshold boundary is
+    bit-identical across engines)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_range_search(
+        emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), threshold=RANGE_T
+    )
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +341,14 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, cosine, rank FROM ranked
         WHERE rank <= {TOPK_K}
     """,
+    "similarity_range": f"""
+        WITH {_NORMS_CTE.strip()}
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DOT} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < {N_QUERY_VECS}
+          AND {_DOT} / (a.nrm * b.nrm) >= {RANGE_T}
+    """,
     "text_langid": _langid_sql(),
     "text_quality": _quality_sql(),
     "text_token_count": f"""
@@ -423,6 +446,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "dedup_simhash": (q_dedup_simhash, ORACLES["dedup_simhash"]),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLES["dedup_embedding_cosine"]),
     "similarity_topk": (q_similarity_topk, ORACLES["similarity_topk"]),
+    "similarity_range": (q_similarity_range, ORACLES["similarity_range"]),
     "similarity_ann_ivf": (q_similarity_ann_ivf, None),  # approximate: rows-only
     "text_langid": (q_text_langid, ORACLES["text_langid"]),
     "text_quality": (q_text_quality, ORACLES["text_quality"]),
