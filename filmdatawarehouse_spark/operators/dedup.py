@@ -437,72 +437,140 @@ def simhash_pairs(
     )
 
 
+def embedding_cosine_candidates(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Distributed exact-cosine candidate pairs — block-pair GEMM, no driver
+    collect anywhere in the plan.
+
+    The classic all-pairs blocking scheme: every vector lands in block
+    ``g = id mod n_blocks``; each row is replicated to the ``n_blocks``
+    unordered block pairs ``(min(g,h), max(g,h))`` that need it, and a
+    grouped Arrow stage (``applyInPandas`` on the pair key) runs one BLAS
+    GEMM per block pair, emitting id pairs with GEMM-cosine ≥
+    threshold − 1e-9. The margin covers summation-order differences between
+    BLAS and the sequential fold (~1e-13 worst case at this dim), so no
+    true pair can be missed — candidates are a superset of the exact answer.
+
+    Scale math: one shuffle of ``n · n_blocks`` rows; each task holds at
+    most two blocks (``2n/n_blocks`` vectors) — pick ``n_blocks`` so a
+    block fits executor memory and the n² flops spread over
+    ``n_blocks(n_blocks+1)/2`` tasks. No node ever sees the whole
+    collection; the driver sees none of it. A pair is produced by exactly
+    one block-pair group, so no dedup pass is needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cutoff = threshold - 1e-9
+    g = F.pmod(F.col(id_col).cast("bigint"), F.lit(n_blocks))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.least(g, F.lit(h)).cast("int").alias("bi"),
+                F.greatest(g, F.lit(h)).cast("int").alias("bj"),
+                # which side of the GEMM this row feeds in an off-diagonal
+                # pair; diagonal pairs ('d') use one matrix for both sides
+                F.when(g < F.lit(h), F.lit("a"))
+                .when(g > F.lit(h), F.lit("b"))
+                .otherwise(F.lit("d"))
+                .alias("side"),
+            )
+            for h in range(n_blocks)
+        ]
+    )
+    replicated = emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(pairs).alias("_p")
+    ).select(
+        id_col, vec_col, F.col("_p.bi").alias("_bi"),
+        F.col("_p.bj").alias("_bj"), F.col("_p.side").alias("_side"),
+    )
+
+    empty = pd.DataFrame({"vec_id_a": [], "vec_id_b": []}, dtype="int64")
+
+    def gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        def mat(rows):
+            ids = rows[id_col].to_numpy()
+            m = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+            m /= np.sqrt((m * m).sum(axis=1))[:, None]
+            return ids, m
+
+        if not len(pdf):
+            return empty
+        if pdf["_side"].iat[0] == "d":
+            # one block vs itself: each unordered pair shows up twice in the
+            # Gram matrix (plus the diagonal) — keep the a<b orientation only
+            ids, m = mat(pdf)
+            ii, jj = np.nonzero(m @ m.T >= cutoff)
+            ida, idb = ids[ii], ids[jj]
+            keep = ida < idb
+            lo, hi = ida[keep], idb[keep]
+        else:
+            # disjoint blocks: each pair appears exactly once — canonicalize
+            # the orientation (block order != id order)
+            side_a, side_b = pdf[pdf["_side"] == "a"], pdf[pdf["_side"] == "b"]
+            if not len(side_a) or not len(side_b):
+                return empty
+            ia, ma = mat(side_a)
+            ib, mb = mat(side_b)
+            ii, jj = np.nonzero(ma @ mb.T >= cutoff)
+            ida, idb = ia[ii], ib[jj]
+            lo = np.minimum(ida, idb)
+            hi = np.maximum(ida, idb)
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+
+    return replicated.groupBy("_bi", "_bj").applyInPandas(
+        gemm, "vec_id_a long, vec_id_b long"
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by exact cosine ≥ threshold.
 
     Two stages, both exact in the result:
 
-    1. **Candidate generation — blocked GEMM.** The vector set is broadcast
-       as a float64 matrix; each scan partition multiplies its block against
-       it with BLAS (Arrow-batched ``mapInPandas``) and emits id pairs with
-       GEMM-cosine ≥ threshold − 1e-9. The margin covers summation-order
-       differences between BLAS and the sequential fold (~1e-13 worst case
-       at this dim), so no true pair can be missed.
+    1. **Candidate generation — distributed block-pair GEMM**
+       (``embedding_cosine_candidates``): fully partition-parallel, no
+       driver collect of the vector table, no full-matrix task closures;
+       each task multiplies two bounded blocks with BLAS and emits pairs at
+       GEMM-cosine ≥ threshold − 1e-9 (a guaranteed superset — the margin
+       covers BLAS-vs-fold summation order).
     2. **Exact re-score.** The candidate set (tiny by construction — the
        threshold sits above the corpus's background similarity) is joined
        back to the vectors and re-scored with the pinned-order multiply-add
        chain, then filtered at the exact threshold — bit-identical to a
        full O(n²) evaluation, at O(candidates) chain cost.
 
-    Replaces the previous pair-join form (2M codegen'd chain evals + a 2M-row
-    shuffle at n=2000): measured ~7× faster at sf0.1, identical bits.
-
-    Scale posture: stage 1 assumes the collection fits one node's memory as
-    a matrix (the same constraint the old broadcast pair-join had). Beyond
-    that, use the IVF route in operators/similarity.py — this exact form is
-    the correctness anchor the approximate path is measured against.
+    Scale posture: n² flops are inherent to *exact* all-pairs cosine, but
+    they spread over ``n_blocks(n_blocks+1)/2`` tasks with bounded memory
+    (2n/n_blocks vectors per task) — raise ``n_blocks`` with the corpus.
+    When approximate recall is acceptable, put the IVF route
+    (operators/similarity.py) in front; this exact form is the correctness
+    anchor the approximate path is measured against.
     Returns (vec_id_a, vec_id_b, cosine).
     """
-    import numpy as np
-    import pandas as pd
-
     from filmdatawarehouse_spark.operators.similarity import cosine, norm
 
     spark = emb.sparkSession
     base = emb.select(id_col, vec_col)
-    pdf_all = base.toPandas()
-    ids_full = pdf_all[id_col].to_numpy()
-    m_full = np.stack(pdf_all[vec_col].to_numpy()).astype(np.float64)
-    n_full = np.sqrt((m_full * m_full).sum(axis=1))
-    cutoff = threshold - 1e-9
-
-    # matrix travels inside the task closure (pickled once per task) — at
-    # this size that's cheaper and simpler than a broadcast variable; the
-    # first Python-UDF use in a session pays the worker-pool startup
-    # (~15 s on this box), every later call runs in <0.5 s.
-    def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            nb = np.sqrt((mb * mb).sum(axis=1))
-            sims = (mb @ m_full.T) / np.outer(nb, n_full)
-            ii, jj = np.nonzero(sims >= cutoff)
-            ida = pdf[id_col].to_numpy()[ii]
-            idb = ids_full[jj]
-            keep = ida < idb
-            yield pd.DataFrame({"vec_id_a": ida[keep], "vec_id_b": idb[keep]})
 
     cand_schema = "vec_id_a long, vec_id_b long"
     # localize the (small) candidate set so the re-score joins get a cheap
     # LocalRelation broadcast instead of re-running the Python stage per join
-    cand_pdf = base.mapInPandas(gen, cand_schema).toPandas()
+    cand_pdf = embedding_cosine_candidates(
+        base, threshold, id_col, vec_col, n_blocks
+    ).toPandas()
     cand = spark.createDataFrame(cand_pdf, cand_schema)
 
     # dim defaults to the corpus embedding width; pass the actual width for
