@@ -95,6 +95,38 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=TOPK_K)
 
 
+ANN_RECALL_BAR = 0.9
+
+
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certification for the ANN path: run IVF and exact top-k over
+    the same query set and compute recall@k IN-ENGINE; emit one row
+    (n_queries, k, recall_ok) where recall_ok = 1 iff recall@5 ≥ 0.9.
+    The oracle pins that row, so the gate FAILS the moment the approximate
+    path's quality regresses — this is the hash-checked contract the
+    rows-only ``similarity_ann_ivf`` entry lacks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = cosine_topk(emb, q, k=TOPK_K).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, q, k=TOPK_K).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    totals = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("_n_exact"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+    return totals.crossJoin(n_hits).select(
+        F.col("n_queries"),
+        F.lit(TOPK_K).cast("int").alias("k"),
+        (
+            F.col("_n_hits").cast("double") / F.col("_n_exact")
+            >= F.lit(ANN_RECALL_BAR)
+        )
+        .cast("int")
+        .alias("recall_ok"),
+    )
+
+
 def q_similarity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius query: all neighbors with cosine ≥ RANGE_T for the query set
     (same pinned-chain cosine as top-k, so the threshold boundary is
@@ -367,6 +399,15 @@ ORACLES: dict[str, str] = {
                  (a, c) -> (a * 31 + c) % {tx.MOD_PRIME}) AS fingerprint
         FROM documents
     """,
+    # the ANN certification row: the engine computes recall@5 of IVF vs the
+    # exact path; the oracle pins (n_queries from the data, k, recall_ok=1).
+    # If IVF quality drops below the bar, recall_ok flips to 0 → hash fail.
+    "similarity_ann_recall": f"""
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERY_VECS})
+                 AS n_queries,
+               {TOPK_K} AS k,
+               1 AS recall_ok
+    """,
     # \s in both engines' regex split; empty tokens filtered on both sides
     # so leading/trailing-whitespace semantics can't diverge.
     "text_word_freq": r"""
@@ -448,6 +489,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "similarity_topk": (q_similarity_topk, ORACLES["similarity_topk"]),
     "similarity_range": (q_similarity_range, ORACLES["similarity_range"]),
     "similarity_ann_ivf": (q_similarity_ann_ivf, None),  # approximate: rows-only
+    "similarity_ann_recall": (
+        q_similarity_ann_recall,
+        ORACLES["similarity_ann_recall"],
+    ),
     "text_langid": (q_text_langid, ORACLES["text_langid"]),
     "text_quality": (q_text_quality, ORACLES["text_quality"]),
     "text_token_count": (q_text_token_count, ORACLES["text_token_count"]),

@@ -119,22 +119,36 @@ def test_simhash_identical_docs_distance_zero(spark):
 
 
 def test_ivf_recall_against_exact(spark, sf_dir):
-    """The approximate path must recover most exact neighbors on this corpus
-    (recall measured, not assumed — the IVF docstring's contract)."""
+    """The approximate path must recover ≥ 90% of exact neighbors at default
+    parameters — the same bar the similarity_ann_recall oracle certifies
+    (recall measured, not assumed)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = emb.filter(F.col("vec_id") < 10)
     exact = {
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(emb, queries, k=5).collect()
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ivf_topk(emb, queries, k=5, n_probe=3).collect()
+        for r in ivf_topk(emb, queries, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2  # random vectors scatter across buckets; just prove
-    # the machinery returns plausible neighbors and the right shape
-    assert all(q < 5 for q, _ in approx)
+    assert recall >= 0.9
+    assert all(q < 10 for q, _ in approx)
+
+
+def test_ivf_plan_is_zero_shuffle_until_topk(spark, sf_dir):
+    """The IVF scan must be a single mapInPandas pass — no window/shuffle for
+    list assignment (round-1 VERDICT item 2) and no trailing distinct; the
+    only exchange is the final per-query top-k over partial-top-k rows."""
+    from tests.test_plan_hygiene import plan_of
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    plan = plan_of(ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert tree.count("Exchange") == 1  # only the final top-k window
+    assert "HashAggregate" not in tree  # no distinct pass
 
 
 def test_exact_dedup_distinct(spark):
