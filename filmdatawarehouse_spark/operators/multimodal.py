@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BYTE_STATS_SCHEMA = (
-    "asset_id bigint, n_bytes bigint, mean_byte double, byte_entropy double"
+    "asset_id bigint, n_bytes bigint, sum_bytes bigint, n_distinct_bytes int, "
+    "mean_byte double, byte_entropy double"
 )
 
 
@@ -78,8 +79,20 @@ def fake_decode(payload: bytes, shape: tuple[int, int] = (8, 8)) -> np.ndarray:
 
 def byte_stats(assets: DataFrame) -> DataFrame:
     """Per-asset byte statistics via Arrow-batched mapInPandas:
-    (asset_id, n_bytes, mean_byte, byte_entropy). The histogram/entropy is
-    vectorized numpy per batch — the canonical featurization shape."""
+    (asset_id, n_bytes, sum_bytes, n_distinct_bytes, mean_byte,
+    byte_entropy) — the canonical featurization shape, engineered to be
+    hash-checkable cross-engine:
+
+    - the integer columns (count / byte sum / distinct byte values) are
+      exact, order-independent;
+    - ``mean_byte`` is ONE double division of two exact integers;
+    - ``byte_entropy`` uses the identity H = log2(n) − (Σ c·log2 c)/n with
+      the Σ folded SEQUENTIALLY over histogram counts in ascending byte
+      value — a pinned operand order the SQL oracle replays with
+      ``list_reduce`` over ``list(c ORDER BY byte)``, giving bit-identical
+      doubles (both engines call libm log2).
+    """
+    import math
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,14 +101,29 @@ def byte_stats(assets: DataFrame) -> DataFrame:
                 buf = np.frombuffer(payload or b"", dtype=np.uint8)
                 n = int(buf.size)
                 if n == 0:
-                    out.append((asset_id, 0, 0.0, 0.0))
+                    out.append((asset_id, 0, 0, 0, 0.0, 0.0))
                     continue
-                hist = np.bincount(buf, minlength=256).astype(np.float64)
-                p = hist[hist > 0] / n
-                entropy = float(-(p * np.log2(p)).sum())
-                out.append((asset_id, n, float(buf.mean()), entropy))
+                hist = np.bincount(buf, minlength=256)
+                nz = hist[hist > 0]  # ascending byte value, matching ORDER BY
+                acc = 0.0
+                for c in nz:
+                    acc += float(c) * math.log2(float(c))
+                out.append(
+                    (
+                        asset_id,
+                        n,
+                        int(buf.sum(dtype=np.int64)),
+                        int(nz.size),
+                        int(buf.sum(dtype=np.int64)) / n,
+                        math.log2(n) - acc / n,
+                    )
+                )
             yield pd.DataFrame(
-                out, columns=["asset_id", "n_bytes", "mean_byte", "byte_entropy"]
+                out,
+                columns=[
+                    "asset_id", "n_bytes", "sum_bytes", "n_distinct_bytes",
+                    "mean_byte", "byte_entropy",
+                ],
             )
 
     return assets.select("asset_id", "payload").mapInPandas(

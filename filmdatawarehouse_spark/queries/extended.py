@@ -423,6 +423,44 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events GROUP BY user_id
     """,
+    # Byte histogram replayed in SQL: byte i of the payload is read out of
+    # the hex dump (2 chars per byte); integers are exact, mean is one
+    # division, and the entropy fold runs over counts in ascending byte
+    # value — the same sequential order the Spark side pins (see
+    # operators/multimodal.py:byte_stats). sum(c) is HUGEINT in DuckDB,
+    # hence the explicit BIGINT casts.
+    "multimodal_byte_stats": """
+        WITH b AS (
+          SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ), pos AS (
+          SELECT asset_id, hx, unnest(range(1, n + 1)) AS i FROM b
+        ), bytes AS (
+          SELECT asset_id, ('0x' || substr(hx, 2*i::INT - 1, 2))::BIGINT AS byte
+          FROM pos
+        ), h AS (
+          SELECT asset_id, byte, COUNT(*)::BIGINT AS c
+          FROM bytes GROUP BY asset_id, byte
+        ), agg AS (
+          SELECT asset_id,
+                 SUM(c)::BIGINT AS n,
+                 SUM(byte * c)::BIGINT AS sum_bytes,
+                 COUNT(*)::INT AS n_distinct_bytes,
+                 list(c ORDER BY byte) AS cs
+          FROM h GROUP BY asset_id
+        )
+        SELECT asset_id,
+               n AS n_bytes,
+               sum_bytes,
+               n_distinct_bytes,
+               sum_bytes::DOUBLE / n AS mean_byte,
+               log2(n) - list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(cs, c -> c::DOUBLE * log2(c::DOUBLE))),
+                 (a, x) -> a + x) / n AS byte_entropy
+        FROM agg
+    """,
     # DuckDB md5(VARCHAR) hashes the utf-8 bytes == Spark md5(encode(text)).
     "multimodal_payload_meta": """
         SELECT doc_id AS asset_id,
@@ -502,7 +540,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "events_sliding_window": (q_sliding, ORACLES["events_sliding_window"]),
     "events_session_window": (q_session, ORACLES["events_session_window"]),
     "events_user_totals": (q_events_user_totals, ORACLES["events_user_totals"]),
-    "multimodal_byte_stats": (q_multimodal_byte_stats, None),  # numpy floats: rows-only
+    "multimodal_byte_stats": (
+        q_multimodal_byte_stats,
+        ORACLES["multimodal_byte_stats"],
+    ),
     "multimodal_payload_meta": (
         q_multimodal_payload_meta,
         ORACLES["multimodal_payload_meta"],

@@ -38,6 +38,8 @@ def test_byte_stats_matches_numpy(spark, sf_dir):
         buf = np.frombuffer(row.text.encode("utf-8"), dtype=np.uint8)
         r = got[row.doc_id]
         assert r.n_bytes == buf.size
+        assert r.sum_bytes == int(buf.sum(dtype=np.int64))
+        assert r.n_distinct_bytes == len(np.unique(buf))
         assert math.isclose(r.mean_byte, float(buf.mean()), rel_tol=1e-12)
         hist = np.bincount(buf, minlength=256).astype(np.float64)
         p = hist[hist > 0] / buf.size
