@@ -32,7 +32,14 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from filmdatawarehouse_spark.operators.cache import managed_persist
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
+# LSH/SimHash hot-bucket guard: a bucket of B docs yields B(B-1)/2 candidate
+# rows in the self-join — one degenerate bucket (mass-duplicated boilerplate)
+# makes a single task quadratic. Buckets above the cap are excluded from
+# candidate generation (see lsh_candidate_pairs for the recall argument).
+BUCKET_CAP = 1024
 # 32 perms / 16 bands x 2 rows: a pair at Jaccard 0.8 is missed with
 # probability (1-0.8^2)^16 ≈ 1e-7; planted near-dups (J≈0.97) at ~1e-19.
 # Halving from the textbook 64 halves Catalyst plan-build + codegen cost of
@@ -195,14 +202,47 @@ def minhash_signatures(
     return base.mapInPandas(gen, schema)
 
 
+def hot_buckets(buckets: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Bucket keys whose population exceeds ``cap`` — tiny by definition
+    (each hot bucket is one row). Exposed so callers can count/log what the
+    guard dropped before trusting a capped run."""
+    return (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cap)
+    )
+
+
+def _drop_hot_buckets(
+    buckets: DataFrame, keys: list[str], cap: int | None
+) -> DataFrame:
+    if cap is None:
+        return buckets
+    hot = hot_buckets(buckets, keys, cap).select(*keys)
+    # the hot set is tiny → broadcast anti-join; the big bucket frame keeps
+    # its partitioning and the aggregation is map-side-combined on the same
+    # key the self-join shuffles on anyway
+    return buckets.join(F.broadcast(hot), keys, "left_anti")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = NUM_PERM,
     band_rows: int = BAND_ROWS,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Banding: bucket = md5 of the band's signature slice; candidates are
-    pairs sharing any (band, bucket) — an equi-join, never a cross join."""
+    pairs sharing any (band, bucket) — an equi-join, never a cross join.
+
+    Hot-bucket guard: (band, bucket) groups larger than ``bucket_cap`` are
+    excluded before the self-join (B docs → B²/2 rows otherwise). A true
+    pair loses its candidate row only if EVERY band it collides in is hot —
+    for near-duplicate pairs that share most bands, that needs corpus-wide
+    boilerplate duplication across all of them; the exact-verify tail means
+    the guard can only lose recall, never precision. Pass ``None`` to
+    disable; use ``hot_buckets`` to audit what a cap would drop.
+    """
     n_bands = num_perm // band_rows
     bands = F.array(
         *[
@@ -221,6 +261,7 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.posexplode(bands).alias("band", "bucket")
     )
+    buckets = _drop_hot_buckets(buckets, ["band", "bucket"], bucket_cap)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -253,6 +294,7 @@ def minhash_dedup_pairs(
     num_perm: int = NUM_PERM,
     seed: int = 42,
     cache: bool = True,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard ≥ threshold.
 
@@ -263,7 +305,8 @@ def minhash_dedup_pairs(
     """
     shingled = word_shingle_frame(docs, id_col, text_col, shingle_words)
     return _lsh_verified_pairs(
-        shingled, threshold, id_col, num_perm, seed, cache=cache
+        shingled, threshold, id_col, num_perm, seed, cache=cache,
+        bucket_cap=bucket_cap,
     )
 
 
@@ -275,6 +318,7 @@ def _lsh_verified_pairs(
     seed: int,
     band_rows: int = BAND_ROWS,
     cache: bool = True,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Shared LSH-candidates + exact-Jaccard-verify tail.
 
@@ -290,8 +334,8 @@ def _lsh_verified_pairs(
         shingled, F.col("shingles"), id_col, num_perm, seed, keep_shingles=True
     )
     if cache:
-        sigs = sigs.persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, band_rows)
+        sigs = managed_persist(sigs)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, band_rows, bucket_cap)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -317,6 +361,7 @@ def ngram_jaccard_pairs(
     band_rows: int = 8,
     seed: int = 42,
     cache: bool = True,
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold — same
     MinHash+LSH candidate machinery over char shingles.
@@ -331,7 +376,8 @@ def ngram_jaccard_pairs(
         F.col(id_col), hashed_shingles(char_ngrams(text_col, n)).alias("shingles")
     )
     return _lsh_verified_pairs(
-        shingled, threshold, id_col, num_perm, seed, band_rows, cache=cache
+        shingled, threshold, id_col, num_perm, seed, band_rows, cache=cache,
+        bucket_cap=bucket_cap,
     )
 
 
@@ -379,6 +425,7 @@ def simhash_pairs(
     hamming_max: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ hamming_max.
 
@@ -386,6 +433,12 @@ def simhash_pairs(
     implies at least one block is equal (pigeonhole), so candidates come from
     an equi-join on (block_idx, block_value) — guaranteed recall, no cross
     join. Returns (doc_id_a, doc_id_b, hamming).
+
+    Hot-bucket guard: (blk, blk_val) groups above ``bucket_cap`` are
+    excluded (same quadratic-task risk as LSH banding). NOTE this weakens
+    the pigeonhole recall guarantee to "exact unless all of a pair's equal
+    blocks are corpus-hot" — a capped run trades that tail for bounded task
+    size; pass ``None`` to keep the hard guarantee.
     """
     if hamming_max >= SIMHASH_BLOCKS:
         raise ValueError(
@@ -394,7 +447,7 @@ def simhash_pairs(
         )
     # persist: the hash frame feeds both sides of the block self-join, and a
     # Python stage is opaque to Catalyst (it would run once per branch)
-    sh = simhash_values(docs, id_col, text_col).persist()
+    sh = managed_persist(simhash_values(docs, id_col, text_col))
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     mask = (1 << block_bits) - 1
     blocks = sh.select(
@@ -411,6 +464,7 @@ def simhash_pairs(
             )
         ).alias("blk", "blk_val"),
     )
+    blocks = _drop_hot_buckets(blocks, ["blk", "blk_val"], bucket_cap)
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(

@@ -20,6 +20,9 @@ TABLES = (
 def spark():
     s = get_spark("fdw-tests", master="local[8]", shuffle_partitions=8)
     yield s
+    from filmdatawarehouse_spark.operators.cache import release_managed
+
+    release_managed()
     s.stop()
 
 
