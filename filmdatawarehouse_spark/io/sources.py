@@ -30,9 +30,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine's determinism contract (SURVEY.md §7 phase C) requires UTC
     # timestamps regardless of who built the session (the correctness driver
     # constructs its own SparkSession) — set it at runtime, it's a SQL conf.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Write-once: only touch session conf when the value actually differs,
+    # so repeated reads don't re-mutate shared-session state.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")

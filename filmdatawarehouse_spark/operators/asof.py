@@ -90,7 +90,15 @@ def range_join(
     width_us = width_seconds * 1_000_000  # microsecond precision end-to-end
 
     def bucket(c: Column) -> Column:
-        return (F.unix_micros(c) / F.lit(width_us)).cast("bigint")
+        # FLOOR division, not truncation: for pre-1970 (negative epoch)
+        # timestamps cast('bigint') of a double quotient truncates toward
+        # zero and buckets rows one slot too high. Subtracting the
+        # non-negative pmod makes the numerator an exact multiple of the
+        # width, so the double division is exact and floor == the quotient.
+        us = F.unix_micros(c)
+        return ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast(
+            "bigint"
+        )
 
     l_b = left.withColumn("_bkt_l", bucket(F.col(left_ts)))
     r_b = (

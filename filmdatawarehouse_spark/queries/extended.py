@@ -33,6 +33,7 @@ from filmdatawarehouse_spark.operators.multimodal import (
     byte_stats,
     payload_meta,
 )
+from filmdatawarehouse_spark.operators.skew import salted_group_count, salted_join
 from filmdatawarehouse_spark.queries.registry import Entry
 from filmdatawarehouse_spark.streaming.windows import (
     session_windows,
@@ -200,6 +201,35 @@ def q_events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("double")
         .alias("total_value"),
+    )
+
+
+def q_skew_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted count over the events grouping key — the explicit
+    skew tool (operators/skew.py) wired to the query surface: a hot user's
+    rows spread across salt_factor map-side partials instead of one reducer.
+    Result is salt-invariant, so the plain GROUP BY oracle pins it."""
+    return salted_group_count(read_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join on the (skewed) user key: the small per-user
+    first-seen dim is exploded across salts, the fact side salts by row
+    hash, and the post-join aggregation (events strictly after the user's
+    first event, per type) is salt-invariant — hash-checked against the
+    plain join."""
+    e = read_table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = salted_join(e, dim, on="user_id", how="inner")
+    return (
+        joined.filter(F.col("ts") > F.col("first_ts"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_later"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
     )
 
 
@@ -373,13 +403,18 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, cosine, rank FROM ranked
         WHERE rank <= {TOPK_K}
     """,
+    # cosine computed once in a CTE, filtered outside — not repeated in
+    # SELECT and WHERE (DuckDB would evaluate the fold twice)
     "similarity_range": f"""
-        WITH {_NORMS_CTE.strip()}
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               {_DOT} / (a.nrm * b.nrm) AS cosine
-        FROM n a JOIN n b ON b.vec_id != a.vec_id
-        WHERE a.vec_id < {N_QUERY_VECS}
-          AND {_DOT} / (a.nrm * b.nrm) >= {RANGE_T}
+        WITH {_NORMS_CTE.strip()},
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_DOT} / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERY_VECS}
+        )
+        SELECT query_id, neighbor_id, cosine FROM scored
+        WHERE cosine >= {RANGE_T}
     """,
     "text_langid": _langid_sql(),
     "text_quality": _quality_sql(),
@@ -416,6 +451,23 @@ ORACLES: dict[str, str] = {
           FROM documents
         ) WHERE length(word) > 0
         GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+    # salting is an execution-strategy change only — results must equal the
+    # unsalted equivalents bit-for-bit, which is exactly what these pin.
+    "skew_salted_group_count": """
+        SELECT user_id, COUNT(*)::BIGINT AS count FROM events GROUP BY user_id
+    """,
+    "skew_salted_join": """
+        WITH dim AS (
+          SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        )
+        SELECT e.event_type,
+               COUNT(*)::BIGINT AS n_later,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        WHERE e.ts > d.first_ts
+        GROUP BY e.event_type
     """,
     "events_user_totals": """
         SELECT user_id,
@@ -540,6 +592,11 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "events_sliding_window": (q_sliding, ORACLES["events_sliding_window"]),
     "events_session_window": (q_session, ORACLES["events_session_window"]),
     "events_user_totals": (q_events_user_totals, ORACLES["events_user_totals"]),
+    "skew_salted_group_count": (
+        q_skew_salted_group_count,
+        ORACLES["skew_salted_group_count"],
+    ),
+    "skew_salted_join": (q_skew_salted_join, ORACLES["skew_salted_join"]),
     "multimodal_byte_stats": (
         q_multimodal_byte_stats,
         ORACLES["multimodal_byte_stats"],

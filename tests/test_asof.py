@@ -79,3 +79,44 @@ def test_range_join_semantics(spark):
         (TS(2024, 1, 1, 10, 0, 0), 1),
         (TS(2024, 1, 1, 10, 0, 0), 2),
     }
+
+
+def test_range_join_pre_epoch_timestamps(spark):
+    """Negative-epoch timestamps must bucket by FLOOR, not truncation —
+    truncation buckets 1969 rows one slot high and silently drops
+    qualifying pairs (round-1 ADVICE)."""
+    import pyspark.sql.types as T
+
+    schema_l = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("lts", T.TimestampType())]
+    )
+    schema_r = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("rid", T.LongType()),
+            T.StructField("rts", T.TimestampType()),
+        ]
+    )
+    from filmdatawarehouse_spark.io.sources import literal_rows
+
+    # 30 min before epoch → 15 min before epoch: diff = 900 s, width 3600 s.
+    # floor(-1800e6/3600e6) = -1 for both; truncation gives 0 vs 0 too — so
+    # also pin a pair straddling a negative bucket boundary: -3900 s → -3700 s
+    # (buckets -2/-2 under floor; truncation puts both at -1... make them
+    # differ): left at -3900 s (bucket -2), right at -3500 s (bucket -1 under
+    # floor; truncation: -3900/3600→-1, -3500/3600→0 — pair lost without the
+    # right-side explode matching, found with floor + explode of [-1, -2]).
+    left = literal_rows(
+        spark,
+        [dict(k=1, lts=TS(1969, 12, 31, 22, 55, 0))],  # -3900 s
+        schema_l,
+    )
+    right = literal_rows(
+        spark,
+        [dict(k=1, rid=7, rts=TS(1969, 12, 31, 23, 1, 40))],  # -3500 s
+        schema_r,
+    )
+    got = range_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", width_seconds=3600
+    ).collect()
+    assert [(r.rid) for r in got] == [7]

@@ -56,6 +56,25 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     }
 
 
+def test_salted_join_rejects_outer(spark, sf_dir):
+    """Right/full-outer salted joins would duplicate unmatched small-side
+    keys once per exploded salt — rejected, not silently wrong."""
+    events = read_table(spark, sf_dir, "events").limit(10)
+    dim = events.select("user_id").distinct()
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left only"):
+            salted_join(events, dim, on="user_id", how=how)
+
+
+def test_salted_join_left_keeps_unmatched_large_rows(spark):
+    large = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    rows = {
+        (r.k, r.w) for r in salted_join(large, small, on="k", how="left").collect()
+    }
+    assert rows == {(1, "x"), (2, None), (3, None)}
+
+
 def test_salted_group_count_matches_plain(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     plain = {
