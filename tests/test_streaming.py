@@ -56,6 +56,84 @@ def test_streaming_with_watermark_runs(spark, sf_dir):
     assert emitted <= batch
 
 
+def test_watermark_late_data_pinned(spark, tmp_path):
+    """Exact late-data semantics, not a subset check (round-1 VERDICT item
+    5): two ordered micro-batches through a 10-minute watermark. Batch 1
+    puts 2 events in the 10:00 window and advances event time to 12:30, so
+    at batch 2 the watermark is 12:20, the 10:00 window is finalized and
+    EMITTED, and batch 2's 10:45 straggler (far behind the watermark) is
+    DROPPED — the emitted aggregate must count only the on-time events.
+    The 12:00 window is never watermark-closed, so append emits nothing
+    for it."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+
+    def write_batch(name: str, rows: list[tuple[TS, str, float]], mtime: float):
+        t = pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        tumbling_window_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        # micro-batch 1: establishes window state; watermark advances to
+        # 12:20 AFTER the batch commits
+        write_batch(
+            "batch1.parquet",
+            [
+                (TS(2024, 1, 1, 10, 5), "a", 1.0),
+                (TS(2024, 1, 1, 10, 20), "a", 2.0),
+                (TS(2024, 1, 1, 12, 30), "a", 4.0),
+            ],
+            now - 60,
+        )
+        q.processAllAvailable()
+        # micro-batch 2: the 10:45 straggler is behind the 12:20 watermark →
+        # dropped; the 10:00 window is watermark-closed → emitted
+        write_batch(
+            "batch2.parquet",
+            [
+                (TS(2024, 1, 1, 10, 45), "a", 8.0),  # late: dropped
+                (TS(2024, 1, 1, 12, 40), "a", 16.0),  # window never closes
+            ],
+            now,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = [
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    ]
+    assert emitted == [
+        (TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 11, 0), "a", 2, 3.0)
+    ]
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
