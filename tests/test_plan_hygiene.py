@@ -6,6 +6,7 @@ TakeOrderedAndProject instead of a full sort."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from filmdatawarehouse_spark.queries.parity import (
     q_fact_daily_orders,
@@ -105,6 +106,39 @@ def test_embedding_candidates_are_distributed(spark, sf_dir):
     # operator localizes the (tiny) candidate output, not the vector table
     src = inspect.getsource(embedding_cosine_pairs)
     assert "base.toPandas" not in src and ".collect()" not in src
+
+
+def test_fact_readback_prunes_partitions(spark, sf_dir, tmp_path):
+    """A date-filtered read of a write_fact output must prune at the
+    PARTITION level (PartitionFilters in the scan), not post-filter rows —
+    at 100 TB this is the difference between touching one day's files and
+    scanning the table (round-1 VERDICT item 8)."""
+    from filmdatawarehouse_spark.io.sinks import write_fact
+    from filmdatawarehouse_spark.io.sources import read_table
+    from filmdatawarehouse_spark.operators.dates import date_id
+
+    all_orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        date_id("o_orderdate").alias("date_id"),
+    )
+    one_day = int(
+        all_orders.select("date_id").orderBy("date_id").limit(1).first().date_id
+    )
+    # keep the fixture write small: ~2 months of partitions is plenty
+    orders = all_orders.filter(F.col("date_id") < one_day + 100)
+    path = str(tmp_path / "fact_orders")
+    write_fact(orders, path, partition_by="date_id")
+    back = spark.read.parquet(path).filter(F.col("date_id") == one_day)
+    plan = plan_of(back)
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "date_id" in pf
+    assert back.count() > 0
+    # the filter must NOT degrade into a row-level pushed filter: partition
+    # pruning handles it entirely (a partition-only scan may omit the
+    # PushedFilters section altogether)
+    if "PushedFilters" in plan:
+        assert "date_id" not in plan.split("PushedFilters")[1].splitlines()[0]
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
