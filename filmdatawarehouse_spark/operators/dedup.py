@@ -333,6 +333,23 @@ def _lsh_verified_pairs(
     sigs = minhash_signatures(
         shingled, F.col("shingles"), id_col, num_perm, seed, keep_shingles=True
     )
+    return _verified_pairs_from_sigs(
+        sigs, threshold, id_col, num_perm, band_rows, cache, bucket_cap
+    )
+
+
+def _verified_pairs_from_sigs(
+    sigs: DataFrame,
+    threshold: float,
+    id_col: str,
+    num_perm: int,
+    band_rows: int = BAND_ROWS,
+    cache: bool = True,
+    bucket_cap: int | None = BUCKET_CAP,
+) -> DataFrame:
+    """Banding candidates + exact-Jaccard verify over a prebuilt
+    (id, sig_*, shingles) frame (persisted so the three plan branches share
+    the one Python stage)."""
     if cache:
         sigs = managed_persist(sigs)
     cands = lsh_candidate_pairs(sigs, id_col, num_perm, band_rows, bucket_cap)
@@ -351,6 +368,80 @@ def _lsh_verified_pairs(
     )
 
 
+def byte_ngram_signatures(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig_0..k-1, shingles): byte-n-gram shingles AND their MinHash
+    signatures in ONE zero-shuffle Arrow stage.
+
+    The char-gram path originally generated grams JVM-side (per-index
+    ``substr`` + per-gram md5 — the single most expensive stage of the
+    n-gram dedup at sf0.1) and then shipped the arrays into the numpy
+    signature stage. Fused instead: each task turns the utf-8 bytes into
+    n-wide sliding windows (``sliding_window_view``), encodes every gram as
+    a BIJECTIVE base-256 integer (no hash, no collisions — requires
+    ``n ≤ 7`` bytes to fit int64), uniques them, and runs the permutation
+    arithmetic — one pass, nothing but (id, text) crossing into Python.
+
+    The encoding is exactly replayable in SQL as
+    ``('0x' || hex(encode(g)))::BIGINT`` (big-endian byte order — the hex
+    reading). For ASCII text byte-grams equal char-grams; for multi-byte
+    UTF-8 the window is over BYTES (documented semantic of this operator).
+    Jaccard over bijectively-encoded sets is exactly Jaccard over the gram
+    sets — strictly stronger than the hashed variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n > 7:
+        raise ValueError(f"base-256 gram encoding needs n <= 7 bytes, got {n}")
+    perms = _perm_constants(num_perm, seed)
+    a_const = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    b_const = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    p = MERSENNE_P
+    weights = (256 ** np.arange(n - 1, -1, -1)).astype(np.int64)
+    sig_names = [f"sig_{i}" for i in range(num_perm)]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sig_rows, kept = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if raw.size < n:
+                    continue  # no shingles -> no row (matches explode form)
+                grams = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(raw, n).astype(
+                        np.int64
+                    )
+                    @ weights
+                )
+                hm = grams % p
+                sig_rows.append(((a_const * hm[None, :] + b_const) % p).min(axis=1))
+                ids.append(did)
+                kept.append(grams)
+            out = pd.DataFrame(
+                np.vstack(sig_rows)
+                if sig_rows
+                else np.empty((0, num_perm), dtype=np.int64),
+                columns=sig_names,
+            )
+            out.insert(0, id_col, pd.Series(ids, dtype="int64"))
+            out["shingles"] = pd.Series(kept, dtype=object)
+            yield out
+
+    schema = (
+        f"{id_col} long, "
+        + ", ".join(f"{s} long" for s in sig_names)
+        + ", shingles array<long>"
+    )
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -363,8 +454,9 @@ def ngram_jaccard_pairs(
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
-    """Near-duplicate pairs by character-n-gram Jaccard ≥ threshold — same
-    MinHash+LSH candidate machinery over char shingles.
+    """Near-duplicate pairs by byte-n-gram Jaccard ≥ threshold — the MinHash
+    +LSH candidate machinery over the fused shingle+signature stage
+    (``byte_ngram_signatures``).
 
     Char-gram sets of unrelated documents overlap far more than word-shingle
     sets (measured background J ≈ 0.2-0.4 on the corpus vs < 0.1 for words),
@@ -372,11 +464,9 @@ def ngram_jaccard_pairs(
     J=0.35 is ~0.35% (candidates stay ~linear); a true pair at J=0.9 is
     missed with p=(1-0.9^8)^16 ≈ 1e-4, at J=0.97 ≈ 5e-11.
     """
-    shingled = docs.select(
-        F.col(id_col), hashed_shingles(char_ngrams(text_col, n)).alias("shingles")
-    )
-    return _lsh_verified_pairs(
-        shingled, threshold, id_col, num_perm, seed, band_rows, cache=cache,
+    sigs = byte_ngram_signatures(docs, n, id_col, text_col, num_perm, seed)
+    return _verified_pairs_from_sigs(
+        sigs, threshold, id_col, num_perm, band_rows, cache=cache,
         bucket_cap=bucket_cap,
     )
 

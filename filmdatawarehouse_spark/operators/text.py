@@ -162,6 +162,60 @@ def quality_frame(
     )
 
 
+def text_metrics_frame(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, lang_pred, quality, n_tokens) — lang ID, quality score, and
+    token count fused into ONE two-step projection of the same frame.
+
+    Joining ``lang_id_frame ⋈ quality_frame ⋈ token counts`` on the id
+    (the original pipeline shape) costs two shuffle joins and re-splits the
+    text per frame; all three metrics are per-row functions of the same
+    text, so one bound-column projection computes them with zero shuffles.
+    Expressions are copied verbatim from the single-metric frames (same
+    operand order), so results — and the SQL oracles — are bit-identical.
+    """
+    c = F.col(text_col)
+    toks = ws_tokens(c)
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            _marker_score(toks, LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+        F.size(toks).cast("double").alias("n_tok"),
+        F.length(c).cast("double").alias("n_chars"),
+        (F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", "")))
+        .cast("double")
+        .alias("alpha"),
+        F.length(F.regexp_replace(c, "[^.,;:!?'\"()]", ""))
+        .cast("double")
+        .alias("punct"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    lang_expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            cnd = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = cnd if cond is None else (cond & cnd)
+        lang_expr = F.when(cond, F.lit(lang)).otherwise(lang_expr)
+    # STOPWORDS is LANG_MARKERS['en'], so the stopword count IS s_en — no
+    # second marker scan
+    return scored.select(
+        F.col(id_col),
+        lang_expr.alias("lang_pred"),
+        (
+            F.lit(0.25) * F.least(F.lit(1.0), F.col("n_tok") / F.lit(50.0))
+            + F.lit(0.25) * (F.col("alpha") / F.col("n_chars"))
+            + F.lit(0.25) * (F.lit(1.0) - F.col("punct") / F.col("n_chars"))
+            + F.lit(0.25) * (F.col("s_en").cast("double") / F.col("n_tok"))
+        ).alias("quality"),
+        F.col("n_tokens"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: polynomial rolling hash over characters,
     h = (h*31 + codepoint) mod 1e9+7. Pure integer arithmetic — identical in

@@ -260,10 +260,14 @@ _WORD_SHINGLES = """
     FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
 """
 
+# byte 5-grams encoded as bijective base-256 integers — the exact values the
+# fused numpy stage produces (operators/dedup.py:byte_ngram_signatures):
+# '0x' || hex(bytes) reads the window big-endian, same as the dot with
+# 256^[n-1..0]. No hashing on either side.
 _CHAR_NGRAMS = """
     SELECT doc_id, list_distinct(list_transform(
              [substr(text, i, 5) for i in range(1, len(text)-3)],
-             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT
+             g -> ('0x' || hex(encode(g)))::BIGINT
            )) AS shingles
     FROM documents
 """

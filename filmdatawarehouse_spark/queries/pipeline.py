@@ -34,18 +34,14 @@ JACCARD_T = 0.8
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stats of the curated corpus:
     (lang_pred, n_docs, total_tokens, avg_quality)."""
-    docs = clean(read_table(spark, sf_dir, "documents"))
+    from filmdatawarehouse_spark.operators.cache import managed_persist
 
-    metrics = (
-        tx.lang_id_frame(docs)
-        .join(tx.quality_frame(docs), "doc_id")
-        .join(
-            docs.select(
-                "doc_id", tx.token_count_ws("text").alias("n_tokens")
-            ),
-            "doc_id",
-        )
-    )
+    # cleaned docs feed BOTH the metric projection and the dedup shingle
+    # stage — persist so the scan+clean shuffle runs once, not per branch
+    docs = managed_persist(clean(read_table(spark, sf_dir, "documents")))
+
+    # one fused zero-shuffle projection instead of lang ⋈ quality ⋈ tokens
+    metrics = tx.text_metrics_frame(docs)
     gated = metrics.filter(
         (F.col("quality") >= F.lit(QUALITY_MIN))
         & (F.col("n_tokens") >= F.lit(MIN_TOKENS))
