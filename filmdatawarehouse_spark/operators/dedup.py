@@ -581,6 +581,63 @@ def simhash_pairs(
     )
 
 
+def dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every id gets
+    ``cluster_id`` = the smallest id reachable through the pair graph
+    (singletons cluster to themselves). This is the operator a curation
+    pipeline actually keeps — pairs are evidence, the component is the
+    dedup decision (keep one survivor per cluster).
+
+    Iterative min-label propagation (the classic BSP shape): labels start
+    as the id; each round every node takes the min of its own label and its
+    neighbors' labels; stop when a round changes nothing. Rounds needed =
+    graph diameter — near-dup components are near-cliques, so 2-3 rounds in
+    practice; ``max_iters`` bounds adversarial chains. Each round is one
+    shuffle (join on the edge key + a min-aggregate); the convergence check
+    is a count action on the changed set. At larger diameters switch to
+    large-star/small-star (doubles reach per round) — same join machinery.
+
+    Returns (id_col, cluster_id). The SQL oracle replays it as a recursive
+    transitive closure (WITH RECURSIVE + min per node).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
+    )
+    edges = managed_persist(edges)
+    labels = managed_persist(
+        ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            labels.join(edges, labels[id_col] == edges["_src"])
+            .select(F.col("_dst").alias(id_col), "cluster_id")
+        )
+        new_labels = managed_persist(
+            labels.unionByName(prop)
+            .groupBy(id_col)
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_cosine_candidates(
     emb: DataFrame,
     threshold: float = 0.4,

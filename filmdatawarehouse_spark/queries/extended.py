@@ -86,6 +86,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: connected components over
+    the MinHash-verified pair graph — the dedup decision a pipeline keeps
+    (one survivor per component). Iterative min-label propagation in Spark;
+    recursive transitive closure in the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    return dd.dup_clusters(docs.select("doc_id"), pairs)
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=TOPK_K)
@@ -233,6 +243,92 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) per-user aggregates in event-time order — the
+    ROWS UNBOUNDED PRECEDING window frame, previously absent from the
+    registry. Deterministic tiebreak on event_id; DECIMAL running sum so
+    every prefix is exact on both engines before the final DOUBLE cast."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+TFIDF_TOP_K = 10
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF terms per document: tokenize → per-doc term counts →
+    corpus document frequency → (tf/len)·ln(N/df), ranked per doc.
+
+    The shape a feature-extraction pipeline runs at corpus scale: three
+    two-phase aggregates (term counts, doc lengths, doc frequency), joins
+    keyed on doc/term, and a per-doc top-k window.
+
+    Portability subtlety: JVM ``Math.log`` and DuckDB's libm ``ln`` differ
+    by an ulp on some arguments (measured: 182/4986 rows at sf0.01), so the
+    idf is computed in a zero-shuffle Arrow stage with Python's
+    ``math.log`` — glibc on both engines, bit-identical (the same trick the
+    byte-entropy oracle uses). The division and multiply around it are
+    plain IEEE ops in pinned order."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar action; the corpus size is a constant
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def idf_stage(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["idf"] = pd.Series(
+                [math.log(n_docs / d) for d in pdf["df"]], dtype="float64"
+            )
+            yield pdf[["term", "idf"]]
+
+    idf = df_.mapInPandas(idf_stage, "term string, idf double")
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(idf, "term")
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf").cast("double") / F.col("doc_len")) * F.col("idf")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(attach_text_payload(read_table(spark, sf_dir, "documents")))
 
@@ -374,6 +470,31 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_minhash_lsh": _jaccard_pairs_sql(_WORD_SHINGLES, JACCARD_T),
     "dedup_ngram_jaccard": _jaccard_pairs_sql(_CHAR_NGRAMS, NGRAM_T),
+    # connected components = recursive transitive closure over the verified
+    # pair graph; cluster id = min reachable node. DuckDB's recursive UNION
+    # dedups rows, so the closure terminates.
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        sh AS ({_WORD_SHINGLES}),
+        p AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                >= {JACCARD_T}
+        ),
+        edges AS (
+          SELECT doc_id_a AS a, doc_id_b AS b FROM p
+          UNION ALL
+          SELECT doc_id_b, doc_id_a FROM p
+        ),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
     "dedup_simhash": f"""
         WITH {_SIMHASH_CTE.strip()}
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -472,6 +593,44 @@ ORACLES: dict[str, str] = {
         FROM events e JOIN dim d ON e.user_id = d.user_id
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
+    """,
+    "events_running_totals": """
+        SELECT user_id, event_id, ts,
+               COUNT(*) OVER w AS running_n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    "text_tfidf": r"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents
+        ), w2 AS (
+          SELECT doc_id, term FROM words WHERE length(term) > 0
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY doc_id, term
+        ), dl AS (
+          SELECT doc_id, COUNT(*) AS doc_len FROM w2 GROUP BY doc_id
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term,
+                 (tf.tf::DOUBLE / dl.doc_len)
+                   * ln(n.n_docs::DOUBLE / df.df) AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+                 )::INT AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 10
     """,
     "events_user_totals": """
         SELECT user_id,
@@ -580,6 +739,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "dedup_ngram_jaccard": (q_dedup_ngram, ORACLES["dedup_ngram_jaccard"]),
     "dedup_simhash": (q_dedup_simhash, ORACLES["dedup_simhash"]),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLES["dedup_embedding_cosine"]),
+    "dedup_clusters": (q_dedup_clusters, ORACLES["dedup_clusters"]),
     "similarity_topk": (q_similarity_topk, ORACLES["similarity_topk"]),
     "similarity_range": (q_similarity_range, ORACLES["similarity_range"]),
     "similarity_ann_ivf": (q_similarity_ann_ivf, None),  # approximate: rows-only
@@ -592,6 +752,11 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_token_count": (q_text_token_count, ORACLES["text_token_count"]),
     "text_fingerprint": (q_text_fingerprint, ORACLES["text_fingerprint"]),
     "text_word_freq": (q_text_word_freq, ORACLES["text_word_freq"]),
+    "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
+    "events_running_totals": (
+        q_events_running_totals,
+        ORACLES["events_running_totals"],
+    ),
     "events_tumbling_window": (q_tumbling, ORACLES["events_tumbling_window"]),
     "events_sliding_window": (q_sliding, ORACLES["events_sliding_window"]),
     "events_session_window": (q_session, ORACLES["events_session_window"]),

@@ -190,6 +190,17 @@ def test_hot_bucket_guard_bounds_candidates(spark):
     assert dd.simhash_pairs(docs, 3, bucket_cap=10).count() == 0
 
 
+def test_dup_clusters_chain_and_singletons(spark):
+    """Label propagation must cross multi-hop chains (1-2, 2-3, 3-4 → one
+    cluster rooted at 1) and leave singletons alone."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dd.dup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
 def test_exact_dedup_distinct(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, v string")
     assert dd.exact_dedup(df).count() == 2
