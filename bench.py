@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ann_ivf",
@@ -48,7 +49,9 @@ HEADLINE = [
     "text_quality",
     "text_token_count",
     "text_fingerprint",
+    "text_tfidf",
     "events_tumbling_window",
+    "events_running_totals",
     "events_session_window",
     "pipeline_curate_documents",
 ]

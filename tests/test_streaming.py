@@ -134,6 +134,104 @@ def test_watermark_late_data_pinned(spark, tmp_path):
     ]
 
 
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop re-deliveries of a key that
+    arrive in a LATER micro-batch (within the delay) — the at-least-once
+    ingestion case. Batch twin: dropDuplicates on the same keys."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdatawarehouse_spark.streaming.dedup import stream_dedup_exact
+
+    d = tmp_path / "dedup_src"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(d / name))
+        os.utime(str(d / name), (mtime, mtime))
+
+    now = time.time()
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(str(d))
+    q = (
+        stream_dedup_exact(stream, ["event_id"], delay="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_out")
+        .start()
+    )
+    try:
+        write(
+            "b1.parquet",
+            [(1, TS(2024, 1, 1, 10, 0)), (2, TS(2024, 1, 1, 10, 1))],
+            now - 60,
+        )
+        q.processAllAvailable()
+        # batch 2: event 1 re-delivered 2 min later (within the 10-min
+        # window → dropped), event 3 is new
+        write(
+            "b2.parquet",
+            [(1, TS(2024, 1, 1, 10, 2)), (3, TS(2024, 1, 1, 10, 3))],
+            now,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM sdedup_out").collect())
+    assert got == [1, 2, 3]
+
+
+def test_stream_interval_join_equals_batch_range_join(spark, sf_dir):
+    """The stream-stream interval join replayed over the events table must
+    emit exactly the batch range_join pairs (same key, same (0, width]
+    event-time interval)."""
+    from filmdatawarehouse_spark.operators.asof import range_join
+    from filmdatawarehouse_spark.streaming.dedup import stream_interval_join
+
+    width = 300
+    batch_events = read_table(spark, sf_dir, "events")
+    l_b = batch_events.select("user_id", F.col("ts").alias("l_ts"))
+    r_b = batch_events.select("user_id", F.col("ts").alias("r_ts"))
+    expected = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in range_join(
+            l_b, r_b, on="user_id", left_ts="l_ts", right_ts="r_ts",
+            width_seconds=width,
+        ).collect()
+    }
+
+    s = stream_events(spark, sf_dir)
+    l_s = s.select("user_id", F.col("ts").alias("l_ts"))
+    r_s = s.select("user_id", F.col("ts").alias("r_ts"))
+    joined = stream_interval_join(
+        l_s, r_s, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        width_seconds=width,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sjoin_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in spark.sql("SELECT * FROM sjoin_out").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
