@@ -38,6 +38,30 @@ def write_fact(
     df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table hash-bucketed (and optionally sorted) on the
+    join key. Two tables bucketed the same way join WITHOUT an exchange —
+    at 100 TB, pre-bucketing the fact and its big dims converts every
+    fact⋈dim join from a full shuffle into a per-bucket local join, paid
+    once at write time. (Bucketing requires ``saveAsTable``: the bucket
+    spec lives in the catalog, not the files; pass ``path`` to keep the
+    data external.)"""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:
     """Production JDBC sink — the reference's write path (K1), kept for API
     parity. Prefer ``write_fact`` semantics where the target supports it."""

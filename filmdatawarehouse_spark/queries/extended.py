@@ -329,6 +329,60 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rsd is a STANDARD DEVIATION, not a bound — certify at ~3σ headroom so the
+# flag tests sketch health, not luck (0.05/0.05 flaked at sf0.001's 1.5k
+# cardinality: observed error ~1.2σ over the tolerance)
+SKETCH_DISTINCT_RSD = 0.01  # HLL++ target relative standard deviation
+SKETCH_DISTINCT_TOL = 0.05  # certified max relative error on this corpus
+SKETCH_PCTL_ACCURACY = 10_000  # KLL-style accuracy knob of approx_percentile
+SKETCH_PCTL_TOL = 0.01
+
+
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch certification, same contract as ``similarity_ann_recall``:
+    run the APPROXIMATE aggregates (HyperLogLog++ distinct count, KLL-style
+    approx percentile — the only viable forms at 100 TB) next to their
+    exact twins IN-ENGINE, emit the exact values plus ok-flags that the
+    sketch error is within tolerance; the oracle pins exact values and
+    flags, so a sketch-quality regression fails the hash gate. Approximate
+    values themselves are engine-specific and never compared directly."""
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("n_exact"),
+        F.expr("percentile(cast(l_extendedprice as double), 0.5)").alias(
+            "p50_exact"
+        ),
+    )
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=SKETCH_DISTINCT_RSD).alias(
+            "n_approx"
+        ),
+        F.percentile_approx(
+            "l_extendedprice", 0.5, SKETCH_PCTL_ACCURACY
+        ).alias("p50_approx"),
+    )
+    return exact.crossJoin(approx).select(
+        F.col("n_exact"),
+        (
+            F.abs(F.col("n_approx").cast("double") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= F.lit(SKETCH_DISTINCT_TOL)
+        )
+        .cast("int")
+        .alias("distinct_ok"),
+        F.col("p50_exact").cast("double").alias("p50_exact"),
+        (
+            F.abs(
+                F.col("p50_approx").cast("double") - F.col("p50_exact")
+            )
+            / F.col("p50_exact")
+            <= F.lit(SKETCH_PCTL_TOL)
+        )
+        .cast("int")
+        .alias("pctl_ok"),
+    )
+
+
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(attach_text_payload(read_table(spark, sf_dir, "documents")))
 
@@ -594,6 +648,15 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    # sketch certification row: exact twins recomputed in SQL; the ok-flags
+    # are pinned at 1, so sketch-accuracy regressions hash-fail.
+    "sketch_accuracy": """
+        SELECT COUNT(DISTINCT l_orderkey) AS n_exact,
+               1 AS distinct_ok,
+               quantile_cont(l_extendedprice::DOUBLE, 0.5) AS p50_exact,
+               1 AS pctl_ok
+        FROM lineitem
+    """,
     "events_running_totals": """
         SELECT user_id, event_id, ts,
                COUNT(*) OVER w AS running_n,
@@ -766,6 +829,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         ORACLES["skew_salted_group_count"],
     ),
     "skew_salted_join": (q_skew_salted_join, ORACLES["skew_salted_join"]),
+    "sketch_accuracy": (q_sketch_accuracy, ORACLES["sketch_accuracy"]),
     "multimodal_byte_stats": (
         q_multimodal_byte_stats,
         ORACLES["multimodal_byte_stats"],

@@ -141,6 +141,47 @@ def test_fact_readback_prunes_partitions(spark, sf_dir, tmp_path):
         assert "date_id" not in plan.split("PushedFilters")[1].splitlines()[0]
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join WITHOUT a shuffle:
+    the bucket layout replaces the exchange. This is the co-located-join
+    story for repeated fact⋈dim joins at 100 TB — shuffle paid once at
+    write time, never per query."""
+    from filmdatawarehouse_spark.io.sinks import write_bucketed
+    from filmdatawarehouse_spark.io.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "b_orders", "o_orderkey", 8, sort_by="o_orderkey",
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8, sort_by="o_orderkey",
+        path=str(tmp_path / "b_lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the tables are tiny at test SF; disable broadcast so the plan
+        # shows the sort-merge path the bucketing optimizes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        tree = plan_of(joined).split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # the formatted AQE plan hides codegen stages before execution; ask for
     # the codegen view explicitly
