@@ -15,6 +15,7 @@ SURVEY.md §7 "what's hard" #2): writes are **idempotent** —
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -60,6 +61,38 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """Rewrite a parquet location into at most ``target_files`` files (per
+    partition, if partitioned) — the small-files housekeeping every
+    long-lived 100 TB table needs: streaming appends and daily dynamic
+    overwrites accumulate KB-sized files whose open/footer cost eventually
+    dominates scans.
+
+    The rewrite goes through a temp location (never read-and-overwrite the
+    same path in one job — the scan would see its own deletes), then
+    replaces the original atomically-enough for a single writer.
+    """
+    import shutil
+    import uuid
+
+    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    writer = df.repartition(target_files).write.mode("overwrite")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = df.repartition(target_files, *[F.col(c) for c in cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
 
 
 def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:

@@ -24,6 +24,45 @@ def clean(df: DataFrame) -> DataFrame:
     return df.na.drop("any").dropDuplicates()
 
 
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Expectations-style data-quality profile, long format:
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str) — one row per
+    profiled column, all metrics from a single pass.
+
+    One wide aggregate computes every per-column metric (ONE scan + one
+    tiny all-to-one aggregation — profiling never shuffles the data by
+    value), then the metric columns unpivot via an explode of literal
+    structs. min/max surface as strings so heterogeneous column types fit
+    one long-format frame (the ANSI-SQL twin casts identically).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("_e")).select("_e.*")
+
+
 def clean_with_stats(df: DataFrame, table_name: str | None = None) -> tuple[DataFrame, int]:
     """Cleaning plus the reference's observability behavior
     (`dags/rentalFilmDAG.py:32`): returns (cleaned_df, rows_removed) and logs.

@@ -383,6 +383,18 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table (null/distinct/min/max per
+    column from one scan) — the expectations check a warehouse load runs
+    before publishing a partition."""
+    from filmdatawarehouse_spark.operators.cleaning import profile_table
+
+    return profile_table(read_table(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(attach_text_payload(read_table(spark, sf_dir, "documents")))
 
@@ -648,6 +660,18 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "profile_orders": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS "column",
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+               COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+               MIN({c})::VARCHAR AS min_str,
+               MAX({c})::VARCHAR AS max_str
+        FROM orders
+        """
+        for c in PROFILE_COLS
+    ),
     # sketch certification row: exact twins recomputed in SQL; the ok-flags
     # are pinned at 1, so sketch-accuracy regressions hash-fail.
     "sketch_accuracy": """
@@ -830,6 +854,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     ),
     "skew_salted_join": (q_skew_salted_join, ORACLES["skew_salted_join"]),
     "sketch_accuracy": (q_sketch_accuracy, ORACLES["sketch_accuracy"]),
+    "profile_orders": (q_profile_orders, ORACLES["profile_orders"]),
     "multimodal_byte_stats": (
         q_multimodal_byte_stats,
         ORACLES["multimodal_byte_stats"],

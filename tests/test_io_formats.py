@@ -34,6 +34,29 @@ def test_unknown_format_rejected(spark, tmp_path):
         read_source(spark, str(tmp_path), fmt="avro")
 
 
+def test_compact_parquet_bounds_file_count(spark, sf_dir, tmp_path):
+    """Compaction must cut a many-file location to the target file count
+    with identical content — the housekeeping pass for append-accumulated
+    small files."""
+    import glob
+
+    from filmdatawarehouse_spark.io.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    src = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src.repartition(40).write.parquet(path)  # fragment: 40 small files
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    before = src.count()
+
+    compact_parquet(spark, path, target_files=4)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == 4
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    # content identical, not just counts
+    assert after.exceptAll(src).count() == 0 and src.exceptAll(after).count() == 0
+
+
 def test_jdbc_roundtrip_partitioned_read(spark, sf_dir):
     """Real JDBC execution (round-1 VERDICT item 6): the reference's only
     connector is JDBC (MySQL, dags/rentalFilmDAG.py:18-20); the sandbox has
