@@ -383,6 +383,20 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment by hashed doc_id (no RNG — split
+    membership survives corpus growth and re-partitioning), rolled up per
+    (split, lang). The oracle replays the md5 bucket arithmetic, so
+    assignment itself is hash-checked, not just the counts' shape."""
+    from filmdatawarehouse_spark.operators.sampling import hash_split
+
+    docs = hash_split(read_table(spark, sf_dir, "documents"), key="doc_id")
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
 
 
@@ -660,6 +674,25 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    # split bucket = ('0x'||substr(md5('split:'||id),1,8))::BIGINT % 10000,
+    # same arithmetic as operators/sampling.py:hash_bucket
+    "corpus_split": """
+        WITH b AS (
+          SELECT lang, n_chars,
+                 ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 10000 AS bkt
+          FROM documents
+        ), labeled AS (
+          SELECT lang, n_chars,
+                 CASE WHEN bkt < 8000 THEN 'train'
+                      WHEN bkt < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b
+        )
+        SELECT split, lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars
+        FROM labeled GROUP BY split, lang
+    """,
     "profile_orders": "\nUNION ALL\n".join(
         f"""
         SELECT '{c}' AS "column",
@@ -855,6 +888,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "skew_salted_join": (q_skew_salted_join, ORACLES["skew_salted_join"]),
     "sketch_accuracy": (q_sketch_accuracy, ORACLES["sketch_accuracy"]),
     "profile_orders": (q_profile_orders, ORACLES["profile_orders"]),
+    "corpus_split": (q_corpus_split, ORACLES["corpus_split"]),
     "multimodal_byte_stats": (
         q_multimodal_byte_stats,
         ORACLES["multimodal_byte_stats"],

@@ -201,6 +201,32 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
 
 
+def test_hash_split_stable_and_leakproof(spark, sf_dir):
+    """Split assignment is a pure function of the key: identical across
+    runs/partitionings, duplicate keys co-assigned, fractions roughly
+    honored."""
+    from filmdatawarehouse_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert a == b  # layout-independent
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+    # duplicate keys land together: split depends only on the key value
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "doc_id long, v string")
+    splits = {r.split for r in hash_split(dup, "doc_id").collect()}
+    assert len(splits) == 1
+
+
 def test_exact_dedup_distinct(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, v string")
     assert dd.exact_dedup(df).count() == 2
