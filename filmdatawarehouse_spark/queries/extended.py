@@ -383,6 +383,69 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_MIN_S = 1800
+
+
+def q_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap detection via lag(): for each event, microseconds
+    since the user's previous event; emit gaps above 30 minutes — the lead/
+    lag window family, and the analytical twin of session windowing."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return with_prev.filter(
+        F.col("prev_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+            > F.lit(GAP_MIN_S * 1_000_000)
+        )
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "prev_ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+FRAME_EVERY = 1024
+FRAME_BYTES = 256
+
+
+def q_multimodal_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling metadata, oracle-checked: sample byte windows from
+    each payload (the video-frame explosion shape, operators/multimodal.py
+    :sample_frames) and emit per-frame length + digest. The corpus payloads
+    are ASCII text bytes, so the SQL twin slices the text itself and md5s
+    the substring — byte-exact for this corpus (the operator itself is
+    byte-true for any payload)."""
+    from filmdatawarehouse_spark.operators.multimodal import (
+        attach_text_payload,
+        sample_frames,
+    )
+
+    frames = sample_frames(
+        attach_text_payload(read_table(spark, sf_dir, "documents")),
+        every_n_bytes=FRAME_EVERY,
+        frame_bytes=FRAME_BYTES,
+    )
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.length("frame").cast("bigint").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test assignment by hashed doc_id (no RNG — split
     membership survives corpus growth and re-partitioning), rolled up per
@@ -674,6 +737,39 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "events_gaps": f"""
+        WITH w AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events
+        )
+        SELECT user_id, event_id, ts, prev_ts,
+               (epoch_us(ts) - epoch_us(prev_ts))::BIGINT AS gap_us
+        FROM w
+        WHERE prev_ts IS NOT NULL
+          AND epoch_us(ts) - epoch_us(prev_ts) > {GAP_MIN_S * 1_000_000}
+    """,
+    # ASCII payloads: a byte window of encode(text) == the same substr of
+    # text, so md5(substr(...)) hashes the identical bytes (DuckDB md5 is
+    # VARCHAR-only; this corpus makes the text slice byte-exact).
+    "multimodal_frame_meta": f"""
+        WITH b AS (
+          SELECT doc_id AS asset_id, text,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ), pos AS (
+          SELECT asset_id, text, n,
+                 unnest(range(0, n, {FRAME_EVERY})) AS off
+          FROM b
+        )
+        SELECT asset_id,
+               (off / {FRAME_EVERY})::INT AS frame_idx,
+               octet_length(encode(substr(text, off::INT + 1, {FRAME_BYTES})))
+                 AS n_bytes,
+               md5(substr(text, off::INT + 1, {FRAME_BYTES})) AS frame_md5
+        FROM pos
+    """,
     # split bucket = ('0x'||substr(md5('split:'||id),1,8))::BIGINT % 10000,
     # same arithmetic as operators/sampling.py:hash_bucket
     "corpus_split": """
@@ -889,6 +985,11 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "sketch_accuracy": (q_sketch_accuracy, ORACLES["sketch_accuracy"]),
     "profile_orders": (q_profile_orders, ORACLES["profile_orders"]),
     "corpus_split": (q_corpus_split, ORACLES["corpus_split"]),
+    "events_gaps": (q_events_gaps, ORACLES["events_gaps"]),
+    "multimodal_frame_meta": (
+        q_multimodal_frame_meta,
+        ORACLES["multimodal_frame_meta"],
+    ),
     "multimodal_byte_stats": (
         q_multimodal_byte_stats,
         ORACLES["multimodal_byte_stats"],

@@ -226,7 +226,59 @@ def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, batch2, "c_custkey", attrs)
 
 
+def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture between two customer snapshots: T2 relocates
+    every 10th customer (update), drops custkey % 7 == 3 (delete), and adds
+    shifted-key clones of custkey % 13 == 1 (insert). One full-outer join;
+    unchanged keys vanish from the feed."""
+    from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
+
+    c = read_table(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_mktsegment")
+    base = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).filter(F.col("c_custkey") % 7 != 3)
+    inserts = c.filter(F.col("c_custkey") % 13 == 1).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        "c_mktsegment",
+    )
+    new = base.unionByName(inserts)
+    return snapshot_diff(old, new, "c_custkey", ["c_mktsegment"])
+
+
 ORACLES: dict[str, str] = {
+    "snapshot_diff_customers": """
+        WITH old AS (SELECT c_custkey, c_mktsegment FROM customer),
+        base AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN 'RELOCATED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer WHERE c_custkey % 7 <> 3
+        ),
+        ins AS (
+          SELECT c_custkey + 10000000 AS c_custkey, c_mktsegment
+          FROM customer WHERE c_custkey % 13 = 1
+        ),
+        new AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        j AS (
+          SELECT o.c_custkey AS k_old, n.c_custkey AS k_new,
+                 o.c_mktsegment AS m_old, n.c_mktsegment AS m_new
+          FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+        )
+        SELECT COALESCE(k_old, k_new) AS c_custkey,
+               CASE WHEN k_old IS NULL THEN 'insert'
+                    WHEN k_new IS NULL THEN 'delete'
+                    WHEN m_old IS DISTINCT FROM m_new THEN 'update'
+               END AS change_type
+        FROM j
+        WHERE CASE WHEN k_old IS NULL THEN 'insert'
+                   WHEN k_new IS NULL THEN 'delete'
+                   WHEN m_old IS DISTINCT FROM m_new THEN 'update'
+              END IS NOT NULL
+    """,
     "window_topn_per_group": """
         SELECT c_nationkey, c_custkey, c_acctbal, rank FROM (
           SELECT c_nationkey, c_custkey, c_acctbal,
@@ -370,4 +422,8 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
         ORACLES["percentile_order_value"],
     ),
     "above_customer_avg": (q_above_customer_avg, ORACLES["above_customer_avg"]),
+    "snapshot_diff_customers": (
+        q_snapshot_diff_customers,
+        ORACLES["snapshot_diff_customers"],
+    ),
 }

@@ -109,3 +109,44 @@ def scd2_initial(updates: DataFrame, key: str, attrs: list[str],
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
         .withColumn("is_current", F.lit(True))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data capture between two full snapshots: (key, change_type)
+    with change_type ∈ {'insert', 'delete', 'update'} — the diff a
+    warehouse computes to turn snapshot dumps into an incremental feed
+    (unchanged keys are omitted).
+
+    One full-outer join on the key; change classification is pure column
+    logic (null-side checks + attribute inequality), so the whole diff is
+    a single shuffle at any scale. Null-safe comparison (`eqNullSafe`)
+    treats NULL→value transitions as updates, not matches.
+    """
+    o = old.select(
+        F.col(key).alias("_k_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key).alias("_k_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, o["_k_old"] == n["_k_new"], "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    return (
+        joined.select(
+            F.coalesce(F.col("_k_old"), F.col("_k_new")).alias(key),
+            F.when(F.col("_k_old").isNull(), F.lit("insert"))
+            .when(F.col("_k_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
