@@ -29,11 +29,16 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     (column, n_rows, n_nulls, n_distinct, min_str, max_str) — one row per
     profiled column, all metrics from a single pass.
 
-    One wide aggregate computes every per-column metric (ONE scan + one
-    tiny all-to-one aggregation — profiling never shuffles the data by
-    value), then the metric columns unpivot via an explode of literal
-    structs. min/max surface as strings so heterogeneous column types fit
-    one long-format frame (the ANSI-SQL twin casts identically).
+    One wide aggregate over ONE scan; the metric columns then unpivot via
+    an explode of literal structs. min/max surface as strings so
+    heterogeneous column types fit one long-format frame (the ANSI-SQL
+    twin casts identically).
+
+    Plan note: the n distinct-counts compile to an Expand (×(n+1) row
+    amplification before the partial aggregate) — the standard Spark
+    multi-distinct plan. Exactness is the point here (the oracle pins the
+    counts); for routine 100 TB profiling swap ``count_distinct`` for
+    ``approx_count_distinct`` and certify it like ``sketch_accuracy`` does.
     """
     from pyspark.sql import functions as F
 

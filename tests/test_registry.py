@@ -1,0 +1,23 @@
+"""Registry-level guards: every declared oracle must be valid DuckDB SQL
+over the test tables, and the driver contract must stay self-consistent —
+cheap nets that catch typos before the (slow) full compare does."""
+
+from __future__ import annotations
+
+from filmdatawarehouse_spark.queries.registry import all_queries
+
+
+def test_every_oracle_parses_and_runs_in_duckdb(duck):
+    for name, (_fn, sql) in sorted(all_queries().items()):
+        if sql is None:
+            continue
+        # EXPLAIN parses, binds, and plans without materializing the result
+        duck.execute(f"EXPLAIN {sql}")
+
+
+def test_registry_names_unique_and_callable(spark):
+    reg = all_queries()
+    assert len(reg) >= 55
+    for name, (fn, _sql) in reg.items():
+        assert callable(fn), name
+        assert name == name.strip() and " " not in name

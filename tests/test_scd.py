@@ -98,3 +98,23 @@ def test_scd2_apply_is_idempotent(spark):
     once = scd2_apply(dim, b1, "film_id", ATTRS)
     twice = scd2_apply(once, b1, "film_id", ATTRS)
     assert twice.count() == 1  # re-applying the same snapshot changes nothing
+
+
+def test_snapshot_diff_classification(spark):
+    """insert/delete/update classification, including the null-safe compare:
+    NULL→value and value→NULL attribute transitions are updates, NULL→NULL
+    is unchanged."""
+    from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, None)],
+        "k long, attr string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "CHANGED"), (3, "now-set"), (5, None), (6, "new")],
+        "k long, attr string",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, "k", ["attr"]).collect()}
+    # 1: unchanged (absent), 2: update, 3: NULL->value update, 4: delete,
+    # 5: NULL==NULL unchanged (absent), 6: insert
+    assert got == {2: "update", 3: "update", 4: "delete", 6: "insert"}
