@@ -383,6 +383,46 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing: extract the integer field from the JSON
+    ``props`` column (JSON path stays JVM-side — ``get_json_object``
+    vectorizes in codegen, no Python) and aggregate per event_type. The
+    100 TB reality is that half the interesting columns arrive as JSON
+    strings; extraction must be a scan-speed projection, not a UDF."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    per-status totals, per-priority totals, and the grand total in ONE
+    aggregation pass, with grouping() flags disambiguating real NULLs from
+    subtotal rows."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 GAP_MIN_S = 1800
 
 
@@ -737,6 +777,29 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "events_json_props": """
+        WITH x AS (
+          SELECT event_type,
+                 json_extract(props, '$.k')::BIGINT AS k
+          FROM events
+        )
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_events,
+               COUNT(k)::BIGINT AS n_with_k,
+               SUM(k)::BIGINT AS sum_k,
+               MAX(k)::BIGINT AS max_k
+        FROM x GROUP BY event_type
+    """,
+    "grouping_sets_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
     "events_gaps": f"""
         WITH w AS (
           SELECT user_id, event_id, ts,
@@ -986,6 +1049,11 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "profile_orders": (q_profile_orders, ORACLES["profile_orders"]),
     "corpus_split": (q_corpus_split, ORACLES["corpus_split"]),
     "events_gaps": (q_events_gaps, ORACLES["events_gaps"]),
+    "events_json_props": (q_events_json_props, ORACLES["events_json_props"]),
+    "grouping_sets_orders": (
+        q_grouping_sets_orders,
+        ORACLES["grouping_sets_orders"],
+    ),
     "multimodal_frame_meta": (
         q_multimodal_frame_meta,
         ORACLES["multimodal_frame_meta"],
