@@ -613,18 +613,24 @@ def dup_clusters(
         pairs.select(F.col(b_col).alias("_src"), F.col(a_col).alias("_dst"))
     )
     edges = managed_persist(edges)
-    labels = managed_persist(
-        ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    )
+    # localCheckpoint (not persist): each round's labels TRUNCATE lineage,
+    # so the returned plan is one cached scan, not max_iters stacked
+    # joins — a cache eviction can never trigger a full-history replay
+    # (the iterative-algorithm standard; GraphX/GraphFrames checkpoint the
+    # same way).
+    labels = ids.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
     for _ in range(max_iters):
         prop = (
             labels.join(edges, labels[id_col] == edges["_src"])
             .select(F.col("_dst").alias(id_col), "cluster_id")
         )
-        new_labels = managed_persist(
+        new_labels = (
             labels.unionByName(prop)
             .groupBy(id_col)
             .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -383,6 +383,24 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of the single-pass pivot in
+    queries/relational.py): part's numeric attributes melt into
+    (p_partkey, attr, val) — ``df.unpivot`` compiles to one Expand over
+    one scan, no shuffle at all."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing: extract the integer field from the JSON
     ``props`` column (JSON path stays JVM-side — ``get_json_object``
@@ -777,6 +795,11 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "unpivot_part": """
+        SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', p_retailprice::DOUBLE FROM part
+    """,
     "events_json_props": """
         WITH x AS (
           SELECT event_type,
@@ -1050,6 +1073,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "corpus_split": (q_corpus_split, ORACLES["corpus_split"]),
     "events_gaps": (q_events_gaps, ORACLES["events_gaps"]),
     "events_json_props": (q_events_json_props, ORACLES["events_json_props"]),
+    "unpivot_part": (q_unpivot_part, ORACLES["unpivot_part"]),
     "grouping_sets_orders": (
         q_grouping_sets_orders,
         ORACLES["grouping_sets_orders"],
