@@ -216,6 +216,18 @@ def text_metrics_frame(
     )
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for dedup/canonical-compare: lowercase, strip
+    non-alphanumeric-non-space characters, collapse whitespace runs, trim.
+    Pure codegen'd JVM expressions (lower/regexp_replace/trim) — scan-speed
+    at any scale, and each step is expressible verbatim in ANSI SQL."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: polynomial rolling hash over characters,
     h = (h*31 + codepoint) mod 1e9+7. Pure integer arithmetic — identical in

@@ -383,6 +383,29 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-then-dedup: exact-duplicate groups AFTER text
+    normalization (case/punctuation/whitespace-insensitive) — catches the
+    trivial near-dups fuzzy matching shouldn't have to pay for. Returns
+    every group (this corpus has no normalized dups, so the gate checks
+    the normalization transform itself via the md5 of each canonical
+    form — an empty filtered result would hash-match trivially)."""
+    d = read_table(spark, sf_dir, "documents")
+    normed = d.select(
+        "doc_id", tx.normalize_text("text").alias("norm_text")
+    )
+    return (
+        normed.groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.md5("norm_text").alias("norm_md5"), "survivor_id", "n_copies"
+        )
+    )
+
+
 def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (the inverse of the single-pass pivot in
     queries/relational.py): part's numeric attributes melt into
@@ -795,6 +818,20 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "text_normalize_dedup": """
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+          FROM documents
+        ), g AS (
+          SELECT norm_text, MIN(doc_id) AS survivor_id,
+                 COUNT(*)::BIGINT AS n_copies
+          FROM n GROUP BY norm_text
+        )
+        SELECT md5(norm_text) AS norm_md5, survivor_id, n_copies FROM g
+    """,
     "unpivot_part": """
         SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
         UNION ALL
@@ -1074,6 +1111,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "events_gaps": (q_events_gaps, ORACLES["events_gaps"]),
     "events_json_props": (q_events_json_props, ORACLES["events_json_props"]),
     "unpivot_part": (q_unpivot_part, ORACLES["unpivot_part"]),
+    "text_normalize_dedup": (
+        q_text_normalize_dedup,
+        ORACLES["text_normalize_dedup"],
+    ),
     "grouping_sets_orders": (
         q_grouping_sets_orders,
         ORACLES["grouping_sets_orders"],
