@@ -383,6 +383,44 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NORM_BUCKET_W = 0.25
+
+
+def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column analytics: distribution of embedding L2 norms in fixed-
+    width buckets — the sanity profile a vector corpus gets before anything
+    is trained on it. The norm is the pinned left-fold (same as the
+    similarity operators), the bucket is exact integer math on the fold
+    result, and the aggregation is an ordinary two-phase count."""
+    from filmdatawarehouse_spark.operators.similarity import norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.select(norm(F.col("embedding")).alias("nrm"))
+    bucket = F.floor(F.col("nrm") / F.lit(NORM_BUCKET_W)).cast("bigint")
+    return (
+        n.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max aggregate (top-1-per-group WITHOUT a window shuffle
+    of ranked rows — one two-phase aggregate): each customer's most recent
+    order. Deterministic under date ties by packing (date_id, orderkey)
+    into one sortable integer on both engines."""
+    from filmdatawarehouse_spark.operators.dates import date_id
+
+    o = read_table(spark, sf_dir, "orders")
+    packed = date_id("o_orderdate").cast("bigint") * F.lit(10_000_000_000) + F.col(
+        "o_orderkey"
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", packed).alias("latest_orderkey"),
+        F.max(date_id("o_orderdate")).alias("latest_date_id"),
+    )
+
+
 def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization-then-dedup: exact-duplicate groups AFTER text
     normalization (case/punctuation/whitespace-insensitive) — catches the
@@ -818,6 +856,25 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "embedding_norm_hist": f"""
+        WITH {_NORMS_CTE.strip()}
+        SELECT floor(nrm / {NORM_BUCKET_W})::BIGINT AS bucket,
+               COUNT(*)::BIGINT AS n_vectors
+        FROM n GROUP BY bucket
+    """,
+    "latest_order_per_customer": """
+        WITH x AS (
+          SELECT o_custkey, o_orderkey,
+                 (year(o_orderdate)*10000 + month(o_orderdate)*100
+                  + day(o_orderdate))::BIGINT AS d_id
+          FROM orders
+        )
+        SELECT o_custkey,
+               arg_max(o_orderkey, d_id * 10000000000 + o_orderkey)
+                 AS latest_orderkey,
+               MAX(d_id) AS latest_date_id
+        FROM x GROUP BY o_custkey
+    """,
     "text_normalize_dedup": """
         WITH n AS (
           SELECT doc_id,
@@ -1114,6 +1171,14 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_normalize_dedup": (
         q_text_normalize_dedup,
         ORACLES["text_normalize_dedup"],
+    ),
+    "embedding_norm_hist": (
+        q_embedding_norm_hist,
+        ORACLES["embedding_norm_hist"],
+    ),
+    "latest_order_per_customer": (
+        q_latest_order_per_customer,
+        ORACLES["latest_order_per_customer"],
     ),
     "grouping_sets_orders": (
         q_grouping_sets_orders,
