@@ -383,6 +383,48 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_S = 3600
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: per user, does a 'view' lead to a 'purchase'
+    within an hour? Classic product-analytics sequence matching as pure
+    window algebra: for every view, the time of the NEXT purchase by the
+    same user (min over a forward-looking conditional window), then an
+    interval test — no per-row Python, no self-join explosion on hot
+    users. Output: per-user view count, converted-view count."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    views = (
+        e.withColumn("next_purchase_ts", next_purchase)
+        .filter(F.col("event_type") == "view")
+        .withColumn(
+            "converted",
+            (
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.unix_micros(F.col("next_purchase_ts"))
+                    - F.unix_micros(F.col("ts"))
+                    <= F.lit(FUNNEL_WINDOW_S * 1_000_000)
+                )
+            ).cast("int"),
+        )
+    )
+    return views.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+
+
 NORM_BUCKET_W = 0.25
 
 
@@ -856,6 +898,24 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "events_funnel": f"""
+        WITH x AS (
+          SELECT user_id, event_type, ts,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_type
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_ts
+          FROM events
+        )
+        SELECT user_id,
+               COUNT(*)::BIGINT AS n_views,
+               SUM(CASE WHEN next_purchase_ts IS NOT NULL
+                         AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                             <= {FUNNEL_WINDOW_S * 1_000_000}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_converted
+        FROM x WHERE event_type = 'view'
+        GROUP BY user_id
+    """,
     "embedding_norm_hist": f"""
         WITH {_NORMS_CTE.strip()}
         SELECT floor(nrm / {NORM_BUCKET_W})::BIGINT AS bucket,
@@ -1176,6 +1236,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         q_embedding_norm_hist,
         ORACLES["embedding_norm_hist"],
     ),
+    "events_funnel": (q_events_funnel, ORACLES["events_funnel"]),
     "latest_order_per_customer": (
         q_latest_order_per_customer,
         ORACLES["latest_order_per_customer"],

@@ -226,6 +226,60 @@ def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, batch2, "c_custkey", attrs)
 
 
+def q_ntile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of order value per order-status group: the quantile
+    -bucketing window (equal-count tiles), with per-tile count and exact
+    DECIMAL value sums. Tie order pinned by (o_totalprice, o_orderkey)."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("o_orderstatus", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tile_value"),
+        )
+    )
+
+
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of lineitem quantity vs extended price — computed
+    from EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) and one pinned
+    double formula, NOT the built-in ``corr`` (Spark and DuckDB use
+    different streaming-moment algorithms whose float accumulation order
+    is engine- and partition-dependent; sums of decimals are
+    order-independent, so this form is bit-identical everywhere AND
+    shuffle-wise identical to any other single aggregate)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return agg.select(
+        F.col("n"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
 def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data capture between two customer snapshots: T2 relocates
     every 10th customer (update), drops custkey % 7 == 3 (delete), and adds
@@ -250,6 +304,42 @@ def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "ntile_order_value": """
+        WITH t AS (
+          SELECT o_orderstatus, o_totalprice,
+                 ntile(4) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS tile
+          FROM orders
+        )
+        SELECT o_orderstatus, tile,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS tile_value
+        FROM t GROUP BY o_orderstatus, tile
+    """,
+    "corr_qty_price": """
+        WITH s AS (
+          SELECT COUNT(*)::BIGINT AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS sxy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS sxx,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS syy
+          FROM lineitem
+        )
+        SELECT n,
+               (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                 AS corr_qty_price
+        FROM s
+    """,
     "snapshot_diff_customers": """
         WITH old AS (SELECT c_custkey, c_mktsegment FROM customer),
         base AS (
@@ -426,4 +516,6 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
         q_snapshot_diff_customers,
         ORACLES["snapshot_diff_customers"],
     ),
+    "ntile_order_value": (q_ntile_order_value, ORACLES["ntile_order_value"]),
+    "corr_qty_price": (q_corr_qty_price, ORACLES["corr_qty_price"]),
 }
