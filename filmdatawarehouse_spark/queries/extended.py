@@ -383,6 +383,86 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent-token bigrams.
+
+    The count plumbing is classic distributed text analytics — bigram
+    multiset counts (bound token array → adjacent-pair transform →
+    explode), unigram counts, corpus totals — all two-phase aggregates.
+    The probability RATIO is assembled with pinned IEEE ops; the single
+    ``ln`` runs in an Arrow stage with glibc log (the JVM-vs-libm ulp
+    issue, same as text_tfidf). Top-K with full tiebreak."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    with_toks = docs.select(toks.alias("_ts"))
+    idx = F.when(
+        F.size(F.col("_ts")) >= 2,
+        F.sequence(F.lit(1), F.size(F.col("_ts")) - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = with_toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("_ts"), i).alias("w1"),
+                    F.element_at(F.col("_ts"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bic = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = with_toks.select(F.explode(F.col("_ts")).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = bic.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    ratio = (
+        (F.col("c_ab").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_tok"))
+            * (F.col("c_b").cast("double") / F.col("n_tok"))
+        )
+    )
+    scored = (
+        bic.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c_ab", ratio.alias("_ratio"))
+    )
+
+    def ln_stage(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pmi"] = pd.Series(
+                [math.log(r) for r in pdf["_ratio"]], dtype="float64"
+            )
+            yield pdf[["w1", "w2", "c_ab", "pmi"]]
+
+    with_pmi = scored.mapInPandas(
+        ln_stage, "w1 string, w2 string, c_ab bigint, pmi double"
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (
+        with_pmi.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PMI_TOP_K)
+        .select("w1", "w2", "c_ab", "pmi", "rank")
+    )
+
+
 FUNNEL_WINDOW_S = 3600
 
 
@@ -898,6 +978,42 @@ ORACLES: dict[str, str] = {
         WHERE e.ts > d.first_ts
         GROUP BY e.event_type
     """,
+    "text_pmi_bigrams": rf"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> len(t) > 0) AS ts
+          FROM documents
+        ), bi AS (
+          SELECT unnest(list_transform(range(1, len(ts)),
+                        i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS s
+          FROM toks
+        ), bic AS (
+          SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*)::BIGINT AS c_ab
+          FROM bi GROUP BY s.w1, s.w2
+        ), uni AS (
+          SELECT unnest(ts) AS w FROM toks
+        ), uc AS (
+          SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w
+        ), tot AS (
+          SELECT (SELECT SUM(c_ab) FROM bic)::BIGINT AS n_bi,
+                 (SELECT COUNT(*) FROM uni)::BIGINT AS n_tok
+        ), scored AS (
+          SELECT b.w1, b.w2, b.c_ab,
+                 ln((b.c_ab::DOUBLE / t.n_bi)
+                    / ((a.c::DOUBLE / t.n_tok) * (c.c::DOUBLE / t.n_tok)))
+                   AS pmi
+          FROM bic b
+          JOIN uc a ON a.w = b.w1
+          JOIN uc c ON c.w = b.w2
+          CROSS JOIN tot t
+          WHERE b.c_ab >= {PMI_MIN_COUNT}
+        ), ranked AS (
+          SELECT w1, w2, c_ab, pmi,
+                 row_number() OVER (ORDER BY pmi DESC, w1, w2)::INT AS rank
+          FROM scored
+        )
+        SELECT w1, w2, c_ab, pmi, rank FROM ranked WHERE rank <= {PMI_TOP_K}
+    """,
     "events_funnel": f"""
         WITH x AS (
           SELECT user_id, event_type, ts,
@@ -1237,6 +1353,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         ORACLES["embedding_norm_hist"],
     ),
     "events_funnel": (q_events_funnel, ORACLES["events_funnel"]),
+    "text_pmi_bigrams": (q_text_pmi_bigrams, ORACLES["text_pmi_bigrams"]),
     "latest_order_per_customer": (
         q_latest_order_per_customer,
         ORACLES["latest_order_per_customer"],

@@ -150,3 +150,31 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def merge_aggregate_delta(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a (pre-aggregated) delta
+    into an existing aggregate snapshot WITHOUT recomputing from the base
+    fact — union the two aggregates and re-sum per key. Counts and sums
+    are distributive, so the result is exactly the aggregate of
+    base ∪ increment; at 100 TB this turns a daily full-table aggregate
+    into work proportional to the increment (the snapshot side is already
+    one row per key).
+
+    Both inputs must share (keys + sum_cols [+ count_col]) schemas — the
+    caller aggregates the increment with the same expressions that built
+    the snapshot.
+    """
+    cols = list(sum_cols) + ([count_col] if count_col else [])
+    unioned = snapshot.select(*keys, *cols).unionByName(
+        delta.select(*keys, *cols)
+    )
+    return unioned.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in cols]
+    )

@@ -118,3 +118,40 @@ def test_snapshot_diff_classification(spark):
     # 1: unchanged (absent), 2: update, 3: NULL->value update, 4: delete,
     # 5: NULL==NULL unchanged (absent), 6: insert
     assert got == {2: "update", 3: "update", 4: "delete", 6: "insert"}
+
+
+def test_merge_aggregate_delta_equals_full_recompute(spark, sf_dir):
+    """Folding a day's increment into yesterday's aggregate must equal
+    aggregating the full union — the distributive-aggregate contract that
+    makes incremental maintenance sound."""
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.io.sources import read_table
+    from filmdatawarehouse_spark.warehouse.scd import merge_aggregate_delta
+
+    e = read_table(spark, sf_dir, "events")
+    cutoff = e.agg(F.expr("percentile(unix_micros(ts), 0.8)")).first()[0]
+    old = e.filter(F.unix_micros("ts") <= cutoff)
+    inc = e.filter(F.unix_micros("ts") > cutoff)
+    assert inc.count() > 0 and old.count() > 0
+
+    def agg(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("n_events"),
+        )
+
+    merged = merge_aggregate_delta(
+        agg(old), agg(inc), ["user_id", "event_type"],
+        ["total_value"], "n_events",
+    )
+    full = agg(e)
+    got = {
+        (r.user_id, r.event_type): (r.total_value, r.n_events)
+        for r in merged.collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.total_value, r.n_events)
+        for r in full.collect()
+    }
+    assert got == want
