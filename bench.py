@@ -50,6 +50,7 @@ HEADLINE = [
     "text_token_count",
     "text_fingerprint",
     "text_tfidf",
+    "text_pmi_bigrams",
     "events_tumbling_window",
     "events_running_totals",
     "events_session_window",
