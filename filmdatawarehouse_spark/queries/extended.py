@@ -96,6 +96,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_clusters(docs.select("doc_id"), pairs)
 
 
+ANN_PAIR_RECALL_BAR = 0.9
+
+
+def q_dedup_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification of the sub-quadratic embedding-dedup path: IVF-
+    bucketed candidates + exact re-score vs the exact block-GEMM pairs.
+    Emits (n_exact_pairs, recall_ok) — precision needs no check (both
+    paths share the exact re-score, so approximate pairs are a SUBSET of
+    exact pairs by construction; only recall can be lost)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = dd.embedding_cosine_pairs(emb, threshold=COSINE_T).select(
+        "vec_id_a", "vec_id_b"
+    )
+    approx = dd.embedding_cosine_pairs_ann(emb, threshold=COSINE_T).select(
+        "vec_id_a", "vec_id_b"
+    )
+    hits = exact.join(approx, ["vec_id_a", "vec_id_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+    return n_exact.crossJoin(n_hits).select(
+        "n_exact_pairs",
+        (
+            F.col("_n_hits").cast("double") / F.col("n_exact_pairs")
+            >= F.lit(ANN_PAIR_RECALL_BAR)
+        )
+        .cast("int")
+        .alias("recall_ok"),
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERY_VECS), k=TOPK_K)
@@ -943,6 +973,19 @@ ORACLES: dict[str, str] = {
                  (a, c) -> (a * 31 + c) % {tx.MOD_PRIME}) AS fingerprint
         FROM documents
     """,
+    # approximate-dedup certification: the exact pair count comes from the
+    # all-pairs SQL; recall_ok pinned at 1 (the engine computes recall of
+    # the IVF-bucketed path against the exact path in-engine).
+    "dedup_embedding_ann_recall": f"""
+        WITH {_NORMS_CTE.strip()},
+        pairs AS (
+          SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                 {_DOT} / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT COUNT(*)::BIGINT AS n_exact_pairs, 1 AS recall_ok
+        FROM pairs WHERE cosine >= {COSINE_T}
+    """,
     # the ANN certification row: the engine computes recall@5 of IVF vs the
     # exact path; the oracle pins (n_queries from the data, k, recall_ok=1).
     # If IVF quality drops below the bar, recall_ok flips to 0 → hash fail.
@@ -1312,6 +1355,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "dedup_simhash": (q_dedup_simhash, ORACLES["dedup_simhash"]),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLES["dedup_embedding_cosine"]),
     "dedup_clusters": (q_dedup_clusters, ORACLES["dedup_clusters"]),
+    "dedup_embedding_ann_recall": (
+        q_dedup_embedding_ann_recall,
+        ORACLES["dedup_embedding_ann_recall"],
+    ),
     "similarity_topk": (q_similarity_topk, ORACLES["similarity_topk"]),
     "similarity_range": (q_similarity_range, ORACLES["similarity_range"]),
     "similarity_ann_ivf": (q_similarity_ann_ivf, None),  # approximate: rows-only

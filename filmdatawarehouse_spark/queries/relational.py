@@ -226,6 +226,57 @@ def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, batch2, "c_custkey", attrs)
 
 
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family over one partition spec — rank,
+    dense_rank, percent_rank, cume_dist — on supplier account balance per
+    nation. percent_rank/cume_dist are exact integer ratios in double, so
+    they compare bit-for-bit across engines."""
+    from pyspark.sql.window import Window
+
+    s = read_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: every hour in the events time range gets a
+    row per event_type, zero-filled where nothing happened — the resample
+    step before any time-series modeling. The hour spine is a distributed
+    ``sequence`` (generate, like the date dimension), cross-joined with
+    the type dim and LEFT-joined to the hourly aggregate; no driver loop."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return grid.join(hourly, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
 def q_ntile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles of order value per order-status group: the quantile
     -bucketing window (equal-count tiles), with per-tile count and exact
@@ -304,6 +355,36 @@ def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "window_rank_family": """
+        SELECT s_nationkey, s_suppkey,
+               rank() OVER w ::INT AS rnk,
+               dense_rank() OVER w ::INT AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    "events_hourly_gapfill": """
+        WITH b AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM b
+        ), types AS (
+          SELECT DISTINCT event_type FROM events
+        ), hourly AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                 event_type, COUNT(*)::BIGINT AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(s.hour AS TIMESTAMP) AS hour, t.event_type,
+               COALESCE(h.n_events, 0)::BIGINT AS n_events
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN hourly h
+          ON h.hour = CAST(s.hour AS TIMESTAMP) AND h.event_type = t.event_type
+    """,
     "ntile_order_value": """
         WITH t AS (
           SELECT o_orderstatus, o_totalprice,
@@ -518,4 +599,9 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
     ),
     "ntile_order_value": (q_ntile_order_value, ORACLES["ntile_order_value"]),
     "corr_qty_price": (q_corr_qty_price, ORACLES["corr_qty_price"]),
+    "window_rank_family": (q_window_rank_family, ORACLES["window_rank_family"]),
+    "events_hourly_gapfill": (
+        q_events_hourly_gapfill,
+        ORACLES["events_hourly_gapfill"],
+    ),
 }
