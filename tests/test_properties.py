@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the composed operators must agree
+with brute-force references on randomized small inputs — the class of bugs
+example tests miss (bucket boundaries, negative epochs, odd graph shapes).
+
+Examples are capped low: each case builds real DataFrames, so the budget
+is correctness breadth per second, not case count.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EPOCH = datetime.datetime(1970, 1, 1)
+
+# timestamps straddling the epoch (negative micros exercised on purpose),
+# seconds granularity, bounded so interval arithmetic stays tiny
+_ts = st.integers(min_value=-100_000, max_value=100_000).map(
+    lambda s: EPOCH + datetime.timedelta(seconds=s)
+)
+_key = st.integers(min_value=1, max_value=3)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=8),
+    right=st.lists(st.tuples(_key, _ts), min_size=1, max_size=8),
+    width=st.integers(min_value=1, max_value=7200),
+)
+def test_range_join_matches_bruteforce(spark, left, right, width):
+    """range_join (bucketize + equi-join + exact filter) must equal the
+    O(n·m) reference `0 < r.ts − l.ts ≤ width` for any key/time layout,
+    including pre-epoch timestamps (the truncation-vs-floor bug class)."""
+    from filmdatawarehouse_spark.operators.asof import range_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, lts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right)], "k long, rts timestamp, rid long"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", width_seconds=width
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and 0 < (rt - lt).total_seconds() <= width
+    }
+    assert got == want
+
+
+def _components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node of its component."""
+    parent = list(range(n_nodes + 1))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(1, n_nodes + 1)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_nodes=st.integers(min_value=2, max_value=12),
+    edge_idx=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)), max_size=14
+    ),
+)
+def test_dup_clusters_matches_union_find(spark, n_nodes, edge_idx):
+    """Iterative min-label propagation must equal union-find on arbitrary
+    graphs — chains, cycles, stars, self-referential edge lists."""
+    from filmdatawarehouse_spark.operators.dedup import dup_clusters
+
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in edge_idx
+        if a != b and a <= n_nodes and b <= n_nodes
+    ]
+    ids = spark.createDataFrame([(i,) for i in range(1, n_nodes + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "doc_id_a long, doc_id_b long"
+    ).dropna()
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(ids, pairs).collect()}
+    assert got == _components(n_nodes, edges)
