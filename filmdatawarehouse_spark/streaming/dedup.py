@@ -31,6 +31,48 @@ def stream_dedup_exact(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def write_stream_idempotent_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: str | list[str] | None = None,
+):
+    """Exactly-once parquet sink for a stream via ``foreachBatch``: each
+    micro-batch overwrites its own ``_batch_id=<n>`` partition, so a batch
+    replayed after a crash (foreachBatch is at-least-once) rewrites the
+    same partition instead of appending duplicates — idempotence comes
+    from the (batch_id → partition) mapping plus dynamic partition
+    overwrite, the standard recipe when the sink itself has no
+    transactions. Returns the started StreamingQuery (caller awaits /
+    stops)."""
+    from pyspark.sql import functions as F
+
+    extra = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id", *extra)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
