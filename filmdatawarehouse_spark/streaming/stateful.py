@@ -43,6 +43,73 @@ def _update_user_totals(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "n bigint, start_us bigint, last_us bigint"
+
+
+def expiring_user_sessions(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
+    """Event-time sessionization with STATE EVICTION — the full custom-
+    stateful pattern: per-user state accumulates (count, first/last event
+    time); when the watermark passes ``last_event + gap`` the state TIMES
+    OUT, the closed session is emitted exactly once, and the key's state
+    is removed (bounded memory under unbounded keys — the property
+    ``NoTimeout`` operators lack). Emits ONLY closed sessions; input must
+    carry a watermark on ``ts``.
+    """
+    import datetime
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [
+                        datetime.datetime.utcfromtimestamp(start_us / 1e6)
+                    ],
+                    "session_end": [
+                        datetime.datetime.utcfromtimestamp(last_us / 1e6)
+                    ],
+                    "n_events": [n],
+                }
+            )
+            return
+        if state.exists:
+            n, start_us, last_us = state.get
+        else:
+            n, start_us, last_us = 0, None, None
+        for pdf in pdf_iter:
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            n += len(ts_us)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, start_us, last_us))
+        # close when the event-time watermark passes last event + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming DataFrame of per-user running (count, value-sum), updated
     each micro-batch a user appears in. Input needs columns (user_id, value).

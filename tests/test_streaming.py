@@ -300,6 +300,64 @@ def test_session_window_gap_semantics(spark):
     ]
 
 
+def test_stateful_session_timeout_closes_and_evicts(spark, tmp_path):
+    """EventTimeTimeout sessionization: a user's state must close (emit
+    exactly once) when a later batch advances the watermark past
+    last_event + gap — and never before."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdatawarehouse_spark.streaming.stateful import expiring_user_sessions
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(d / name))
+        os.utime(str(d / name), (mtime, mtime))
+
+    now = time.time()
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(d))
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        expiring_user_sessions(stream, gap_seconds=600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        write(
+            "b1.parquet",
+            [(1, TS(2024, 1, 1, 10, 0)), (1, TS(2024, 1, 1, 10, 5))],
+            now - 60,
+        )
+        q.processAllAvailable()
+        # nothing closed yet: watermark ~10:05, timeout at 10:15
+        assert spark.sql("SELECT * FROM sess_out").count() == 0
+        # batch 2 advances the watermark past the timeout -> user 1 closes
+        write("b2.parquet", [(2, TS(2024, 1, 1, 11, 0))], now)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert [
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in rows
+    ] == [(1, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 5), 2)]
+
+
 def test_stateful_running_totals_equals_batch(spark, sf_dir):
     """applyInPandasWithState over one availableNow replay must equal the
     batch groupBy (counts exact; float sums to tolerance — pandas sums in a
