@@ -57,6 +57,32 @@ def test_compact_parquet_bounds_file_count(spark, sf_dir, tmp_path):
     assert after.exceptAll(src).count() == 0 and src.exceptAll(after).count() == 0
 
 
+def test_compact_parquet_partitioned_keeps_layout(spark, sf_dir, tmp_path):
+    """Partitioned compaction must preserve the partition directory layout
+    (and prune-ability) while cutting per-partition file counts."""
+    import glob
+
+    from filmdatawarehouse_spark.io.sinks import compact_parquet
+
+    path = str(tmp_path / "pfrag")
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.repartition(12).write.partitionBy("o_orderstatus").parquet(path)
+    statuses = [r.o_orderstatus for r in src.select("o_orderstatus").distinct().collect()]
+    assert all(
+        len(glob.glob(f"{path}/o_orderstatus={s}/*.parquet")) > 1 for s in statuses
+    )
+    before = src.count()
+
+    compact_parquet(spark, path, target_files=2, partition_by="o_orderstatus")
+    for s in statuses:
+        files = glob.glob(f"{path}/o_orderstatus={s}/*.parquet")
+        assert 1 <= len(files) <= 2
+    assert spark.read.parquet(path).count() == before
+
+
 def test_jdbc_roundtrip_partitioned_read(spark, sf_dir):
     """Real JDBC execution (round-1 VERDICT item 6): the reference's only
     connector is JDBC (MySQL, dags/rentalFilmDAG.py:18-20); the sandbox has

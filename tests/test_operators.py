@@ -201,6 +201,44 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
 
 
+def test_byte_ngram_signatures_short_doc_skipped(spark):
+    """Docs shorter than the gram width produce no signature row (the
+    explode-form semantic), and gram values are the bijective base-256
+    encoding of the byte windows."""
+    docs = literal_rows(
+        spark,
+        [dict(doc_id=1, text="abcd"), dict(doc_id=2, text="abcdef")],
+        DOC_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in dd.byte_ngram_signatures(docs, n=5).collect()}
+    assert set(rows) == {2}  # doc 1 has only 4 bytes -> skipped
+    # "abcde" and "bcdef" big-endian base-256
+    expect = sorted(
+        int.from_bytes(s.encode(), "big") for s in ("abcde", "bcdef")
+    )
+    assert sorted(rows[2].shingles) == expect
+
+
+def test_embedding_ann_pairs_subset_of_exact(spark, sf_dir):
+    """The IVF-bucketed dedup path shares the exact re-score, so its pairs
+    must be a SUBSET of the exact pairs with identical cosines — only
+    recall can differ, never precision."""
+    from filmdatawarehouse_spark.io.sources import read_table as rt
+
+    emb = rt(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in dd.embedding_cosine_pairs(emb, 0.4).collect()
+    }
+    approx = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in dd.embedding_cosine_pairs_ann(emb, 0.4).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(approx[k] == exact[k] for k in approx)
+    assert len(approx) >= 0.9 * len(exact)
+
+
 def test_hash_split_stable_and_leakproof(spark, sf_dir):
     """Split assignment is a pure function of the key: identical across
     runs/partitionings, duplicate keys co-assigned, fractions roughly
