@@ -787,6 +787,7 @@ def _exact_cosine_rescore(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    broadcast_cand: bool = True,
 ) -> DataFrame:
     """Exact pinned-chain cosine over a candidate pair frame: the shared
     correctness tail of the exact (block-GEMM) and approximate (IVF-
@@ -816,8 +817,9 @@ def _exact_cosine_rescore(
         F.col("_vd").alias("v_b"),
         F.col("_norm").alias("n_b"),
     )
+    lhs = F.broadcast(cand) if broadcast_cand else cand
     return (
-        F.broadcast(cand)
+        lhs
         .join(a, "vec_id_a")
         .join(b, "vec_id_b")
         .select(
@@ -884,8 +886,12 @@ def embedding_cosine_pairs_ann(
                 }
             )
 
-    buckets = emb.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, list_id long"
+    # persist: the assignment stage feeds BOTH sides of the list self-join
+    # (a Python stage re-executes per branch otherwise)
+    buckets = managed_persist(
+        emb.select(id_col, vec_col).mapInPandas(
+            assign, f"{id_col} long, list_id long"
+        )
     )
     buckets = _drop_hot_buckets(buckets, ["list_id"], bucket_cap)
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -901,10 +907,10 @@ def embedding_cosine_pairs_ann(
         )
         .distinct()  # a pair can share several lists
     )
-    # localize (small relative to n²) so the re-score joins broadcast a
-    # LocalRelation instead of re-running the Python assignment per branch
-    cand_pdf = cand.toPandas()
-    cand_local = spark.createDataFrame(cand_pdf, "vec_id_a long, vec_id_b long")
+    # UNLIKE the exact path, candidates here are pre-rescore bucket pairs —
+    # potentially a large fraction of n² on weakly-clustered data — so they
+    # stay DISTRIBUTED: shuffle-joined to the vectors, never collected or
+    # broadcast.
     return _exact_cosine_rescore(
-        emb, cand_local, threshold, id_col, vec_col, dim
+        emb, cand, threshold, id_col, vec_col, dim, broadcast_cand=False
     )
