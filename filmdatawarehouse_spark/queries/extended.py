@@ -493,6 +493,28 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: each event carries the
+    user's most recent PURCHASE value (null until the first purchase) —
+    ``last(..., ignorenulls)`` over the running frame, the standard
+    time-series gap-imputation window. One shuffle on the user key."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
 FUNNEL_WINDOW_S = 3600
 
 
@@ -1057,6 +1079,14 @@ ORACLES: dict[str, str] = {
         )
         SELECT w1, w2, c_ab, pmi, rank FROM ranked WHERE rank <= {PMI_TOP_K}
     """,
+    "events_locf_fill": """
+        SELECT user_id, event_id, ts,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+        FROM events
+    """,
     "events_funnel": f"""
         WITH x AS (
           SELECT user_id, event_type, ts,
@@ -1400,6 +1430,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         ORACLES["embedding_norm_hist"],
     ),
     "events_funnel": (q_events_funnel, ORACLES["events_funnel"]),
+    "events_locf_fill": (q_events_locf_fill, ORACLES["events_locf_fill"]),
     "text_pmi_bigrams": (q_text_pmi_bigrams, ORACLES["text_pmi_bigrams"]),
     "latest_order_per_customer": (
         q_latest_order_per_customer,
