@@ -52,54 +52,78 @@ SESSION_STATE_SCHEMA = "n bigint, start_us bigint, last_us bigint"
 
 def expiring_user_sessions(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
     """Event-time sessionization with STATE EVICTION — the full custom-
-    stateful pattern: per-user state accumulates (count, first/last event
-    time); when the watermark passes ``last_event + gap`` the state TIMES
-    OUT, the closed session is emitted exactly once, and the key's state
-    is removed (bounded memory under unbounded keys — the property
-    ``NoTimeout`` operators lack). Emits ONLY closed sessions; input must
-    carry a watermark on ``ts``.
+    stateful pattern: per-user state holds the OPEN session only (count,
+    first/last event time); when the watermark passes ``last_event + gap``
+    the state TIMES OUT, the closed session is emitted exactly once, and
+    the key's state is removed (bounded memory under unbounded keys — the
+    property ``NoTimeout`` operators lack). Input must carry a watermark
+    on ``ts``.
+
+    Gap semantics match the batch twin ``windows.session_windows`` minus
+    the ``+gap`` on the window end: a session BREAKS only when the
+    inter-event gap is strictly greater than ``gap_seconds`` (events
+    exactly ``gap`` apart merge). New events are sorted and split on gaps
+    *within* a batch too, so a user whose 10:00 and 11:00 events arrive
+    in one micro-batch still yields two sessions; every session closed by
+    an observed later event is emitted in that same batch, not held until
+    timeout. (A same-user event that is still above the watermark but
+    lands in an already-emitted gap would be assigned to a new session —
+    the inherent cost of emitting on split without buffering whole event
+    lists in state; the watermark bounds how late such an event can be.)
     """
-    import datetime
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(user_id, closed):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+                "session_start": pd.to_datetime(
+                    pd.Series([c[0] for c in closed], dtype="int64"), unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
+                ),
+                "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+            }
+        )
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         (user_id,) = key
         if state.hasTimedOut:
             n, start_us, last_us = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [
-                        datetime.datetime.utcfromtimestamp(start_us / 1e6)
-                    ],
-                    "session_end": [
-                        datetime.datetime.utcfromtimestamp(last_us / 1e6)
-                    ],
-                    "n_events": [n],
-                }
-            )
+            yield _emit(user_id, [(start_us, last_us, n)])
             return
+        chunks = [
+            (pdf["ts"].astype("int64") // 1000).to_numpy() for pdf in pdf_iter
+        ]
+        ts_us = np.sort(np.concatenate(chunks)) if chunks else np.array([], "int64")
         if state.exists:
             n, start_us, last_us = state.get
         else:
             n, start_us, last_us = 0, None, None
-        for pdf in pdf_iter:
-            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-            n += len(ts_us)
-            lo, hi = int(ts_us.min()), int(ts_us.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            last_us = hi if last_us is None else max(last_us, hi)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                n, start_us, last_us = 1, t, t
+            elif t - last_us > gap_us:
+                # gap observed in-stream: close the session NOW (the batch
+                # twin would split here too) instead of folding across it
+                closed.append((start_us, last_us, n))
+                n, start_us, last_us = 1, t, t
+            else:
+                n += 1
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
         state.update((n, start_us, last_us))
-        # close when the event-time watermark passes last event + gap
+        # the surviving open session closes when the event-time watermark
+        # passes its last event + gap
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype="int64"),
-                "session_start": pd.Series([], dtype="datetime64[us]"),
-                "session_end": pd.Series([], dtype="datetime64[us]"),
-                "n_events": pd.Series([], dtype="int64"),
-            }
-        )
+        yield _emit(user_id, closed)
 
     return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
         update,

@@ -358,6 +358,94 @@ def test_stateful_session_timeout_closes_and_evicts(spark, tmp_path):
     ] == [(1, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 5), 2)]
 
 
+def test_stateful_session_gap_splits_within_and_across_batches(spark, tmp_path):
+    """The ADVICE-flagged bug: events separated by more than the gap must
+    NOT merge into one session — neither when they arrive inside a single
+    micro-batch (10:00 + 11:00 together) nor when they arrive in separate
+    batches before the watermark closes the first session. Sessions closed
+    by an observed split are emitted immediately; the trailing open session
+    closes via EventTimeTimeout."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdatawarehouse_spark.streaming.stateful import expiring_user_sessions
+
+    d = tmp_path / "sess_gap_src"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(d / name))
+        os.utime(str(d / name), (mtime, mtime))
+
+    now = time.time()
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(d))
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        expiring_user_sessions(stream, gap_seconds=600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_gap_out")
+        .start()
+    )
+    try:
+        # batch 1: user 1 has an IN-BATCH gap (10:00,10:05 ... 11:00) ->
+        # the first session must be emitted from this very batch
+        write(
+            "b1.parquet",
+            [
+                (1, TS(2024, 1, 1, 10, 0)),
+                (1, TS(2024, 1, 1, 10, 5)),
+                (1, TS(2024, 1, 1, 11, 0)),
+            ],
+            now - 60,
+        )
+        q.processAllAvailable()
+        got1 = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_gap_out").collect()
+        }
+        assert got1 == {
+            (1, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 5), 2)
+        }
+        # batch 2: CROSS-BATCH gap for the same user (12:00 > 11:00+600s);
+        # watermark is still 10:59 so the 11:00 state has not timed out —
+        # the split itself must close it
+        write("b2.parquet", [(1, TS(2024, 1, 1, 12, 0))], now - 30)
+        q.processAllAvailable()
+        got2 = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_gap_out").collect()
+        }
+        assert got2 == got1 | {
+            (1, TS(2024, 1, 1, 11, 0), TS(2024, 1, 1, 11, 0), 1)
+        }
+        # batch 3: another user advances the watermark past 12:00+gap ->
+        # the trailing open session times out and closes
+        write("b3.parquet", [(2, TS(2024, 1, 1, 13, 0))], now)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got3 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_gap_out").collect()
+    }
+    assert got3 == got2 | {
+        (1, TS(2024, 1, 1, 12, 0), TS(2024, 1, 1, 12, 0), 1)
+    }
+
+
 def test_stateful_running_totals_equals_batch(spark, sf_dir):
     """applyInPandasWithState over one availableNow replay must equal the
     batch groupBy (counts exact; float sums to tolerance — pandas sums in a
