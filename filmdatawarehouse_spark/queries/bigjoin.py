@@ -1,0 +1,125 @@
+"""Large ⋈ large joins — the sort-merge / bucketed path certified.
+
+Round 2's gap: every oracle-checked join in the registry broadcast its
+small side, so the join strategy that actually runs at 100 TB (two big
+inputs, neither broadcastable → shuffle-and-sort-merge, or bucket-co-located
+with no shuffle at all) had plan tests but no CORRECTNESS row. These two
+queries close that:
+
+- ``join_bigbig_rollup`` — lineitem ⋈ orders on the order key with a
+  per-(priority, month) DECIMAL revenue rollup, forced onto the
+  SortMergeJoin path with a ``merge`` hint (at test SF the orders side
+  would otherwise fit under the broadcast threshold; at 100 TB, SMJ *is*
+  the default — the hint makes the tested plan the production plan).
+  Reference analog: the fact⋈fact generalization of the top-10 query shape
+  (`filmETLs.ipynb:579-586`) with both sides at fact scale.
+- ``join_bigbig_bucketed`` — the same rollup over copies of both sides
+  pre-bucketed on the join key (``io.sinks.write_bucketed``): the join
+  runs with NO exchange — shuffle paid once at write time, never per
+  query. Identical oracle, so the bucketed path's correctness is pinned
+  too, and ``tests/test_plan_hygiene.py`` asserts the exchange-free plan
+  of this exact registered query.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io.sinks import write_bucketed
+from filmdatawarehouse_spark.io.sources import read_table
+
+N_BUCKETS = 8
+_RUN_COUNTER = itertools.count()
+
+
+def _rollup(joined: DataFrame) -> DataFrame:
+    """Per-(orderpriority, yyyymm) revenue rollup; DECIMAL-exact sum so the
+    result is fold-order-independent, final DOUBLE cast at the compare
+    boundary (the engine's standard money recipe)."""
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        joined.groupBy(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    return li, o
+
+
+def q_join_bigbig_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact on the shuffle path: SortMergeJoin on l_orderkey =
+    o_orderkey (merge hint pins the at-scale strategy), then a two-phase
+    hash aggregate on the rollup keys."""
+    li, o = _sides(spark, sf_dir)
+    return _rollup(li.hint("merge").join(o, li.l_orderkey == o.o_orderkey))
+
+
+def q_join_bigbig_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same rollup over bucket-co-located copies of both sides: both
+    tables are written bucketed+sorted on the join key (8 buckets), so the
+    sort-merge join needs neither exchange nor sort. The write is paid
+    inside this certification query; in production it is paid once at
+    ingest and amortized over every subsequent join."""
+    n = next(_RUN_COUNTER)
+    li_tbl, o_tbl = f"bb_lineitem_{n}", f"bb_orders_{n}"
+    tmp = tempfile.mkdtemp(prefix="fdw_bigjoin_")
+    # bucketed scans stopped reporting their sort order by default in
+    # Spark 3 (it pins one read partition per bucket); this engine enforces
+    # one-file-per-bucket at write time, so the trade is right: re-enable
+    # at runtime (the driver's vanilla session has no engine confs), and
+    # size n_buckets to the target parallelism at scale.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    li, o = _sides(spark, sf_dir)
+    # one file per bucket (repartition on the bucket key first): Spark only
+    # trusts the written sort order — and elides the join-side Sort — when a
+    # bucket is a single file
+    write_bucketed(
+        li.repartition(N_BUCKETS, "l_orderkey"),
+        li_tbl, "l_orderkey", N_BUCKETS, sort_by="l_orderkey",
+        path=f"{tmp}/{li_tbl}",
+    )
+    write_bucketed(
+        o.repartition(N_BUCKETS, "o_orderkey"),
+        o_tbl, "o_orderkey", N_BUCKETS, sort_by="o_orderkey",
+        path=f"{tmp}/{o_tbl}",
+    )
+    li_b, o_b = spark.table(li_tbl), spark.table(o_tbl)
+    return _rollup(li_b.hint("merge").join(o_b, li_b.l_orderkey == o_b.o_orderkey))
+
+
+BIGJOIN_ORACLE = """
+    SELECT o_orderpriority,
+           (year(o_orderdate) * 100 + month(o_orderdate))::INT AS order_month,
+           COUNT(*)::BIGINT AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+"""
+
+BIGJOIN_QUERIES = {
+    "join_bigbig_rollup": (q_join_bigbig_rollup, BIGJOIN_ORACLE),
+    "join_bigbig_bucketed": (q_join_bigbig_bucketed, BIGJOIN_ORACLE),
+}

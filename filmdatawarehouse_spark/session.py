@@ -62,6 +62,11 @@ def get_spark(
         # recompiles constantly (janino dominates re-run latency). 1000
         # entries keeps the whole query surface resident.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # Bucketed+sorted tables (io.sinks.write_bucketed) report their sort
+        # order to the planner, eliding the per-query Sort under merge joins.
+        # Costs one read partition per bucket — this engine writes one file
+        # per bucket and sizes n_buckets to the target parallelism.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

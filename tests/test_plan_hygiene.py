@@ -182,6 +182,51 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bigbig_join_is_sort_merge(spark, sf_dir):
+    """The REGISTERED large⋈large rollup must plan a SortMergeJoin — no
+    broadcast (neither side fits an executor at 100 TB) and no cartesian
+    fallback."""
+    from filmdatawarehouse_spark.queries.bigjoin import q_join_bigbig_rollup
+
+    tree = plan_of(q_join_bigbig_rollup(spark, sf_dir)).split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert "BroadcastHashJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_bigbig_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The REGISTERED bucketed variant: the join itself must be
+    exchange-free AND sort-free (bucketed+sorted layout supplies both);
+    the only exchange in the plan is the rollup aggregation's."""
+    from filmdatawarehouse_spark.queries.bigjoin import q_join_bigbig_bucketed
+
+    df = q_join_bigbig_bucketed(spark, sf_dir)
+    tree = plan_of(df).split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    # one exchange total: the groupBy's — none below the join
+    assert tree.count("Exchange") == 1
+    join_part = tree.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part and "Sort" not in join_part
+
+
+def test_driver_window_covers_priority_queries():
+    """The external driver certifies only the first 50 registry entries;
+    that window must contain every name DRIVER_PRIORITY pins (the round-2
+    never-verified set + operators changed this round), and every pinned
+    name must actually exist."""
+    from filmdatawarehouse_spark.queries.registry import (
+        DRIVER_PRIORITY,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    missing = [n for n in DRIVER_PRIORITY if n not in names]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+    window = set(names[:50])
+    must_cover = set(DRIVER_PRIORITY)
+    assert must_cover <= window, sorted(must_cover - window)
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # the formatted AQE plan hides codegen stages before execution; ask for
     # the codegen view explicitly
