@@ -76,13 +76,24 @@ def compact_parquet(
     dominates scans.
 
     The rewrite goes through a temp location (never read-and-overwrite the
-    same path in one job — the scan would see its own deletes), then
-    replaces the original atomically-enough for a single writer.
+    same path in one job — the scan would see its own deletes), then swaps
+    via two RENAMES (old aside → tmp into place → delete old): the table
+    is missing only for the instant between the renames, and a crash in
+    that window leaves BOTH copies on disk (the ``_compact_old`` dir is
+    the recovery point) — never a state where only the tmp copy survives.
+
+    LOCAL-FILESYSTEM ONLY: the swap uses POSIX renames, which object
+    stores (S3/GCS) don't have. On a remote store, do the same dance with
+    the Hadoop ``FileSystem`` API (rename is atomic-per-directory on HDFS)
+    or, better, run compaction through a table format (Delta/Iceberg
+    rewrite actions) whose commit protocol owns the swap.
     """
     import shutil
     import uuid
 
-    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}_compact_{token}"
+    old = f"{path.rstrip('/')}_compact_old_{token}"
     df = spark.read.parquet(path)
     writer = df.repartition(target_files).write.mode("overwrite")
     if partition_by:
@@ -91,8 +102,9 @@ def compact_parquet(
             "overwrite"
         ).partitionBy(*cols)
     writer.parquet(tmp)
-    shutil.rmtree(path)
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
 
 
 def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:

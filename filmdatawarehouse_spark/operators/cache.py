@@ -9,30 +9,48 @@ cache entries (and "already cached" warnings).
 
 ``managed_persist`` tracks every such frame; callers that materialize a
 returned plan (bench loops, tests, long-lived services) call
-``release_managed()`` afterwards to drop the cache blocks. Inside one
-query's execution the cache is still shared across branches — release only
-removes it for FUTURE executions, which then simply re-persist.
+``release_managed()`` afterwards to drop the cache blocks.
+
+The registry deliberately holds STRONG references: an operator typically
+drops its own handle right after building the derived plans (the registry
+is then the only live reference), and a weak registry could never
+unpersist those entries — exactly the leak this module exists to close.
+The cost is explicit ownership: **long-lived services MUST call
+``release_managed()`` once per request/batch**, or the registry grows by
+one entry per ``managed_persist`` call and pins every persisted frame
+alive until the session ends. Both functions are thread-safe (one lock
+around the registry; Spark's CacheManager handles concurrent
+persist/unpersist).
+
+Inside one query's execution the cache is still shared across branches —
+release only removes it for FUTURE executions, which then simply
+re-persist.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+_LOCK = threading.Lock()
 _MANAGED: list[DataFrame] = []
 
 
 def managed_persist(df: DataFrame) -> DataFrame:
     """Persist (MEMORY_AND_DISK) and register for later release."""
     df.persist()
-    _MANAGED.append(df)
+    with _LOCK:
+        _MANAGED.append(df)
     return df
 
 
 def release_managed() -> int:
     """Unpersist every registered frame; returns how many were released."""
+    with _LOCK:
+        frames, _MANAGED[:] = list(_MANAGED), []
     n = 0
-    while _MANAGED:
-        df = _MANAGED.pop()
+    for df in frames:
         try:
             df.unpersist()
             n += 1

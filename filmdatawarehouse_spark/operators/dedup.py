@@ -214,9 +214,21 @@ def hot_buckets(buckets: DataFrame, keys: list[str], cap: int) -> DataFrame:
 
 
 def _drop_hot_buckets(
-    buckets: DataFrame, keys: list[str], cap: int | None
+    buckets: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
+    """Guard is PAY-AS-YOU-GO: when the caller knows a cheap upper bound on
+    any group's size (``max_group_rows`` — for LSH/SimHash/IVF bucketing
+    that's simply the corpus row count, one metadata-cheap ``count()``)
+    and the bound proves no bucket can exceed ``cap``, the census
+    aggregation + anti-join are skipped entirely — identical output, zero
+    guard cost. The census only runs when a hot bucket is actually
+    possible."""
     if cap is None:
+        return buckets
+    if max_group_rows is not None and max_group_rows <= cap:
         return buckets
     hot = hot_buckets(buckets, keys, cap).select(*keys)
     # the hot set is tiny → broadcast anti-join; the big bucket frame keeps
@@ -231,6 +243,7 @@ def lsh_candidate_pairs(
     num_perm: int = NUM_PERM,
     band_rows: int = BAND_ROWS,
     bucket_cap: int | None = BUCKET_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Banding: bucket = md5 of the band's signature slice; candidates are
     pairs sharing any (band, bucket) — an equi-join, never a cross join.
@@ -241,7 +254,9 @@ def lsh_candidate_pairs(
     for near-duplicate pairs that share most bands, that needs corpus-wide
     boilerplate duplication across all of them; the exact-verify tail means
     the guard can only lose recall, never precision. Pass ``None`` to
-    disable; use ``hot_buckets`` to audit what a cap would drop.
+    disable; use ``hot_buckets`` to audit what a cap would drop. Passing
+    ``n_docs`` (the corpus row count — an upper bound on any bucket) lets
+    the guard skip its census when no bucket can be hot.
     """
     n_bands = num_perm // band_rows
     bands = F.array(
@@ -261,7 +276,9 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.posexplode(bands).alias("band", "bucket")
     )
-    buckets = _drop_hot_buckets(buckets, ["band", "bucket"], bucket_cap)
+    buckets = _drop_hot_buckets(
+        buckets, ["band", "bucket"], bucket_cap, max_group_rows=n_docs
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -295,6 +312,7 @@ def minhash_dedup_pairs(
     seed: int = 42,
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard ≥ threshold.
 
@@ -306,7 +324,7 @@ def minhash_dedup_pairs(
     shingled = word_shingle_frame(docs, id_col, text_col, shingle_words)
     return _lsh_verified_pairs(
         shingled, threshold, id_col, num_perm, seed, cache=cache,
-        bucket_cap=bucket_cap,
+        bucket_cap=bucket_cap, n_docs=n_docs,
     )
 
 
@@ -319,6 +337,7 @@ def _lsh_verified_pairs(
     band_rows: int = BAND_ROWS,
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Shared LSH-candidates + exact-Jaccard-verify tail.
 
@@ -334,7 +353,8 @@ def _lsh_verified_pairs(
         shingled, F.col("shingles"), id_col, num_perm, seed, keep_shingles=True
     )
     return _verified_pairs_from_sigs(
-        sigs, threshold, id_col, num_perm, band_rows, cache, bucket_cap
+        sigs, threshold, id_col, num_perm, band_rows, cache, bucket_cap,
+        n_docs=n_docs,
     )
 
 
@@ -346,13 +366,16 @@ def _verified_pairs_from_sigs(
     band_rows: int = BAND_ROWS,
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Banding candidates + exact-Jaccard verify over a prebuilt
     (id, sig_*, shingles) frame (persisted so the three plan branches share
     the one Python stage)."""
     if cache:
         sigs = managed_persist(sigs)
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, band_rows, bucket_cap)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_perm, band_rows, bucket_cap, n_docs=n_docs
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -453,6 +476,7 @@ def ngram_jaccard_pairs(
     seed: int = 42,
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by byte-n-gram Jaccard ≥ threshold — the MinHash
     +LSH candidate machinery over the fused shingle+signature stage
@@ -467,7 +491,7 @@ def ngram_jaccard_pairs(
     sigs = byte_ngram_signatures(docs, n, id_col, text_col, num_perm, seed)
     return _verified_pairs_from_sigs(
         sigs, threshold, id_col, num_perm, band_rows, cache=cache,
-        bucket_cap=bucket_cap,
+        bucket_cap=bucket_cap, n_docs=n_docs,
     )
 
 
@@ -516,6 +540,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = BUCKET_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ hamming_max.
 
@@ -554,7 +579,9 @@ def simhash_pairs(
             )
         ).alias("blk", "blk_val"),
     )
-    blocks = _drop_hot_buckets(blocks, ["blk", "blk_val"], bucket_cap)
+    blocks = _drop_hot_buckets(
+        blocks, ["blk", "blk_val"], bucket_cap, max_group_rows=n_docs
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(
@@ -606,6 +633,12 @@ def dup_clusters(
 
     Returns (id_col, cluster_id). The SQL oracle replays it as a recursive
     transitive closure (WITH RECURSIVE + min per node).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iters`` rounds — silently returning partially-propagated labels
+    would hand the caller WRONG clusters (ADVICE r2). A component whose
+    diameter legitimately exceeds the bound needs a larger ``max_iters``
+    or the large-star/small-star variant, not a truncated answer.
     """
     edges = pairs.select(
         F.col(a_col).alias("_src"), F.col(b_col).alias("_dst")
@@ -641,6 +674,12 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            f"rounds ({changed} labels still changing); raise max_iters or "
+            "use a star-contraction variant for high-diameter graphs"
+        )
     return labels
 
 
@@ -742,6 +781,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     n_blocks: int = 8,
+    localize_max: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact cosine ≥ threshold.
 
@@ -766,18 +806,30 @@ def embedding_cosine_pairs(
     (operators/similarity.py) in front; this exact form is the correctness
     anchor the approximate path is measured against.
     Returns (vec_id_a, vec_id_b, cosine).
+
+    Candidate volume is corpus-dependent (a boilerplate-heavy corpus near
+    the threshold can emit a large fraction of n²), so localization is
+    GUARDED by a count: at most ``localize_max`` pairs are pulled to a
+    LocalRelation (cheap broadcast, no Python-stage re-run per join
+    branch); above the bound — or with ``localize_max=0`` — candidates
+    stay distributed and the re-score shuffle-joins them exactly like the
+    ANN path. Either branch computes over the same persisted candidate
+    frame, so the GEMM stage runs once.
     """
     spark = emb.sparkSession
     base = emb.select(id_col, vec_col)
 
     cand_schema = "vec_id_a long, vec_id_b long"
-    # localize the (small) candidate set so the re-score joins get a cheap
-    # LocalRelation broadcast instead of re-running the Python stage per join
-    cand_pdf = embedding_cosine_candidates(
-        base, threshold, id_col, vec_col, n_blocks
-    ).toPandas()
-    cand = spark.createDataFrame(cand_pdf, cand_schema)
-    return _exact_cosine_rescore(emb, cand, threshold, id_col, vec_col, dim)
+    cand = managed_persist(
+        embedding_cosine_candidates(base, threshold, id_col, vec_col, n_blocks)
+    )
+    if cand.count() <= localize_max:
+        # small by count (not by hope): LocalRelation broadcast
+        cand = spark.createDataFrame(cand.toPandas(), cand_schema)
+        return _exact_cosine_rescore(emb, cand, threshold, id_col, vec_col, dim)
+    return _exact_cosine_rescore(
+        emb, cand, threshold, id_col, vec_col, dim, broadcast_cand=False
+    )
 
 
 def _exact_cosine_rescore(
@@ -842,6 +894,7 @@ def embedding_cosine_pairs_ann(
     vec_col: str = "embedding",
     dim: int | None = None,
     bucket_cap: int | None = None,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE near-duplicate pairs by cosine — the sub-quadratic
     embedding-dedup path for corpora where even distributed exact GEMM is
@@ -893,7 +946,9 @@ def embedding_cosine_pairs_ann(
             assign, f"{id_col} long, list_id long"
         )
     )
-    buckets = _drop_hot_buckets(buckets, ["list_id"], bucket_cap)
+    buckets = _drop_hot_buckets(
+        buckets, ["list_id"], bucket_cap, max_group_rows=n_vecs
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

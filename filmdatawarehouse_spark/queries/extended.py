@@ -63,21 +63,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_dedup_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=JACCARD_T
-    )
+    # n_docs: one zero-column parquet count; lets the hot-bucket guard skip
+    # its census whenever no bucket can exceed the cap
+    d = read_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(d, threshold=JACCARD_T, n_docs=d.count())
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=NGRAM_T
-    )
+    d = read_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=NGRAM_T, n_docs=d.count())
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_pairs(
-        read_table(spark, sf_dir, "documents"), hamming_max=HAMMING_MAX
-    )
+    d = read_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, hamming_max=HAMMING_MAX, n_docs=d.count())
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +91,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one survivor per component). Iterative min-label propagation in Spark;
     recursive transitive closure in the oracle."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
     return dd.dup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -426,12 +425,16 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode), unigram counts, corpus totals — all two-phase aggregates.
     The probability RATIO is assembled with pinned IEEE ops; the single
     ``ln`` runs in an Arrow stage with glibc log (the JVM-vs-libm ulp
-    issue, same as text_tfidf). Top-K with full tiebreak."""
+    issue, same as text_tfidf).
+
+    Top-K via ``orderBy().limit()`` → TakeOrderedAndProject (per-partition
+    partial top-K, no single-partition shuffle of the full vocabulary² —
+    the round-2 scale smell); ``rank`` is then attached by a one-batch
+    Arrow stage over the ≤PMI_TOP_K survivors, so no unpartitioned
+    WindowExec appears anywhere in the plan."""
     import math
 
     import pandas as pd
-
-    from pyspark.sql.window import Window
 
     docs = read_table(spark, sf_dir, "documents")
     toks = F.filter(
@@ -485,11 +488,29 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_pmi = scored.mapInPandas(
         ln_stage, "w1 string, w2 string, c_ab bigint, pmi double"
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
-    return (
-        with_pmi.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= PMI_TOP_K)
-        .select("w1", "w2", "c_ab", "pmi", "rank")
+    top = with_pmi.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOP_K)
+
+    def rank_stage(batches):
+        # single input partition (limit) — gather, re-sort for safety
+        # against batch splits, assign 1..K (ASCII corpus: pandas object
+        # sort == Spark UTF8 binary order)
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        all_rows = (
+            pd.concat(pdfs, ignore_index=True)
+            .sort_values(["pmi", "w1", "w2"], ascending=[False, True, True])
+            .reset_index(drop=True)
+        )
+        all_rows["rank"] = pd.Series(
+            range(1, len(all_rows) + 1), dtype="int32"
+        )
+        yield all_rows
+
+    return top.mapInPandas(
+        rank_stage, "w1 string, w2 string, c_ab bigint, pmi double, rank int"
     )
 
 

@@ -190,6 +190,32 @@ def test_hot_bucket_guard_bounds_candidates(spark):
     assert dd.simhash_pairs(docs, 3, bucket_cap=10).count() == 0
 
 
+def test_hot_bucket_guard_is_pay_as_you_go(spark):
+    """When the caller-supplied corpus bound proves no bucket can exceed
+    the cap, the census aggregation must vanish from the plan — and when
+    the bound does NOT prove it, the guard must still fire."""
+    text = "same boilerplate text repeated across the corpus " * 3
+    docs = literal_rows(
+        spark,
+        [dict(doc_id=i, text=text) for i in range(40)],
+        DOC_SCHEMA,
+    )
+    shingled = dd.word_shingle_frame(docs)
+    sigs = dd.minhash_signatures(
+        shingled, F.col("shingles"), "doc_id", keep_shingles=True
+    )
+    # bound 40 <= cap 64: guard provably idle -> no census aggregate on the
+    # candidate side of the plan (join-side re-aggregation would show as an
+    # extra Aggregate over the bucket frame)
+    skipped = dd.lsh_candidate_pairs(sigs, bucket_cap=64, n_docs=40)
+    assert "bucket_size" not in skipped._jdf.queryExecution().analyzed().toString()
+    assert skipped.count() == 40 * 39 // 2
+    # bound above the cap: the census must still drop the degenerate bucket
+    assert (
+        dd.minhash_dedup_pairs(docs, 0.8, bucket_cap=10, n_docs=40).count() == 0
+    )
+
+
 def test_dup_clusters_chain_and_singletons(spark):
     """Label propagation must cross multi-hop chains (1-2, 2-3, 3-4 → one
     cluster rooted at 1) and leave singletons alone."""
@@ -199,6 +225,26 @@ def test_dup_clusters_chain_and_singletons(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dd.dup_clusters(ids, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    """A diameter beyond max_iters must RAISE, not return half-propagated
+    (wrong) labels (ADVICE r2): a 5-hop chain cannot converge in one
+    round."""
+    import pytest
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dup_clusters(ids, chain, max_iters=1)
+    # and a sufficient bound still converges to the chain root
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.dup_clusters(ids, chain, max_iters=10).collect()
+    }
+    assert got == {i: 1 for i in range(1, 7)}
 
 
 def test_byte_ngram_signatures_short_doc_skipped(spark):

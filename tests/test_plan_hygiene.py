@@ -108,6 +108,25 @@ def test_embedding_candidates_are_distributed(spark, sf_dir):
     assert "base.toPandas" not in src and ".collect()" not in src
 
 
+def test_exact_cosine_rescore_distributed_above_bound(spark, sf_dir):
+    """The exact path's candidate localization is gated on a COUNT: above
+    ``localize_max`` (forced here with 0) candidates stay distributed —
+    no LocalRelation of the pair set in the plan — and the result is
+    identical to the localized fast path."""
+    from filmdatawarehouse_spark.io.sources import read_table
+    from filmdatawarehouse_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dist = embedding_cosine_pairs(emb, localize_max=0)
+    plan = plan_of(dist)
+    assert "LocalTableScan" not in plan and "LocalRelation" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # candidate stage inline
+    local = embedding_cosine_pairs(emb)
+    got = {(r.vec_id_a, r.vec_id_b, r.cosine) for r in dist.collect()}
+    want = {(r.vec_id_a, r.vec_id_b, r.cosine) for r in local.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_fact_readback_prunes_partitions(spark, sf_dir, tmp_path):
     """A date-filtered read of a write_fact output must prune at the
     PARTITION level (PartitionFilters in the scan), not post-filter rows —
@@ -207,6 +226,18 @@ def test_bigbig_bucketed_join_has_no_exchange(spark, sf_dir):
     assert tree.count("Exchange") == 1
     join_part = tree.split("SortMergeJoin")[-1]
     assert "Exchange" not in join_part and "Sort" not in join_part
+
+
+def test_pmi_topk_avoids_single_partition_window(spark, sf_dir):
+    """text_pmi_bigrams ranks with TakeOrderedAndProject (per-partition
+    partial top-K), never an unpartitioned WindowExec over the full scored
+    bigram set — the round-2 'weak' plan smell."""
+    from filmdatawarehouse_spark.queries.extended import q_text_pmi_bigrams
+
+    plan = plan_of(q_text_pmi_bigrams(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Window" not in tree
 
 
 def test_driver_window_covers_priority_queries():
