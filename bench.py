@@ -1,8 +1,10 @@
 """Benchmark harness: times the engine's headline queries at one SF.
 
 Prints exactly ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <float>}
+  {"metric": "...", "value": <total cold sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...},            # COLD: caches released per run
+   "queries_warm": {"<name>": sec, ...},       # WARM: persisted stages kept
+   "value_warm": <total warm sec>, "sf": <float>}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -11,6 +13,27 @@ Each query is forced to full materialization with the `noop` sink (all
 columns computed, nothing written), so timings reflect real operator work,
 not count() shortcuts. One warm-up of a trivial job excludes JVM/codegen
 startup from the first measured query.
+
+Cold/warm protocol (round-3 change, VERDICT r2 item 7): round 1's min-of-2
+accidentally measured warm caches (persisted signature frames leaked across
+passes), round 2 released caches per run — honest, but it made rounds
+incomparable. Both axes are now explicit:
+
+- COLD ("queries"/"value", the headline): `release_managed()` after every
+  timed run — each run re-executes its Python stages; min over 2
+  interleaved suite passes absorbs the VM's multi-second stalls.
+- WARM ("queries_warm"/"value_warm"): persisted frames are kept across
+  runs and passes (steady-state of a long-lived service re-running its
+  workload); min over 2 interleaved passes, caches dropped only at the end.
+
+Notes:
+- `join_bigbig_bucketed` pays its bucketed TABLE WRITE inside the timed
+  run (certification shape); production pays that once at ingest, so read
+  its delta vs `join_bigbig_rollup` as write-cost + exchange-free join.
+- The hot-bucket guard census is count-gated (operators/dedup.py): at SFs
+  where the corpus bound proves no bucket can be hot it costs zero; at
+  sf0.1 (5000 docs > cap 1024) the census runs — its measured cost is the
+  dedup-family cold delta vs a bucket_cap=None run (see README bench note).
 """
 
 from __future__ import annotations
@@ -36,6 +59,9 @@ HEADLINE = [
     "top10_parts",
     "filtered_daily_series",
     "sql_passthrough",
+    # big-join surface
+    "join_bigbig_rollup",
+    "join_bigbig_bucketed",
     # extended surface
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -65,6 +91,7 @@ def main() -> None:
 
     from filmdatawarehouse_spark.session import get_spark
     from filmdatawarehouse_spark.queries.registry import all_queries
+    from filmdatawarehouse_spark.operators.cache import release_managed
 
     spark = get_spark("fdw-bench")
     registry = all_queries()
@@ -76,33 +103,39 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # min over 2 interleaved passes of the whole suite: steady-state timing,
-    # robust to the multi-second JVM/VM pauses local mode occasionally hits
-    # (pauses cluster in time, so interleaving separates a query's attempts).
-    timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            if name not in registry:
-                continue
-            fn, _ = registry[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, dt), dt), 4)
-            # drop caches the dedup operators persisted for intra-query
-            # branch sharing — each timed run starts cold
-            from filmdatawarehouse_spark.operators.cache import release_managed
+    names = [n for n in HEADLINE if n in registry]
 
-            release_managed()
+    def run_suite(timings: dict[str, float], release_each: bool) -> None:
+        # min over 2 interleaved passes of the whole suite: steady-state
+        # timing, robust to the multi-second JVM/VM pauses local mode
+        # occasionally hits (pauses cluster in time; interleaving separates
+        # a query's attempts).
+        for _pass in range(2):
+            for name in names:
+                fn, _ = registry[name]
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                timings[name] = round(min(timings.get(name, dt), dt), 4)
+                if release_each:
+                    release_managed()
 
-    total = round(sum(timings.values()), 4)
+    cold: dict[str, float] = {}
+    run_suite(cold, release_each=True)
+
+    warm: dict[str, float] = {}
+    run_suite(warm, release_each=False)
+    release_managed()
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
+                "value": round(sum(cold.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 4),
                 "sf": sf,
             }
         )

@@ -128,6 +128,62 @@ def test_jdbc_roundtrip_partitioned_read(spark, sf_dir):
     assert back.count() == 2 * len(expected)
 
 
+def test_mysql_dialect_connection_shape(spark, sf_dir):
+    """Pin the MySQL-dialect connection contract (the reference's one
+    connector, dags/rentalFilmDAG.py:15-20) without a MySQL server:
+
+    1. the helper builds a credential-free URL and delivers the password
+       VERBATIM in options (the reference must quote_plus it into the DSN;
+       JDBC options need no quoting — quoting would break auth);
+    2. credentials-as-options do not disturb a real JDBC read (Derby
+       ignores them without auth configured);
+    3. sessionInitStatement is genuinely EXECUTED per connection: a valid
+       statement leaves the read intact, an invalid one fails it.
+    """
+    from filmdatawarehouse_spark.io.sinks import write_jdbc_append
+    from filmdatawarehouse_spark.io.sources import (
+        MYSQL_DRIVER,
+        mysql_connection,
+        read_jdbc_table,
+    )
+
+    nasty_password = "p@ss:word/with%weird&chars+ "
+    url, opts = mysql_connection(
+        "db.internal", 3306, "sakila", "etl_user", nasty_password
+    )
+    assert url == "jdbc:mysql://db.internal:3306/sakila"
+    assert nasty_password not in url  # never in the DSN, unlike SQLAlchemy
+    assert opts["password"] == nasty_password  # verbatim, unquoted
+    assert opts["driver"] == MYSQL_DRIVER
+    assert opts["sessionInitStatement"] == "SET time_zone = '+00:00'"
+
+    # option plumbing against a real JDBC database (embedded Derby):
+    derby_url = "jdbc:derby:memory:fdwdialect;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_jdbc_append(src, derby_url, "nation_dim", **drv)
+    # (Derby proves the user option is DELIVERED by switching the default
+    # schema to it — qualify the table written under APP)
+    back = read_jdbc_table(
+        spark,
+        derby_url,
+        "APP.nation_dim",
+        user="etl_user",
+        password=nasty_password,
+        sessionInitStatement="VALUES 1",  # Derby-valid no-op, runs per conn
+        **drv,
+    )
+    assert back.count() == src.count()
+    with pytest.raises(Exception, match="(?i)syntax|lexical"):
+        read_jdbc_table(
+            spark,
+            derby_url,
+            "nation_dim",
+            sessionInitStatement="DEFINITELY NOT SQL",
+            **drv,
+        ).count()
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
