@@ -1,0 +1,239 @@
+"""Corpus-curation operators a large-scale LLM training-data pipeline needs
+beyond dedup: benchmark decontamination, stratified sampling, sequence
+packing, and PII redaction.
+
+No reference analog (the reference is a rental-film star schema,
+SURVEY.md §2) — this is the engine's extended surface, same contract as the
+dedup/similarity/text families: every operator is a lazy DataFrame
+transform built from JVM-side expressions (no Python in the hot path), each
+registered query has a DuckDB oracle replaying the exact semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization shared by the operators (must stay SQL-replayable)
+# ---------------------------------------------------------------------------
+
+
+def _words(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the oracle twin is
+    ``list_filter(regexp_split_to_array(lower(text),'\\s+'), w -> w <> '')``."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def word_ngrams(text_col: str | Column, n: int) -> Column:
+    """Space-joined word n-grams (distinct), built from a BOUND token array
+    (never re-evaluate split inside the lambda — Catalyst re-evaluates per
+    reference; callers select ``_words`` into a named column first when
+    chaining)."""
+    words = _words(text_col)
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination by exact word n-gram overlap: for every
+    candidate document, how many distinct n-grams it shares with the
+    benchmark corpus (``contaminated`` = shares at least one). The standard
+    pre-training hygiene pass (filter eval-set leakage before training).
+
+    Shape at scale: benchmark gram sets are small relative to the corpus
+    (an eval suite, not a second corpus) → distinct bench grams BROADCAST
+    to a hash join against the exploded candidate grams; the per-doc
+    aggregate is two-phase on ``id_col``. Candidates never shuffle their
+    text — only (id, gram) rows after the explode. For a benchmark too big
+    to broadcast, the same plan works as a shuffle join; at that point
+    bucket both sides on the gram.
+
+    Returns every candidate row: (id_col, n_hit_grams, contaminated).
+    """
+    cand_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_gram")
+    )
+    bench_grams = (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("_gram"))
+        .distinct()
+    )
+    hits = (
+        cand_grams.join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+HASH_SPACE = float(1 << 60)
+
+
+def _unit_hash(key: Column) -> Column:
+    """Deterministic uniform-ish u ∈ [0,1) from a key — the engine's
+    portable md5 recipe (60 bits; DuckDB twin:
+    ``('0x' || substr(md5(k),1,15))::BIGINT / 2^60``)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(HASH_SPACE)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: a row survives iff
+    ``hash(key)/2^60 < rate(stratum)`` — the corpus-balancing primitive
+    (up/down-weight sources, languages, quality tiers) that is stable
+    under corpus growth and re-runs (no RNG, no seed plumbing: adding rows
+    never flips existing decisions, unlike ``df.sample``).
+
+    Pure map-side filter — no shuffle, fully pushdown-friendly above the
+    scan. ``rates`` maps stratum value → keep probability.
+    """
+    rate = None
+    for value, r in sorted(rates.items()):
+        cond = F.when(F.col(stratum_col) == value, F.lit(float(r)))
+        rate = cond if rate is None else rate.when(
+            F.col(stratum_col) == value, F.lit(float(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return df.filter(_unit_hash(F.col(key_col)) < rate)
+
+
+# ---------------------------------------------------------------------------
+# 3. sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_documents(
+    docs: DataFrame,
+    window: int = 256,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated in
+    deterministic order and cut into fixed ``window``-token training
+    sequences; each document reports the token span and chunk range it
+    lands in. This is the standard LLM pre-training packing layout (docs
+    may straddle chunk boundaries; chunk count ≈ total_tokens/window with
+    zero padding waste).
+
+    Scale shape: packing is per-SHARD (``shard = id mod n_shards`` — the
+    output-file unit every real pipeline packs within), so the running
+    token offset is a window PARTITIONED by shard — distributed, never a
+    global single-partition cumsum. Raise ``n_shards`` with the corpus;
+    the assignment is embarrassingly parallel.
+
+    Returns (id_col, shard, n_tokens, start_tok, chunk_first, chunk_last)
+    for docs with ≥1 token.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(_words(text_col)).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    with_off = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return with_off.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok DIV {window}").cast("bigint").alias("chunk_first"),
+        F.expr(f"(start_tok + n_tokens - 1) DIV {window}")
+        .cast("bigint")
+        .alias("chunk_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. PII redaction
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PHONE_RE = r"\+\d[\d-]{6,14}\d"
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / international-format phone numbers,
+    reporting per-document match counts — the minimum-viable PII pass of a
+    web-corpus pipeline (swap in dictionary/NER stages behind the same
+    frame contract when available).
+
+    Patterns are deliberately restricted to syntax BOTH regex engines
+    (java.util.regex here, RE2 in the DuckDB oracle) implement
+    identically: character classes, bounded repetition, ``\\b`` — no
+    lookaround, no backreferences. Counts are taken stage-by-stage
+    (emails stripped before IPs are counted) so overlapping matches can't
+    diverge between engines.
+
+    Returns (id_col, clean_text, n_emails, n_ips, n_phones).
+    """
+    aug = F.col(text_col)
+    no_email = F.regexp_replace(aug, EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, IPV4_RE, "<IP>")
+    no_phone = F.regexp_replace(no_ip, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        no_phone.alias("clean_text"),
+        F.size(F.regexp_extract_all(aug, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(no_ip, F.lit(PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+    )

@@ -1,0 +1,180 @@
+"""Oracle-checked queries for the corpus-curation operators
+(operators/curation.py): decontamination, stratified sampling, sequence
+packing, PII redaction. No reference analog (SURVEY.md §2 — the reference
+is a star-schema ETL); these are the engine's LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io.sources import read_table
+from filmdatawarehouse_spark.operators import curation as cu
+
+DECON_N = 5
+BENCH_MOD = 97
+SAMPLE_RATES = {"purchase": 0.5, "view": 0.1, "click": 0.25}
+SAMPLE_DEFAULT = 0.05
+PACK_WINDOW = 256
+PACK_SHARDS = 16
+
+Entry = tuple
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: candidates = docs outside the pseudo
+    eval set (doc_id % 97 != 0), benchmark = the rest; flag any candidate
+    sharing a distinct word 5-gram with the benchmark."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
+    cand = docs.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0)
+    return cu.decontaminate(cand, bench, n=DECON_N)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling of events by type (the corpus
+    rebalancing primitive) — md5-keyed, stable under growth and re-runs."""
+    e = read_table(spark, sf_dir, "events")
+    return cu.stratified_sample(
+        e.select("event_id", "event_type", "user_id"),
+        "event_type",
+        SAMPLE_RATES,
+        key_col="event_id",
+        default_rate=SAMPLE_DEFAULT,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of the document corpus into 256-token
+    training sequences, 16 shards — per-doc token spans + chunk ranges."""
+    return cu.pack_documents(
+        read_table(spark, sf_dir, "documents"),
+        window=PACK_WINDOW,
+        n_shards=PACK_SHARDS,
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents AUGMENTED with synthetic PII derived from
+    doc_id (the corpus itself is PII-free, which would leave the regex
+    machinery untested): both engines append the identical
+    email/IP/phone suffix, redaction must strip all three and count them."""
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com on 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 call +1555-01"),
+            (F.pmod(F.col("doc_id"), F.lit(90)) + 10).cast("string"),
+        ).alias("text"),
+    )
+    return cu.redact_pii(aug)
+
+
+_WORDS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+
+CURATION_ORACLES: dict[str, str] = {
+    "decontaminate_docs": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ), g AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(words[i:i+{DECON_N - 1}], ' ') AS gram
+          FROM (
+            SELECT doc_id, words,
+                   unnest(range(1, len(words) - {DECON_N} + 2)) AS i
+            FROM w
+          )
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0
+        ), hits AS (
+          SELECT g.doc_id, COUNT(*)::BIGINT AS n_hit_grams
+          FROM g JOIN bench USING (gram)
+          WHERE g.doc_id % {BENCH_MOD} <> 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+               (COALESCE(h.n_hit_grams, 0) > 0)::INT AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {BENCH_MOD} <> 0
+    """,
+    "stratified_sample_events": f"""
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+              / {float(1 << 60)!r}
+              < CASE event_type
+                  WHEN 'click' THEN 0.25
+                  WHEN 'purchase' THEN 0.5
+                  WHEN 'view' THEN 0.1
+                  ELSE {SAMPLE_DEFAULT!r} END
+    """,
+    "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 (doc_id % {PACK_SHARDS})::INT AS shard,
+                 len({_WORDS_SQL})::BIGINT AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, shard, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT
+                   - n_tokens AS start_tok
+          FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens, start_tok,
+               (start_tok // {PACK_WINDOW})::BIGINT AS chunk_first,
+               ((start_tok + n_tokens - 1) // {PACK_WINDOW})::BIGINT
+                 AS chunk_last
+        FROM o
+    """,
+    "redact_pii_docs": f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR
+                      || '@mail.example.com on 10.0.'
+                      || (doc_id % 256)::VARCHAR
+                      || '.7 call +1555-01'
+                      || (doc_id % 90 + 10)::VARCHAR AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '{cu.EMAIL_RE}', '<EMAIL>', 'g')
+                   AS no_email
+          FROM aug
+        ), s2 AS (
+          SELECT *,
+                 regexp_replace(no_email, '{cu.IPV4_RE}', '<IP>', 'g')
+                   AS no_ip
+          FROM s
+        )
+        SELECT doc_id,
+               regexp_replace(no_ip, '{cu.PHONE_RE}', '<PHONE>', 'g')
+                 AS clean_text,
+               len(regexp_extract_all(text, '{cu.EMAIL_RE}'))::INT
+                 AS n_emails,
+               len(regexp_extract_all(no_email, '{cu.IPV4_RE}'))::INT
+                 AS n_ips,
+               len(regexp_extract_all(no_ip, '{cu.PHONE_RE}'))::INT
+                 AS n_phones
+        FROM s2
+    """,
+}
+
+CURATION_QUERIES: dict[str, Entry] = {
+    "decontaminate_docs": (q_decontaminate, CURATION_ORACLES["decontaminate_docs"]),
+    "stratified_sample_events": (
+        q_stratified_sample,
+        CURATION_ORACLES["stratified_sample_events"],
+    ),
+    "pack_sequences": (q_pack_sequences, CURATION_ORACLES["pack_sequences"]),
+    "redact_pii_docs": (q_redact_pii, CURATION_ORACLES["redact_pii_docs"]),
+}

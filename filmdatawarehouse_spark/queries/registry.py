@@ -42,6 +42,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_bigbig_rollup",
     "join_bigbig_bucketed",
     "stream_sessions_final",
+    "decontaminate_docs",
+    "stratified_sample_events",
+    "pack_sequences",
+    "redact_pii_docs",
     # -- green in r1 / pytest but past r2's driver cap
     "window_topn_per_group",
     "rollup_order_stats",
@@ -82,10 +86,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_tfidf",
     "text_word_freq",
     "events_running_totals",
-    "events_gaps",
-    "grouping_sets_orders",
-    "events_funnel",
-    "events_locf_fill",
 )
 
 
@@ -125,6 +125,13 @@ def all_queries() -> dict[str, Entry]:
         from filmdatawarehouse_spark.queries.bigjoin import BIGJOIN_QUERIES
 
         registry.update(BIGJOIN_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.curation import CURATION_QUERIES
+
+        registry.update(CURATION_QUERIES)
     except ImportError:
         pass
 

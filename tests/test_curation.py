@@ -1,0 +1,175 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py):
+decontamination, deterministic stratified sampling, sequence packing, PII
+redaction. End-to-end oracle parity is covered by test_parity_queries; these
+pin the edge-case semantics the oracle corpus doesn't exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.operators import curation as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap_and_counts_distinct_grams(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    cand = _docs(
+        spark,
+        [
+            # shares three distinct 5-grams with bench
+            (1, "quick brown fox jumps over the lazy cat"),
+            (2, "completely different words here with no overlap at all"),
+            (3, "too short"),  # < n words -> zero grams, never contaminated
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in cu.decontaminate(cand, bench, n=5).collect()
+    }
+    assert got[1] == (3, 1)  # "quick..over", "brown..the", "fox..lazy"
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert set(got) == {1, 2, 3}  # every candidate reported, none dropped
+
+
+def test_decontaminate_gram_sets_are_distinct_per_doc(spark):
+    # repeated identical 5-gram in ONE candidate doc counts once
+    bench = _docs(spark, [(100, "a b c d e")])
+    cand = _docs(spark, [(1, "a b c d e x a b c d e")])
+    [row] = cu.decontaminate(cand, bench, n=5).collect()
+    assert row["n_hit_grams"] == 1
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_growth_stable(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    keep = cu.stratified_sample(df, "s", {"a": 0.5, "b": 0.0}, key_col="k")
+    first = {r["k"] for r in keep.collect()}
+    # re-run identical; no RNG
+    assert {r["k"] for r in keep.collect()} == first
+    # stratum b fully dropped, stratum a roughly half kept
+    assert all(k % 2 == 1 for k in first)
+    assert 30 <= len(first) <= 70
+    # growing the corpus never flips an existing decision
+    grown = spark.createDataFrame(
+        rows + [(i, "a") for i in range(200, 400)], "k bigint, s string"
+    )
+    kept_grown = {
+        r["k"]
+        for r in cu.stratified_sample(
+            grown, "s", {"a": 0.5, "b": 0.0}, key_col="k"
+        ).collect()
+    }
+    assert {k for k in kept_grown if k < 200} == first
+
+
+def test_stratified_sample_default_rate(spark):
+    df = spark.createDataFrame([(i, "zzz") for i in range(100)], "k bigint, s string")
+    assert cu.stratified_sample(df, "s", {"a": 1.0}, key_col="k").count() == 0
+    assert (
+        cu.stratified_sample(df, "s", {"a": 0.0}, key_col="k", default_rate=1.0).count()
+        == 100
+    )
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(10)], "k bigint, s string")
+    plan = cu.stratified_sample(df, "s", {"a": 0.5}, key_col="k")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pack_documents
+# ---------------------------------------------------------------------------
+
+
+def test_pack_documents_offsets_and_chunks(spark):
+    # one shard (n_shards=1) -> a single running offset in doc_id order
+    docs = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3"),  # 3 tokens, start 0
+            (2, "x1 x2"),  # 2 tokens, start 3
+            (3, ""),  # 0 tokens -> dropped
+            (4, "y1 y2 y3 y4"),  # 4 tokens, start 5
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in cu.pack_documents(docs, window=4, n_shards=1).collect()
+    }
+    assert 3 not in got
+    assert (got[1]["start_tok"], got[1]["chunk_first"], got[1]["chunk_last"]) == (0, 0, 0)
+    assert (got[2]["start_tok"], got[2]["chunk_first"], got[2]["chunk_last"]) == (3, 0, 1)
+    # doc 2 straddles the window=4 boundary (tokens 3..4)
+    assert (got[4]["start_tok"], got[4]["chunk_first"], got[4]["chunk_last"]) == (5, 1, 2)
+
+
+def test_pack_documents_shards_are_independent(spark):
+    docs = _docs(spark, [(i, "t1 t2") for i in range(1, 9)])
+    out = cu.pack_documents(docs, window=4, n_shards=2).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r["start_tok"])
+    # each shard's offsets restart at 0 and advance by 2
+    assert by_shard == {0: [0, 2, 4, 6], 1: [0, 2, 4, 6]}
+
+
+def test_pack_documents_window_is_partitioned(spark):
+    docs = _docs(spark, [(i, "a b") for i in range(1, 5)])
+    plan = (
+        cu.pack_documents(docs, window=4, n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "No Partition Defined" not in plan
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    docs = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a.user+x@site.example.org and b@c.io ip 10.0.0.7 "
+                "call +1555-0100 done",
+            ),
+            (2, "nothing sensitive here"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in cu.redact_pii(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 1, 1)
+    clean = got[1]["clean_text"]
+    assert "<EMAIL>" in clean and "<IP>" in clean and "<PHONE>" in clean
+    assert "@" not in clean and "10.0.0.7" not in clean and "+1555" not in clean
+    assert got[2]["clean_text"] == "nothing sensitive here"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_staged_counts_no_double_count(spark):
+    # the IP-ish digits inside an email must not count as an IP once the
+    # email is stripped first
+    docs = _docs(spark, [(1, "user@10.0.0.7.example.com says hi")])
+    [row] = cu.redact_pii(docs).collect()
+    assert row["n_emails"] == 1
+    assert row["n_ips"] == 0
