@@ -237,6 +237,33 @@ def _drop_hot_buckets(
     return buckets.join(F.broadcast(hot), keys, "left_anti")
 
 
+def _band_bucket_frame(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(id, band, bucket) rows for LSH banding: bucket = md5 of the band's
+    signature slice. Shared by the self-join (full-corpus dedup) and the
+    asymmetric delta⋈corpus (incremental dedup) candidate generators."""
+    n_bands = num_perm // band_rows
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * band_rows + r}").cast("string")
+                        for r in range(band_rows)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -258,24 +285,7 @@ def lsh_candidate_pairs(
     ``n_docs`` (the corpus row count — an upper bound on any bucket) lets
     the guard skip its census when no bucket can be hot.
     """
-    n_bands = num_perm // band_rows
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"sig_{b * band_rows + r}").cast("string")
-                        for r in range(band_rows)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(bands).alias("band", "bucket")
-    )
+    buckets = _band_bucket_frame(sigs, id_col, num_perm, band_rows)
     buckets = _drop_hot_buckets(
         buckets, ["band", "bucket"], bucket_cap, max_group_rows=n_docs
     )
@@ -387,6 +397,106 @@ def _verified_pairs_from_sigs(
             F.col("id_a").alias("doc_id_a"),
             F.col("id_b").alias("doc_id_b"),
             "jaccard",
+        )
+    )
+
+
+def incremental_dedup_flags(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    seed: int = 42,
+    bucket_cap: int | None = BUCKET_CAP,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the shape every
+    continuously-ingesting pipeline actually runs (the full self-join dedup
+    is the bootstrap; day-to-day work is delta-vs-corpus). Returns one row
+    per delta document: (id, exact_dup, near_dup, accept) where
+
+    - ``exact_dup`` — the delta text equals some corpus text verbatim,
+    - ``near_dup``  — word-shingle Jaccard ≥ ``threshold`` against some
+      corpus document (MinHash+LSH candidates, exact-Jaccard verified),
+    - ``accept``    — neither flag set: the document enters the corpus.
+
+    Scale shape: cost is driven by the DELTA, not the corpus. The exact
+    check is a semi-join on the text key; the near check joins delta band
+    buckets against corpus band buckets (an equi-join keyed by
+    (band, bucket) — never a corpus self-join), so corpus signatures are
+    computed once per batch here but in production are PERSISTED at ingest
+    and only scanned — the incremental marginal cost is
+    O(|delta| + matching buckets). Hot corpus buckets are capped like the
+    self-join path (``bucket_cap``; pass ``n_corpus`` to skip the census
+    when it cannot trigger). Short delta docs (< ``shingle_words`` words)
+    have no shingles and can only be exact-duplicates.
+    """
+    delta_ids = delta.select(F.col(id_col))
+
+    corpus_texts = corpus.select(F.col(text_col).alias("_t")).distinct()
+    exact = (
+        delta.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .join(corpus_texts, "_t", "left_semi")
+        .select(F.col(id_col), F.lit(1).alias("exact_dup"))
+    )
+
+    sig_c = managed_persist(
+        minhash_signatures(
+            word_shingle_frame(corpus, id_col, text_col, shingle_words),
+            F.col("shingles"), id_col, num_perm, seed, keep_shingles=True,
+        )
+    )
+    sig_d = managed_persist(
+        minhash_signatures(
+            word_shingle_frame(delta, id_col, text_col, shingle_words),
+            F.col("shingles"), id_col, num_perm, seed, keep_shingles=True,
+        )
+    )
+    buckets_c = _drop_hot_buckets(
+        _band_bucket_frame(sig_c, id_col, num_perm),
+        ["band", "bucket"], bucket_cap, max_group_rows=n_corpus,
+    )
+    buckets_d = _band_bucket_frame(sig_d, id_col, num_perm)
+    cands = (
+        buckets_d.withColumnRenamed(id_col, "_did")
+        .join(
+            buckets_c.withColumnRenamed(id_col, "_cid"),
+            ["band", "bucket"],
+        )
+        .select("_did", "_cid")
+        .distinct()
+    )
+    near = (
+        cands.join(
+            sig_d.select(F.col(id_col).alias("_did"), F.col("shingles").alias("_sh_d")),
+            "_did",
+        )
+        .join(
+            sig_c.select(F.col(id_col).alias("_cid"), F.col("shingles").alias("_sh_c")),
+            "_cid",
+        )
+        .filter(_jaccard(F.col("_sh_d"), F.col("_sh_c")) >= F.lit(threshold))
+        .select(F.col("_did").alias(id_col))
+        .distinct()
+        .withColumn("near_dup", F.lit(1))
+    )
+
+    return (
+        delta_ids.join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("exact_dup"), F.lit(0)).alias("exact_dup"),
+            F.coalesce(F.col("near_dup"), F.lit(0)).alias("near_dup"),
+            (
+                (F.coalesce(F.col("exact_dup"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("near_dup"), F.lit(0)) == 0)
+            )
+            .cast("int")
+            .alias("accept"),
         )
     )
 

@@ -46,6 +46,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_events",
     "pack_sequences",
     "redact_pii_docs",
+    "text_repetition_metrics",
+    "text_repetition_gate",
+    "dedup_incremental",
+    "embedding_quantize_codes",
+    "embedding_quantize_error",
     # -- green in r1 / pytest but past r2's driver cap
     "window_topn_per_group",
     "rollup_order_stats",
@@ -132,6 +137,27 @@ def all_queries() -> dict[str, Entry]:
         from filmdatawarehouse_spark.queries.curation import CURATION_QUERIES
 
         registry.update(CURATION_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.repetition import REPETITION_QUERIES
+
+        registry.update(REPETITION_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.incremental import INCREMENTAL_QUERIES
+
+        registry.update(INCREMENTAL_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.quantize import QUANTIZE_QUERIES
+
+        registry.update(QUANTIZE_QUERIES)
     except ImportError:
         pass
 
