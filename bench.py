@@ -4,7 +4,8 @@ Prints exactly ONE JSON line:
   {"metric": "...", "value": <total cold sec>, "unit": "sec",
    "queries": {"<name>": sec, ...},            # COLD: caches released per run
    "queries_warm": {"<name>": sec, ...},       # WARM: persisted stages kept
-   "value_warm": <total warm sec>, "sf": <float>}
+   "value_warm": <total warm sec>, "sf": <float>,
+   "errors": {"<name>": "<exc>"}, "n_errors": N}   # only when something broke
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -105,41 +106,66 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry]
 
-    def run_suite(timings: dict[str, float], release_each: bool) -> None:
+    def run_suite(
+        timings: dict[str, float], errors: dict[str, str], release_each: bool
+    ) -> None:
         # min over 2 interleaved passes of the whole suite: steady-state
         # timing, robust to the multi-second JVM/VM pauses local mode
         # occasionally hits (pauses cluster in time; interleaving separates
         # a query's attempts).
+        #
+        # Per-query fail-loud (VERDICT r03 item 4): round 3's single broken
+        # query aborted the whole bench with no numbers. Each timed run is
+        # isolated — a failure records an "errors" entry for that query and
+        # the rest of the suite still gets timed.
         for _pass in range(2):
             for name in names:
+                if name in errors:
+                    continue
                 fn, _ = registry[name]
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as exc:  # noqa: BLE001 — keep benching
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    timings.pop(name, None)
+                    print(
+                        f"bench: {name} FAILED: {errors[name]}",
+                        file=sys.stderr,
+                    )
+                    continue
                 dt = time.perf_counter() - t0
                 timings[name] = round(min(timings.get(name, dt), dt), 4)
                 if release_each:
-                    release_managed()
+                    try:
+                        release_managed()
+                    except Exception:
+                        pass
 
     cold: dict[str, float] = {}
-    run_suite(cold, release_each=True)
+    cold_errors: dict[str, str] = {}
+    run_suite(cold, cold_errors, release_each=True)
 
     warm: dict[str, float] = {}
-    run_suite(warm, release_each=False)
+    warm_errors: dict[str, str] = dict(cold_errors)  # don't retry known-broken
+    run_suite(warm, warm_errors, release_each=False)
     release_managed()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(cold.values()), 4),
-                "unit": "sec",
-                "queries": cold,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 4),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(cold.values()), 4),
+        "unit": "sec",
+        "queries": cold,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 4),
+        "sf": sf,
+    }
+    if cold_errors or warm_errors:
+        out["errors"] = warm_errors
+        out["n_errors"] = len(warm_errors)
+    print(json.dumps(out))
     spark.stop()
 
 

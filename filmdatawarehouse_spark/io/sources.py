@@ -21,11 +21,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     No ``.select`` here: column pruning + predicate pushdown happen when the
     caller's projection/filters reach the scan via Catalyst.
 
-    The ``events`` table is written with nanosecond parquet timestamps, which
-    Spark's vectorized reader rejects; read them as raw int64 nanos
-    (``nanosAsLong``) and rebuild a proper TIMESTAMP with exact integer
-    division (the corpus has no sub-microsecond components, so this is
-    lossless). Stays fully JVM-side and pushdown-friendly.
+    The ``events`` table's ``ts`` column is normalized to a proper
+    ``TIMESTAMP`` *adaptively*, by inspecting the dtype the running Spark
+    actually produced rather than assuming one engine-version contract:
+
+    - ``LongType`` — Spark 3.x with ``spark.sql.legacy.parquet.nanosAsLong``
+      surfaces nanosecond parquet timestamps as raw int64 nanos; rebuild with
+      exact integer division (the corpus has no sub-microsecond components,
+      so this is lossless).
+    - ``TimestampNTZType`` — Spark 4.x reads parquet
+      ``timestamp(isAdjustedToUTC=false)`` as TIMESTAMP_NTZ (and *ignores*
+      the legacy nanos conf); cast to TIMESTAMP — the session is pinned UTC,
+      so the wall-clock values become the same instants DuckDB sees.
+    - ``TimestampType`` — already what we want; pass through.
+
+    All three branches stay fully JVM-side and pushdown-friendly. The branch
+    taken under the installed Spark is pinned by ``tests/test_env_contract.py``.
     """
     # The engine's determinism contract (SURVEY.md §7 phase C) requires UTC
     # timestamps regardless of who built the session (the correctness driver
@@ -35,14 +46,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
+        # Harmless on Spark 4 (conf is dead); required on Spark 3 for the
+        # nano-timestamp corpus variant to be readable at all.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw  # already TIMESTAMP
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

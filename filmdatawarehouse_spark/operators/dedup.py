@@ -430,8 +430,11 @@ def incremental_dedup_flags(
     computed once per batch here but in production are PERSISTED at ingest
     and only scanned — the incremental marginal cost is
     O(|delta| + matching buckets). Hot corpus buckets are capped like the
-    self-join path (``bucket_cap``; pass ``n_corpus`` to skip the census
-    when it cannot trigger). Short delta docs (< ``shingle_words`` words)
+    self-join path (``bucket_cap``). ``n_corpus`` is an optional
+    externally-KNOWN row bound (e.g. from ingest metadata) that lets the
+    guard skip its census when no bucket can exceed the cap; never compute
+    a scan just to supply it — without it the census aggregation runs
+    distributed and produces the identical result. Short delta docs (< ``shingle_words`` words)
     have no shingles and can only be exact-duplicates.
     """
     delta_ids = delta.select(F.col(id_col))

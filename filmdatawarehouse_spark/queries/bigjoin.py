@@ -89,23 +89,41 @@ def q_join_bigbig_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-file-per-bucket at write time, so the trade is right: re-enable
     # at runtime (the driver's vanilla session has no engine confs), and
     # size n_buckets to the target parallelism at scale.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    li, o = _sides(spark, sf_dir)
-    # one file per bucket (repartition on the bucket key first): Spark only
-    # trusts the written sort order — and elides the join-side Sort — when a
-    # bucket is a single file
-    write_bucketed(
-        li.repartition(N_BUCKETS, "l_orderkey"),
-        li_tbl, "l_orderkey", N_BUCKETS, sort_by="l_orderkey",
-        path=f"{tmp}/{li_tbl}",
-    )
-    write_bucketed(
-        o.repartition(N_BUCKETS, "o_orderkey"),
-        o_tbl, "o_orderkey", N_BUCKETS, sort_by="o_orderkey",
-        path=f"{tmp}/{o_tbl}",
-    )
-    li_b, o_b = spark.table(li_tbl), spark.table(o_tbl)
-    return _rollup(li_b.hint("merge").join(o_b, li_b.l_orderkey == o_b.o_orderkey))
+    #
+    # SCOPED, not global (VERDICT r03 item 7): the conf is consulted at
+    # physical-planning time, so force planning inside the scope
+    # (queryExecution().executedPlan() — plan-only, launches no job; the
+    # Dataset caches it for the caller's later collect) and restore the
+    # prior value before returning.
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        li, o = _sides(spark, sf_dir)
+        # one file per bucket (repartition on the bucket key first): Spark
+        # only trusts the written sort order — and elides the join-side
+        # Sort — when a bucket is a single file
+        write_bucketed(
+            li.repartition(N_BUCKETS, "l_orderkey"),
+            li_tbl, "l_orderkey", N_BUCKETS, sort_by="l_orderkey",
+            path=f"{tmp}/{li_tbl}",
+        )
+        write_bucketed(
+            o.repartition(N_BUCKETS, "o_orderkey"),
+            o_tbl, "o_orderkey", N_BUCKETS, sort_by="o_orderkey",
+            path=f"{tmp}/{o_tbl}",
+        )
+        li_b, o_b = spark.table(li_tbl), spark.table(o_tbl)
+        result = _rollup(
+            li_b.hint("merge").join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        )
+        result._jdf.queryExecution().executedPlan()
+        return result
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 BIGJOIN_ORACLE = """

@@ -39,9 +39,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + F.lit(ID_SHIFT)).alias("doc_id"), "text")
     )
     delta = docs.filter(is_delta).select("doc_id", "text").unionAll(injected)
-    return dd.incremental_dedup_flags(
-        corpus, delta, threshold=THRESHOLD, n_corpus=corpus.count()
-    )
+    # No n_corpus: the corpus is a FILTERED scan, so sizing it costs a full
+    # pass over documents — at 100 TB an extra job per invocation for a
+    # guard the census aggregation handles distributed anyway (VERDICT r03
+    # item 6). n_corpus is for callers that KNOW a bound from ingest
+    # metadata, never something to compute eagerly here.
+    return dd.incremental_dedup_flags(corpus, delta, threshold=THRESHOLD)
 
 
 def _shingles(src: str) -> str:

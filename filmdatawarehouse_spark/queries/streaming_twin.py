@@ -114,3 +114,117 @@ def stream_sessions_final_oracle() -> str:
                COUNT(*)::BIGINT AS n_events
         FROM y GROUP BY user_id, sess
     """
+
+
+DEDUP_KEYS = ["user_id", "event_type"]
+
+
+def stream_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key emission counts from a REAL two-batch
+    ``dropDuplicatesWithinWatermark`` run over the events table — the
+    driver-certifiable twin of ``streaming.dedup.stream_dedup_exact``
+    (VERDICT r03 item 8: both stateful streaming paths need driver rows,
+    not just pytest coverage).
+
+    Protocol: split the table at the midpoint of its time range. Batch 1
+    (ts <= split) seeds per-key state with expiry ``first_ts + delay``
+    (delay = span/8); finishing batch 1 advances the watermark to
+    ``max_b1_ts - delay``, which EVICTS exactly the keys whose first
+    sighting is older than ``max_b1_ts - 2*delay``. Batch 2 (ts > split)
+    then re-emits evicted keys once and is silently deduped for retained
+    keys. The per-key emission count (1 or 2) is therefore a pure
+    function of event times — computable by the DuckDB oracle — while
+    being produced by the real streaming operator with real state
+    eviction. Which physical row is emitted per (key, batch) is
+    task-order-dependent, so the certified output is the deterministic
+    count, never the row.
+
+    Batch-2 event times all exceed the batch-1 watermark (ts > split >=
+    max_b1 > max_b1 - delay), so no input is ever late-dropped — emission
+    counts depend only on state eviction, the thing under test.
+
+    Scale note: like ``stream_sessions_final`` this twin materializes the
+    stream locally (temp dir + memory sink) because it is a CERTIFICATION
+    query; the production operator is the unbounded ``stream_dedup_exact``
+    with O(keys-per-watermark-window) state.
+    """
+    from filmdatawarehouse_spark.streaming.dedup import stream_dedup_exact
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    t_split = lo + (hi - lo) // 2
+    d_us = (hi - lo) // 8
+
+    tmp = tempfile.mkdtemp(prefix="fdw_stream_dedup_")
+    src = os.path.join(tmp, "src")
+    qname = f"stream_dedup_final_{next(_RUN_COUNTER)}"
+    try:
+        events.filter(F.unix_micros("ts") <= t_split).write.parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        deduped = stream_dedup_exact(
+            stream, DEDUP_KEYS, ts_col="ts", delay=f"{d_us} microseconds"
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: seed state, advance watermark
+            events.filter(F.unix_micros("ts") > t_split).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()  # batch 2: evicted keys re-emit
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        spark.table(qname)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_emissions"))
+    )
+
+
+def stream_dedup_final_oracle() -> str:
+    """The emission count in closed form: a key emits once per batch it
+    appears in, except batch 2 is suppressed when the key's batch-1 state
+    survived the inter-batch watermark (first_us + delay >= max_b1 -
+    delay). Integer-microsecond arithmetic throughout (epoch_us / DIV
+    twins) so both engines compute identical split and delay."""
+    return """
+        WITH bounds AS (
+          SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+        ), params AS (
+          SELECT lo + (hi - lo) // 2 AS t_split, (hi - lo) // 8 AS d_us
+          FROM bounds
+        ), b1 AS (
+          SELECT user_id, event_type, min(epoch_us(ts)) AS first_us
+          FROM events, params WHERE epoch_us(ts) <= t_split
+          GROUP BY user_id, event_type
+        ), mx AS (
+          SELECT max(epoch_us(ts)) AS m FROM events, params
+          WHERE epoch_us(ts) <= t_split
+        ), b2 AS (
+          SELECT DISTINCT user_id, event_type
+          FROM events, params WHERE epoch_us(ts) > t_split
+        )
+        SELECT
+          coalesce(b1.user_id, b2.user_id) AS user_id,
+          coalesce(b1.event_type, b2.event_type) AS event_type,
+          (CASE WHEN b1.user_id IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN b2.user_id IS NOT NULL
+                   AND (b1.user_id IS NULL
+                        OR b1.first_us + (SELECT d_us FROM params)
+                           < (SELECT m FROM mx) - (SELECT d_us FROM params))
+                  THEN 1 ELSE 0 END)::BIGINT AS n_emissions
+        FROM b1
+        FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    """

@@ -91,17 +91,28 @@ def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` file source over the events parquet — the streaming
-    twin of ``io.sources.read_table(spark, sf_dir, 'events')``. The nanos
-    timestamp is rebuilt exactly as in the batch reader."""
+    twin of ``io.sources.read_table(spark, sf_dir, 'events')``. The ``ts``
+    column is normalized to TIMESTAMP adaptively, mirroring the batch
+    reader's three branches (Spark-3 int64 nanos / Spark-4 TIMESTAMP_NTZ /
+    plain TIMESTAMP): a file stream needs an explicit schema, so probe the
+    parquet footer with a batch read and reuse exactly the schema the
+    running Spark produces."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file stream source watches a DIRECTORY; glob-filter to the one table
     raw = (
-        spark.readStream.schema(nanos_schema)
+        spark.readStream.schema(probe.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = probe.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_stream_to_memory(

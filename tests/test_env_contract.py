@@ -1,0 +1,76 @@
+"""Environment-contract smoke tests (VERDICT r03 item 5).
+
+The Spark 3→4 jump silently changed how the events parquet timestamps
+surface (nanosAsLong died; TIMESTAMP_NTZ appeared) and cost round 3 its
+entire gate. These tests pin every engine-version behavior the repo relies
+on, so the next engine upgrade is a one-test diagnosis instead of a
+27-failure archaeology dig.
+"""
+
+from __future__ import annotations
+
+import pyspark
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filmdatawarehouse_spark.io.sources import read_table
+
+def test_events_ts_reads_as_timestamp(spark, sf_dir):
+    """The single contract that broke round 3: whatever dtype the installed
+    Spark surfaces for the events parquet `ts` column, read_table must hand
+    downstream operators a proper TIMESTAMP."""
+    df = read_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+        f"read_table must normalize events.ts to TIMESTAMP, got "
+        f"{df.schema['ts'].dataType} under PySpark {pyspark.__version__}"
+    )
+    # And the values must be real instants, not nulls from a bad cast.
+    row = df.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    assert row["lo"] is not None and row["hi"] is not None
+    assert row["lo"].year >= 2000
+
+
+def test_events_raw_dtype_is_a_known_branch(spark, sf_dir):
+    """read_table handles exactly three raw dtypes for events.ts; if the
+    engine ever produces a fourth, fail HERE with a clear message rather
+    than deep in a query plan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dt = raw.schema["ts"].dataType
+    assert isinstance(
+        dt, (T.LongType, T.TimestampNTZType, T.TimestampType)
+    ), f"unhandled raw events.ts dtype {dt} under PySpark {pyspark.__version__}"
+
+
+def test_session_timezone_pinned_utc(spark, sf_dir):
+    read_table(spark, sf_dir, "region")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_timestamp_micros_signature(spark):
+    """timestamp_micros(long) → TIMESTAMP, used by the Spark-3 nanos branch."""
+    df = spark.range(1).select(
+        F.timestamp_micros(F.lit(1_700_000_000_000_000)).alias("t")
+    )
+    assert isinstance(df.schema["t"].dataType, T.TimestampType)
+    assert df.first()["t"].year == 2023
+
+
+def test_arrow_execution_enabled(spark):
+    """Every dedup/similarity Python stage assumes Arrow-batched transfer."""
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )
+
+
+def test_ntz_cast_is_utc_wallclock(spark):
+    """The Spark-4 branch relies on NTZ→TIMESTAMP cast preserving wall-clock
+    under a UTC session (same instants DuckDB computes on the raw parquet)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.sql(
+        "SELECT CAST(TIMESTAMP_NTZ '2024-01-02 03:04:05.678901' AS TIMESTAMP) AS t"
+    )
+    got = df.first()["t"]
+    assert (got.year, got.month, got.day, got.hour, got.minute, got.second, got.microsecond) == (
+        2024, 1, 2, 3, 4, 5, 678901
+    )
