@@ -81,7 +81,11 @@ HEADLINE = [
     "events_tumbling_window",
     "events_running_totals",
     "events_session_window",
+    "events_ohlc_hourly",
+    "events_range_window",
     "pipeline_curate_documents",
+    "chunk_documents",
+    "corpus_merge_priority",
 ]
 
 

@@ -237,3 +237,59 @@ def redact_pii(
             "n_phones"
         ),
     )
+
+
+PRIORITY_ENCODE = 10**12  # doc ids are < 1e12; priority*ENC + id is a total order
+
+
+def merge_corpora(
+    sources: list[tuple[DataFrame, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge several corpora into one deduplicated corpus, keeping ONE
+    survivor per exact text: the copy from the highest-priority source
+    (lowest ``priority`` number), ties broken by smallest id. The standard
+    shape for combining crawl dumps with curated sets — "books beats web
+    for the same text" — where survivorship must be deterministic so
+    re-runs and incremental refreshes agree.
+
+    ``sources`` is ``[(df, source_name, priority), ...]``; each df carries
+    (id, text).
+
+    Scale shape: ONE hash shuffle on the text key; survivorship is a
+    map-side-combinable aggregation (``min_by`` on the encoded
+    (priority, id) total order — never a window over a global sort). At
+    100 TB, group on ``md5(text)`` instead of raw text to cut shuffle
+    width (and re-verify the survivors' texts post-join if collision
+    paranoia warrants); the certification query keeps raw text so the
+    oracle is exact by construction.
+
+    Output: (text, survivor_id, survivor_source, n_copies, n_sources).
+    """
+    if not sources:
+        raise ValueError("merge_corpora needs at least one source")
+    tagged = []
+    for df, name, priority in sources:
+        tagged.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(text_col).alias("text"),
+                F.lit(name).alias("_source"),
+                F.lit(int(priority)).alias("_prio"),
+            )
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    order_key = F.col("_prio").cast("long") * F.lit(PRIORITY_ENCODE) + F.col("_id")
+    # n_sources via collect_set, NOT countDistinct: a distinct aggregate
+    # expands to a second Exchange; the set of source names per text is
+    # bounded by len(sources), so collect_set stays map-side combinable
+    # and the whole merge is ONE shuffle.
+    return u.groupBy("text").agg(
+        F.min_by("_id", order_key).alias("survivor_id"),
+        F.min_by("_source", order_key).alias("survivor_source"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.size(F.collect_set("_source")).cast("long").alias("n_sources"),
+    )

@@ -80,6 +80,26 @@ _WORDS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
 
+
+MERGE_PRIO_WEB_MOD = 3      # corpus A ("web"): doc_id % 3 != 0, priority 2
+MERGE_PRIO_CUR_MOD = 2      # corpus B ("curated"): doc_id % 2 == 0, priority 1
+MERGE_ID_SHIFT = 20_000_000
+
+
+def q_merge_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping corpora derived from documents — "curated" (doc_id
+    even, shifted ids, priority 1) and "web" (doc_id % 3 != 0, priority 2)
+    — merged with exact-text survivorship. Texts present in both must
+    survive from the curated source; the id shift proves survivorship is
+    decided by priority, not id magnitude."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    web = docs.filter(F.pmod(F.col("doc_id"), F.lit(MERGE_PRIO_WEB_MOD)) != 0)
+    curated = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(MERGE_PRIO_CUR_MOD)) == 0
+    ).select((F.col("doc_id") + F.lit(MERGE_ID_SHIFT)).alias("doc_id"), "text")
+    return cu.merge_corpora([(curated, "curated", 1), (web, "web", 2)])
+
+
 CURATION_ORACLES: dict[str, str] = {
     "decontaminate_docs": f"""
         WITH w AS (
@@ -169,6 +189,23 @@ CURATION_ORACLES: dict[str, str] = {
     """,
 }
 
+
+MERGE_ORACLE = """
+    WITH u AS (
+      SELECT doc_id + 20000000 AS id, text, 'curated' AS source, 1 AS prio
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id AS id, text, 'web' AS source, 2 AS prio
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT text,
+           arg_min(id, prio * 1000000000000 + id) AS survivor_id,
+           arg_min(source, prio * 1000000000000 + id) AS survivor_source,
+           count(*)::BIGINT AS n_copies,
+           count(DISTINCT source)::BIGINT AS n_sources
+    FROM u GROUP BY text
+"""
+
 CURATION_QUERIES: dict[str, Entry] = {
     "decontaminate_docs": (q_decontaminate, CURATION_ORACLES["decontaminate_docs"]),
     "stratified_sample_events": (
@@ -177,4 +214,5 @@ CURATION_QUERIES: dict[str, Entry] = {
     ),
     "pack_sequences": (q_pack_sequences, CURATION_ORACLES["pack_sequences"]),
     "redact_pii_docs": (q_redact_pii, CURATION_ORACLES["redact_pii_docs"]),
+    "corpus_merge_priority": (q_merge_corpora, MERGE_ORACLE),
 }

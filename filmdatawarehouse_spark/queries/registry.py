@@ -85,6 +85,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_bigbig_bucketed",
     # -- 4. new this round
     "stream_dedup_final",
+    "chunk_documents",
+    "corpus_merge_priority",
+    "events_ohlc_hourly",
+    "events_range_window",
 )
 
 
@@ -152,6 +156,20 @@ def all_queries() -> dict[str, Entry]:
         from filmdatawarehouse_spark.queries.quantize import QUANTIZE_QUERIES
 
         registry.update(QUANTIZE_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.chunking import CHUNKING_QUERIES
+
+        registry.update(CHUNKING_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.timeseries import TIMESERIES_QUERIES
+
+        registry.update(TIMESERIES_QUERIES)
     except ImportError:
         pass
 

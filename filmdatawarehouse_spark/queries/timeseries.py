@@ -1,0 +1,125 @@
+"""Oracle-checked time-series queries over the events table: OHLC
+downsampling and event-time RANGE-frame window aggregation.
+
+No reference analog (the reference is a batch star-schema ETL,
+SURVEY.md §2); these certify the time-series surface a metrics/training
+telemetry pipeline needs.
+
+Determinism notes shared by both queries:
+- open/close use explicit (ts, event_id) tiebreaks — never "first row
+  Spark happened to see".
+- money-style sums go through DECIMAL(18,2) (associative-exact, so
+  partial-aggregation order can't drift the hash) and are cast to DOUBLE
+  only at the output boundary, matching the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io.sources import read_table
+
+RANGE_WINDOW_S = 3600  # 1 hour of event time
+
+
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close + count + volume per (event_type, hour) — the
+    classic time-series downsample (tick data → bars).
+
+    Scale shape: one shuffle on (event_type, hour); the two row_number
+    windows share that partitioning (a single Exchange feeds both), and
+    the final aggregation is map-side combinable. At 100 TB the hour
+    bucket bounds any partition's row count; no global sort anywhere.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("event_type", "hour")
+    asc = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    x = (
+        e.withColumn("hour", hour)
+        .withColumn("rn_a", F.row_number().over(asc))
+        .withColumn("rn_d", F.row_number().over(desc))
+    )
+    return x.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("volume"),
+    )
+
+
+OHLC_ORACLE = """
+    WITH x AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM x GROUP BY event_type, hour
+"""
+
+
+def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events (and how much value) the same user
+    produced in the trailing hour of EVENT time — a RANGE frame over
+    ``unix_micros(ts)``, not a row frame, so simultaneous events are
+    frame-peers and the result is tie-order-independent.
+
+    Scale shape: one shuffle on user_id + per-user sort on ts; frame width
+    is bounded by the hour, so state per row is O(events-per-user-hour).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RANGE_WINDOW_S * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("value_last_hour"),
+    )
+
+
+RANGE_WINDOW_ORACLE = f"""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS value_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN {RANGE_WINDOW_S * 1_000_000} PRECEDING AND CURRENT ROW)
+"""
+
+TIMESERIES_QUERIES = {
+    "events_ohlc_hourly": (q_events_ohlc_hourly, OHLC_ORACLE),
+    "events_range_window": (q_events_range_window, RANGE_WINDOW_ORACLE),
+}

@@ -266,3 +266,49 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         df._jdf.queryExecution(), "codegen"
     )
     assert "WholeStageCodegen" in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is pure map-side (split/sequence/explode/slice in codegen):
+    no Exchange, no Python stage — at 100 TB it must stream partition-local."""
+    from filmdatawarehouse_spark.queries.chunking import q_chunk_documents
+
+    plan = plan_of(q_chunk_documents(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Generate" in plan  # the explode
+    for py_marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert py_marker not in plan
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    """Both OHLC row_number windows and the final aggregation share one
+    hash partitioning on (event_type, hour): exactly one Exchange."""
+    from filmdatawarehouse_spark.queries.timeseries import q_events_ohlc_hourly
+
+    plan = plan_of(q_events_ohlc_hourly(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_range_window_partitioned_no_global_sort(spark, sf_dir):
+    """The trailing-hour RANGE frame partitions by user_id — never the
+    single-partition 'No Partition Defined' WindowExec shape."""
+    from filmdatawarehouse_spark.queries.timeseries import q_events_range_window
+
+    plan = plan_of(q_events_range_window(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree
+
+
+def test_corpus_merge_single_shuffle_no_window(spark, sf_dir):
+    """Survivorship is a map-side-combinable aggregation on the text key:
+    one Exchange (hash on text), partial HashAggregate before it, and no
+    Window/global Sort anywhere."""
+    from filmdatawarehouse_spark.queries.curation import q_merge_corpora
+
+    plan = plan_of(q_merge_corpora(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
