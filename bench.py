@@ -83,6 +83,7 @@ HEADLINE = [
     "events_session_window",
     "events_ohlc_hourly",
     "events_range_window",
+    "events_zscore_outliers",
     "pipeline_curate_documents",
     "chunk_documents",
     "corpus_merge_priority",

@@ -772,19 +772,30 @@ def dup_clusters(
             labels.join(edges, labels[id_col] == edges["_src"])
             .select(F.col("_dst").alias(id_col), "cluster_id")
         )
+        # ONE job per round (was two): the new labels carry a per-row
+        # changed flag (join against the old labels on the same id
+        # partitioning), the checkpoint is LAZY, and the convergence count
+        # is the action that materializes it — so label computation and
+        # the convergence check share a single pass.
         new_labels = (
             labels.unionByName(prop)
             .groupBy(id_col)
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .join(
+                labels.select(
+                    F.col(id_col), F.col("cluster_id").alias("_old")
+                ),
+                id_col,
+            )
+            .select(
+                id_col,
+                "cluster_id",
+                (F.col("cluster_id") != F.col("_old")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:

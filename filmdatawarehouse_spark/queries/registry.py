@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_merge_priority",
     "events_ohlc_hourly",
     "events_range_window",
+    "events_zscore_outliers",
 )
 
 

@@ -123,3 +123,63 @@ TIMESERIES_QUERIES = {
     "events_ohlc_hourly": (q_events_ohlc_hourly, OHLC_ORACLE),
     "events_range_window": (q_events_range_window, RANGE_WINDOW_ORACLE),
 }
+
+Z_THRESHOLD = 3.0
+
+
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 3 sigma from their event_type's mean — the
+    telemetry anomaly-flagging primitive.
+
+    Determinism across engines: mean and variance are derived from
+    DECIMAL sums (exact, order-independent) cast to DOUBLE only once,
+    then combined with the IDENTICAL arithmetic expression on both sides
+    — so the IEEE result, and therefore the flagged set, is bit-equal.
+
+    Scale shape: one map-side-combinable aggregation (per-type stats,
+    cardinality = #event types), broadcast back onto the stream of
+    events — no second shuffle, no window.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy("event_type").agg(
+        F.sum(dec).cast("double").alias("_sd"),
+        F.sum(dec * dec).cast("double").alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    mean = F.col("_sd") / F.col("_n")
+    var = (F.col("_sq") - F.col("_sd") * F.col("_sd") / F.col("_n")) / (
+        F.col("_n") - F.lit(1)
+    )
+    z = (F.col("value") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        j.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+ZSCORE_ORACLE = f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - sd / n)
+               / sqrt(greatest((sq - sd * sd / n) / (n - 1), 1e-12)) AS z
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, value, z FROM z
+    WHERE abs(z) > {Z_THRESHOLD!r}
+"""
+
+
+TIMESERIES_QUERIES["events_zscore_outliers"] = (
+    q_events_zscore_outliers,
+    ZSCORE_ORACLE,
+)

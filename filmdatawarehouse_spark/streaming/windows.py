@@ -13,10 +13,8 @@ a session window is [first_event, last_event + gap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from filmdatawarehouse_spark.schemas import EVENTS
 
 
 def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -129,3 +127,24 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Column | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the CURRENT
+    contents of the static side — the standard enrichment shape (event
+    stream ⋈ dimension table). Stateless for the stream (no watermark
+    needed on either side for inner/left), and Spark plans the static
+    side as a broadcast when it fits, so enrichment adds no shuffle to
+    the stream.
+
+    At scale: keep the dim a real table (parquet/Delta) and let each
+    micro-batch re-resolve it — that is what gives slowly-changing
+    dimensions their "current as of this batch" semantics; never
+    ``collect()`` the dim into a driver-side map.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -479,3 +479,41 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir):
     for uid, (n, v) in batch.items():
         assert got[uid][0] == n
         assert math.isclose(got[uid][1], v, rel_tol=1e-9)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    """Stream-static join (events stream ⋈ customer dim) + tumbling agg
+    per market segment must equal the batch twin, and the stream side must
+    not require a watermark (stateless enrichment)."""
+    from filmdatawarehouse_spark.streaming.windows import enrich_with_static
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+
+    def seg_counts(events):
+        e = enrich_with_static(events.select("user_id", "ts", "value"), dim, "user_id")
+        return (
+            e.groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "c_mktsegment",
+                "n",
+            )
+        )
+
+    batch = {
+        (r.window_start, r.c_mktsegment): r.n
+        for r in seg_counts(read_table(spark, sf_dir, "events")).collect()
+    }
+    run_stream_to_memory(
+        seg_counts(stream_events(spark, sf_dir)), "enrich_out",
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.c_mktsegment): r.n
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    assert got == batch and len(got) > 0
