@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 3. implementation touched this round
     "dedup_incremental",
     "join_bigbig_bucketed",
+    "dedup_clusters",
     # -- 4. new this round
     "stream_dedup_final",
     "chunk_documents",

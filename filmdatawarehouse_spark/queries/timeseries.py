@@ -27,51 +27,53 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open/high/low/close + count + volume per (event_type, hour) — the
     classic time-series downsample (tick data → bars).
 
-    Scale shape: one shuffle on (event_type, hour); the two row_number
-    windows share that partitioning (a single Exchange feeds both), and
-    the final aggregation is map-side combinable. At 100 TB the hour
-    bucket bounds any partition's row count; no global sort anywhere.
+    Scale shape: ONE map-side-combinable aggregation — open/close are
+    ``min_by``/``max_by`` on the chronology key ``epoch_us * 1e12 +
+    event_id``, encoded as DECIMAL(38,0) (~29 digits, exact; and a
+    fixed-width mutable buffer type, so the whole thing stays
+    HashAggregate — a string key would demote to SortAggregate). There is
+    no window at all: the first draft used two row_number windows, which
+    put every (type, hour) partition on a single task — a skew trap when
+    one hour×type holds billions of events; the aggregation form partial-
+    aggregates per map task and is immune. DuckDB replays the identical
+    key in HUGEINT, so the certified tiebreak is exact.
     """
     e = read_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
-    hour = F.date_trunc("hour", F.col("ts"))
-    w = Window.partitionBy("event_type", "hour")
-    asc = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    x = (
-        e.withColumn("hour", hour)
-        .withColumn("rn_a", F.row_number().over(asc))
-        .withColumn("rn_d", F.row_number().over(desc))
+    dec38 = "decimal(38,0)"
+    key = (
+        F.unix_micros("ts").cast(dec38) * F.lit(10**12).cast(dec38)
+        + F.col("event_id").cast(dec38)
     )
-    return x.groupBy("event_type", "hour").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("volume"),
+    return (
+        e.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withColumn("_k", key)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", F.col("_k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_k")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
     )
 
 
 OHLC_ORACLE = """
     WITH x AS (
       SELECT event_type, date_trunc('hour', ts) AS hour, value,
-             row_number() OVER (
-               PARTITION BY event_type, date_trunc('hour', ts)
-               ORDER BY ts ASC, event_id ASC) AS rn_a,
-             row_number() OVER (
-               PARTITION BY event_type, date_trunc('hour', ts)
-               ORDER BY ts DESC, event_id DESC) AS rn_d
+             epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS k
       FROM events
     )
     SELECT event_type, hour,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           arg_min(value, k) AS open,
            max(value) AS high,
            min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           arg_max(value, k) AS close,
            count(*)::BIGINT AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
     FROM x GROUP BY event_type, hour

@@ -281,14 +281,18 @@ def test_chunk_documents_is_shuffle_free(spark, sf_dir):
         assert py_marker not in plan
 
 
-def test_ohlc_single_exchange(spark, sf_dir):
-    """Both OHLC row_number windows and the final aggregation share one
-    hash partitioning on (event_type, hour): exactly one Exchange."""
+def test_ohlc_single_exchange_no_window(spark, sf_dir):
+    """OHLC is a single map-side-combinable aggregation (min_by/max_by on
+    the chronology key): one Exchange, partial HashAggregate before it,
+    and NO Window — a window form would single-task each (type, hour)
+    partition, the classic hot-hour skew trap."""
     from filmdatawarehouse_spark.queries.timeseries import q_events_ohlc_hourly
 
     plan = plan_of(q_events_ohlc_hourly(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
+    assert "Sort" not in tree
 
 
 def test_range_window_partitioned_no_global_sort(spark, sf_dir):
@@ -312,3 +316,46 @@ def test_corpus_merge_single_shuffle_no_window(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Window" not in tree
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """At 100 TB a selective dim-side predicate should semi-join-reduce the
+    fact scan via Spark's runtime bloom filter (on by default, gated on
+    size thresholds that local SFs never meet). Scale the thresholds down
+    and turn broadcast off — the exact conditions of a big⋈big join with a
+    selective side — and assert the engine's scan→filter→join shape is
+    bloom-compatible: Spark injects bloom_filter_agg against the fact side.
+    A shape that blocked injection (e.g. a Python stage between scan and
+    join) would silently lose this reduction in production."""
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.io.sources import read_table
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "10GB")
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "-1")
+        spark.conf.set(keys[3], "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom_filter_agg" in plan_of(j)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
