@@ -802,9 +802,124 @@ def dup_clusters(
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters} "
             f"rounds ({changed} labels still changing); raise max_iters or "
-            "use a star-contraction variant for high-diameter graphs"
+            "use star_contraction_clusters (O(log n) rounds) for "
+            "high-diameter graphs"
         )
     return labels
+
+
+def star_contraction_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log n)-round algorithm for HIGH-DIAMETER graphs,
+    where ``dup_clusters``'s min-label BSP needs diameter rounds (a
+    10^6-node chain would take 10^6 shuffles; this takes ~20). Public
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"); re-expressed as DataFrame joins/aggregations.
+
+    Per round, two operations over the (symmetric) edge set:
+
+    - large-star: every node u links each LARGER neighbor v > u to
+      m = min(neighborhood(u) ∪ {u}) — long chains fold toward small ids
+      without ever increasing edge count beyond 2|E|.
+    - small-star: every node u links its smaller-or-equal neighbors and
+      itself to that same m — flattening each partial tree into a star.
+
+    At convergence the edge set IS the component mapping (node → component
+    min). Same output contract as ``dup_clusters``: (id_col, cluster_id),
+    singletons cluster to themselves; raises RuntimeError if not converged
+    within ``max_iters`` (components at that point may be partially
+    merged — never return them).
+
+    Scale shape: each operation is one groupBy-min plus one equi-join on
+    the node key (2 shuffles/round, log rounds); edges are
+    localCheckpointed per round so the plan never stacks; the convergence
+    probe is an order-insensitive (count, xor-of-hashes) signature
+    computed in the SAME action that materializes the round.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+
+    def _mins(e: DataFrame) -> DataFrame:
+        return (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # e must be symmetric; emits undirected (v, m) for v > u
+        return (
+            e.join(_mins(e), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is (child, parent) with child >= parent from large-star;
+        # group children by parent? No: by u over edges v <= u, plus self
+        ee = e.filter(F.col("v") <= F.col("u"))
+        m = _mins(ee)
+        return (
+            ee.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: xxhash64 spans the full int64 range and a sum
+        # overflows (an ANSI error); xor is order-insensitive and closed
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    edges = sym.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iters):
+        # large-star needs a symmetric view of the current edge set
+        symmetric = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        ls = large_star(symmetric)
+        edges = small_star(ls).localCheckpoint(eager=False)
+        sig = signature(edges)  # materializes the checkpoint too
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star_contraction_clusters did not converge within "
+            f"max_iters={max_iters} rounds; the graph is adversarial or "
+            "max_iters is too low for its size"
+        )
+    # converged edge set is (node, component-min) for every non-root node
+    mapping = edges.select(
+        F.col("u").alias(id_col), F.col("v").alias("cluster_id")
+    )
+    return (
+        ids.select(id_col)
+        .join(mapping, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def embedding_cosine_candidates(

@@ -54,7 +54,11 @@ def get_spark(
         # Idempotent fact re-loads: overwrite only the partitions present in
         # the incoming DataFrame instead of the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # Keep parquet scan partitions a sane size at any SF.
+        # Keep parquet scan partitions a sane size at any SF. (Note: the
+        # local single-file test tables are one row group each, so their
+        # pre-shuffle stages run single-task regardless of split conf —
+        # a certification-scale artifact; production corpora have file
+        # counts >> cores and parallelize at the scan.)
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # The generated-class cache defaults to 100 entries; this engine's
         # wide plans (128 minhash aggregates, 60 simhash bit-sums) compile

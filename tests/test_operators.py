@@ -315,3 +315,55 @@ def test_exact_dedup_distinct(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, v string")
     assert dd.exact_dedup(df).count() == 2
     assert dd.exact_dedup(df, ["v"]).count() == 2
+
+
+def test_star_contraction_high_diameter_chain(spark):
+    """A 300-node path graph: diameter-bound BSP label propagation must
+    REFUSE at max_iters=20 (never return partial clusters), while
+    star-contraction converges in O(log n) rounds with every node labeled
+    by the component min."""
+    import pytest as _pytest
+
+    from filmdatawarehouse_spark.operators.dedup import (
+        dup_clusters,
+        star_contraction_clusters,
+    )
+
+    n = 300
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (
+        spark.range(n - 1)
+        .select(
+            F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+        )
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(ids, pairs, max_iters=20).collect()
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in star_contraction_clusters(ids, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_contraction_matches_bsp_on_real_pairs(spark, sf_dir):
+    """On the corpus's actual MinHash near-dup pair graph (low diameter),
+    star-contraction and BSP must produce identical components, singletons
+    included."""
+    from filmdatawarehouse_spark.io.sources import read_table
+    from filmdatawarehouse_spark.operators.dedup import (
+        dup_clusters,
+        minhash_dedup_pairs,
+        star_contraction_clusters,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs).select("doc_id_a", "doc_id_b")
+    ids = docs.select("doc_id")
+    bsp = {r.doc_id: r.cluster_id for r in dup_clusters(ids, pairs).collect()}
+    star = {
+        r.doc_id: r.cluster_id
+        for r in star_contraction_clusters(ids, pairs).collect()
+    }
+    assert star == bsp and len(star) > 0
