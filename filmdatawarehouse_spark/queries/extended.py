@@ -95,6 +95,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_clusters(docs.select("doc_id"), pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME components as ``q_dedup_clusters`` via the O(log n)-round
+    large-star/small-star contraction (``dd.star_contraction_clusters``)
+    — the high-diameter-safe path, certified against the identical
+    recursive-transitive-closure oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
+    return dd.star_contraction_clusters(docs.select("doc_id"), pairs)
+
+
 ANN_PAIR_RECALL_BAR = 0.9
 
 
@@ -1406,6 +1416,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "dedup_simhash": (q_dedup_simhash, ORACLES["dedup_simhash"]),
     "dedup_embedding_cosine": (q_dedup_embedding, ORACLES["dedup_embedding_cosine"]),
     "dedup_clusters": (q_dedup_clusters, ORACLES["dedup_clusters"]),
+    "dedup_clusters_star": (q_dedup_clusters_star, ORACLES["dedup_clusters"]),
     "dedup_embedding_ann_recall": (
         q_dedup_embedding_ann_recall,
         ORACLES["dedup_embedding_ann_recall"],

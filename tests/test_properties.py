@@ -104,3 +104,58 @@ def test_dup_clusters_matches_union_find(spark, n_nodes, edge_idx):
     ).dropna()
     got = {r.doc_id: r.cluster_id for r in dup_clusters(ids, pairs).collect()}
     assert got == _components(n_nodes, edges)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Both CC implementations (diameter-round BSP and log-round
+    star-contraction) must equal a local union-find labeling every node
+    0..24 with its component minimum, for arbitrary edge lists including
+    self-loops, parallel edges, and isolated nodes."""
+    from filmdatawarehouse_spark.operators.dedup import (
+        dup_clusters,
+        star_contraction_clusters,
+    )
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    clean = [(a, b) for a, b in edges if a != b]
+    if clean:
+        pairs = spark.createDataFrame(clean, "doc_id_a long, doc_id_b long")
+    else:
+        pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    bsp = {r.doc_id: r.cluster_id for r in dup_clusters(ids, pairs, max_iters=30).collect()}
+    star = {
+        r.doc_id: r.cluster_id
+        for r in star_contraction_clusters(ids, pairs).collect()
+    }
+    assert bsp == want
+    assert star == want
