@@ -78,6 +78,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_tfidf",
     "text_pmi_bigrams",
+    "text_vocab_encode",
     "events_tumbling_window",
     "events_running_totals",
     "events_session_window",

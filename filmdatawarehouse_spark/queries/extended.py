@@ -105,6 +105,66 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.star_contraction_clusters(docs.select("doc_id"), pairs)
 
 
+
+VOCAB_K = 1000
+
+
+def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + integer encoding — the tokenize/encode step
+    of a training pipeline: top-``VOCAB_K`` words by corpus frequency
+    (count desc, word asc — fully deterministic) become ids 1..K by that
+    same order; every document is re-emitted as its id sequence, OOV
+    words as -1. Emitted as a CSV string so the cross-engine hash
+    compares scalars, not nested arrays.
+
+    Scale shape: vocab = two-phase count + TakeOrderedAndProject (never a
+    global sort of the word histogram); the rank window runs over the K
+    survivors only. Encoding is posexplode -> BROADCAST join against the
+    K-row vocab -> one groupBy(doc) re-assembly; the corpus shuffles once
+    on doc_id, the vocab never shuffles.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    topk = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(VOCAB_K)
+    )
+    vocab = topk.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("word").asc()))
+        .alias("vid"),
+    )
+    enc = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.coalesce(F.col("vid"), F.lit(-1)).alias("vid"),
+                            )
+                        )
+                    ),
+                    lambda x: x.vid.cast("string"),
+                ),
+            ).alias("ids_csv"),
+        )
+    )
+    return enc
+
+
 ANN_PAIR_RECALL_BAR = 0.9
 
 
@@ -1050,6 +1110,27 @@ ORACLES: dict[str, str] = {
     """,
     # \s in both engines' regex split; empty tokens filtered on both sides
     # so leading/trailing-whitespace semantics can't diverge.
+    "text_vocab_encode": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 unnest(range(0, len(string_split(text, ' ')))) AS pos
+          FROM documents
+        ), topk AS (
+          SELECT word, count(*) AS c FROM w GROUP BY word
+          ORDER BY c DESC, word LIMIT {VOCAB_K}
+        ), vocab AS (
+          SELECT word,
+                 row_number() OVER (ORDER BY c DESC, word)::INT AS vid
+          FROM topk
+        )
+        SELECT w.doc_id,
+               count(*)::BIGINT AS n_tokens,
+               string_agg(coalesce(v.vid, -1)::VARCHAR, ','
+                          ORDER BY w.pos) AS ids_csv
+        FROM w LEFT JOIN vocab v USING (word)
+        GROUP BY w.doc_id
+    """,
     "text_word_freq": r"""
         SELECT word, COUNT(*) AS n FROM (
           SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
@@ -1433,6 +1514,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_token_count": (q_text_token_count, ORACLES["text_token_count"]),
     "text_fingerprint": (q_text_fingerprint, ORACLES["text_fingerprint"]),
     "text_word_freq": (q_text_word_freq, ORACLES["text_word_freq"]),
+    "text_vocab_encode": (q_text_vocab_encode, ORACLES["text_vocab_encode"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (
         q_events_running_totals,

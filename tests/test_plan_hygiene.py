@@ -359,3 +359,15 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_vocab_encode_broadcasts_vocab_topk_no_global_sort(spark, sf_dir):
+    """Vocabulary induction must be TakeOrderedAndProject (top-K, never a
+    global word-histogram sort), the K-row vocab must broadcast into the
+    encode join, and the only window runs over the K survivors."""
+    from filmdatawarehouse_spark.queries.extended import q_text_vocab_encode
+
+    plan = plan_of(q_text_vocab_encode(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
