@@ -21,3 +21,22 @@ def test_registry_names_unique_and_callable(spark):
     for name, (fn, _sql) in reg.items():
         assert callable(fn), name
         assert name == name.strip() and " " not in name
+
+
+def test_query_inventory_in_sync():
+    """QUERIES.md is generated from the registry; regenerate with
+    `python tools/gen_query_inventory.py` whenever queries change."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from gen_query_inventory import render
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(repo, "QUERIES.md")) as f:
+        on_disk = f.read()
+    assert on_disk == render(), (
+        "QUERIES.md out of date — run `python tools/gen_query_inventory.py`"
+    )
