@@ -88,6 +88,7 @@ HEADLINE = [
     "pipeline_curate_documents",
     "chunk_documents",
     "corpus_merge_priority",
+    "dq_checks",
 ]
 
 

@@ -176,6 +176,13 @@ def all_queries() -> dict[str, Entry]:
         pass
 
     try:
+        from filmdatawarehouse_spark.queries.quality import QUALITY_QUERIES
+
+        registry.update(QUALITY_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from filmdatawarehouse_spark.queries.streaming_twin import (
             stream_dedup_final,
             stream_dedup_final_oracle,
