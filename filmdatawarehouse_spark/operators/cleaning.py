@@ -82,3 +82,39 @@ def clean_with_stats(df: DataFrame, table_name: str | None = None) -> tuple[Data
     removed = before - after
     print(f"[{table_name or 'table'}] Cleaned: {removed} rows removed")
     return cleaned, removed
+
+
+_OBS_COUNTER = __import__("itertools").count()
+
+
+def clean_observed(df: DataFrame, table_name: str | None = None):
+    """The reference's removed-count log at ZERO extra passes: both counts
+    ride the caller's own action via ``Observation`` (CollectMetrics
+    nodes), instead of ``clean_with_stats``'s two extra ``count()`` jobs.
+
+    Returns ``(cleaned_df, stats)`` where ``stats()`` — call it AFTER an
+    action has run on ``cleaned_df`` — returns (n_in, n_out, n_removed)
+    and logs the reference-format line.
+
+    Correctness note (pinned in tests/test_cleaning.py): the input-side
+    CollectMetrics is an optimizer barrier for the any-null filter, so
+    ``n_in`` counts true input rows — if a future Spark started pushing
+    predicates through CollectMetrics, the pinned test breaks loudly.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    n = next(_OBS_COUNTER)
+    obs_in = Observation(f"clean_in_{n}")
+    obs_out = Observation(f"clean_out_{n}")
+    cleaned = clean(
+        df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    ).observe(obs_out, F.count(F.lit(1)).alias("n"))
+
+    def stats() -> tuple[int, int, int]:
+        n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+        removed = n_in - n_out
+        print(f"[{table_name or 'table'}] Cleaned: {removed} rows removed")
+        return n_in, n_out, removed
+
+    return cleaned, stats

@@ -88,3 +88,38 @@ def test_clean_drops_row_with_any_null(spark):
     ]
     df = literal_rows(spark, rows, FIXTURE_SCHEMA)
     assert [r.rental_id for r in clean(df).collect()] == [2]
+
+
+def test_clean_observed_counts_match_eager_stats(spark):
+    """clean_observed's single-action counts must equal clean_with_stats's
+    two-action counts — in particular the input-side observation must see
+    PRE-filter rows (CollectMetrics as optimizer barrier: the any-null
+    filter must not push below the metrics node)."""
+    from filmdatawarehouse_spark.io.sources import literal_rows
+    from filmdatawarehouse_spark.operators.cleaning import (
+        clean_observed,
+        clean_with_stats,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    rows = [
+        {"a": 1, "b": "x"},
+        {"a": 1, "b": "x"},      # duplicate
+        {"a": 2, "b": None},     # null -> dropped
+        {"a": None, "b": "y"},   # null -> dropped
+        {"a": 3, "b": "z"},
+    ]
+    df = literal_rows(spark, rows, schema)
+    _, removed_eager = clean_with_stats(df, "fixture")
+
+    cleaned, stats = clean_observed(df, "fixture")
+    out_rows = cleaned.collect()  # the ONE action that feeds both metrics
+    n_in, n_out, removed = stats()
+    assert (n_in, n_out) == (5, 2)
+    assert removed == removed_eager == 3
+    assert len(out_rows) == 2
