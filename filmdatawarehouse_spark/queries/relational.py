@@ -226,6 +226,55 @@ def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, batch2, "c_custkey", attrs)
 
 
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 versioning exists
+    FOR: every order joins the customer-dimension VERSION that was valid
+    on its order date (equi-join on the key + validity-interval predicate),
+    so pre-1998 orders see the original market segment and later orders of
+    every 10th customer see 'RELOCATED'.
+
+    Version timeline is built inside the order date range (t1=1995-01-01,
+    t2=1998-01-01) by the same scd2_initial/scd2_apply machinery certified
+    in ``scd2_customer_dim``.
+
+    Scale shape: the dim is versions-per-key small relative to the fact —
+    broadcast equi-join on the key with the interval check as join filter;
+    for dims too big to broadcast the same plan degrades to SMJ on the
+    key, never an interval cross-join.
+    """
+    from filmdatawarehouse_spark.warehouse.scd import scd2_apply, scd2_initial
+
+    attrs = ["c_mktsegment"]
+    c = read_table(spark, sf_dir, "customer")
+    t1 = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    t2 = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    dim = scd2_initial(
+        c.select("c_custkey", *attrs).withColumn("effective_ts", t1),
+        "c_custkey", attrs,
+    )
+    dim = scd2_apply(
+        dim,
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("RELOCATED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        ).withColumn("effective_ts", t2),
+        "c_custkey", attrs,
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (ts >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (ts < F.col("valid_to"))),
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "c_mktsegment")
+
+
 def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-window family over one partition spec — rank,
     dense_rank, percent_rank, cume_dist — on supplier account balance per
@@ -555,6 +604,15 @@ ORACLES: dict[str, str] = {
     # Closed form of the SCD2 merge: unchanged keys keep their T1 version;
     # every 10th key gets a closed T1→T2 version plus an open T2 version.
     # TIMESTAMP_NS so DuckDB's pandas unit matches Spark's ns at compare time.
+    # point-in-time: orders before 1998 see the original segment; later
+    # orders of every 10th customer see RELOCATED.
+    "scd2_point_in_time": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                     AND o_custkey % 10 = 0
+                    THEN 'RELOCATED' ELSE c_mktsegment END AS c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
     "scd2_customer_dim": """
         SELECT c_custkey, c_mktsegment, c_acctbal,
                CAST(TIMESTAMP '2024-01-01 00:00:00' AS TIMESTAMP_NS) AS valid_from,
@@ -582,6 +640,7 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
     "set_ops_customers": (q_set_ops_customers, ORACLES["set_ops_customers"]),
     "count_distinct": (q_count_distinct, ORACLES["count_distinct"]),
     "asof_join_events": (q_asof_join_events, ORACLES["asof_join_events"]),
+    "scd2_point_in_time": (q_scd2_point_in_time, ORACLES["scd2_point_in_time"]),
     "range_join_events": (q_range_join_events, ORACLES["range_join_events"]),
     "scd2_customer_dim": (q_scd2_customer_dim, ORACLES["scd2_customer_dim"]),
     "pivot_orders": (q_pivot_orders, ORACLES["pivot_orders"]),
