@@ -185,3 +185,47 @@ TIMESERIES_QUERIES["events_zscore_outliers"] = (
     q_events_zscore_outliers,
     ZSCORE_ORACLE,
 )
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity month (the
+    cohort), counted by how many are active in each subsequent month —
+    the canonical product-analytics rollup.
+
+    Scale shape: one aggregation derives each user's cohort month (map-
+    side combinable min), the (user, month) activity set dedups in the
+    same shuffle family, and the final rollup is a count on (cohort,
+    month). The cohort frame is |users|-sized — joined back by key, which
+    AQE converts to broadcast when it fits.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    month = (F.year("ts") * 100 + F.month("ts")).cast("int")
+    activity = e.select("user_id", month.alias("month")).distinct()
+    cohort = activity.groupBy("user_id").agg(
+        F.min("month").alias("cohort_month")
+    )
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_month", "month")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_ORACLE = """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             (year(ts) * 100 + month(ts))::INT AS month
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(month) AS cohort_month
+      FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_month, a.month, count(*)::BIGINT AS n_users
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_month, a.month
+"""
+
+
+TIMESERIES_QUERIES["events_cohort_retention"] = (
+    q_events_cohort_retention,
+    COHORT_ORACLE,
+)
