@@ -183,6 +183,13 @@ def all_queries() -> dict[str, Entry]:
         pass
 
     try:
+        from filmdatawarehouse_spark.queries.basket import BASKET_QUERIES
+
+        registry.update(BASKET_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from filmdatawarehouse_spark.queries.streaming_twin import (
             stream_dedup_final,
             stream_dedup_final_oracle,
