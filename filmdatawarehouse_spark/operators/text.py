@@ -13,7 +13,7 @@ arithmetic (no float accumulation except where operand order is pinned).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # deliberately small, fixed marker sets — a deterministic heuristic, not a
@@ -237,4 +237,52 @@ def fingerprint(text: Column | str) -> Column:
         F.split(c, ""),
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MOD_PRIME),
+    )
+
+
+WORD_ENTROPY_SCHEMA = (
+    "doc_id bigint, n_words bigint, n_distinct_words int, word_entropy double"
+)
+
+
+def word_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    token-diversity quality signal (low entropy = repetitive/boilerplate).
+
+    Cross-engine determinism follows the ``byte_stats`` recipe exactly
+    (operators/multimodal.py): H = log2(n) − (Σ c·log2 c)/n with the sum
+    folded SEQUENTIALLY over counts in ascending WORD order, computed in
+    Python ``math.log2`` — the same libm log2 DuckDB calls — so the
+    doubles hash-compare bit-for-bit. (A JVM-side fold would use Spark's
+    log2 = log(x)/log(2), which can differ in the last ulp.)
+
+    Zero-shuffle Arrow stage; splitting is on single spaces, matching the
+    corpus contract and the SQL twin.
+    """
+    import math
+    from collections import Counter
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                counts = Counter((txt or "").split(" "))
+                n = sum(counts.values())
+                acc = 0.0
+                for w in sorted(counts):  # pinned fold order: word asc
+                    c = counts[w]
+                    acc += float(c) * math.log2(float(c))
+                h = math.log2(float(n)) - acc / n if n else 0.0
+                rows.append((did, n, len(counts), h))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_words", "n_distinct_words", "word_entropy"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        compute, schema=WORD_ENTROPY_SCHEMA
     )

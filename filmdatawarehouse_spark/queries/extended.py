@@ -165,6 +165,16 @@ def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc
 
 
+
+def q_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-distribution entropy (operators/text.py:word_entropy)
+    — token-diversity quality scoring with the byte_stats pinned-fold
+    determinism recipe."""
+    return tx.word_entropy(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 ANN_PAIR_RECALL_BAR = 0.9
 
 
@@ -1401,6 +1411,29 @@ ORACLES: dict[str, str] = {
     # value — the same sequential order the Spark side pins (see
     # operators/multimodal.py:byte_stats). sum(c) is HUGEINT in DuckDB,
     # hence the explicit BIGINT casts.
+    "text_word_entropy": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), h AS (
+          SELECT doc_id, word, COUNT(*)::BIGINT AS c
+          FROM w GROUP BY doc_id, word
+        ), agg AS (
+          SELECT doc_id,
+                 SUM(c)::BIGINT AS n,
+                 COUNT(*)::INT AS n_distinct_words,
+                 list(c ORDER BY word) AS cs
+          FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n AS n_words,
+               n_distinct_words,
+               log2(n) - list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list_transform(cs, c -> c::DOUBLE * log2(c::DOUBLE))),
+                 (a, x) -> a + x) / n AS word_entropy
+        FROM agg
+    """,
     "multimodal_byte_stats": """
         WITH b AS (
           SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
@@ -1515,6 +1548,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_fingerprint": (q_text_fingerprint, ORACLES["text_fingerprint"]),
     "text_word_freq": (q_text_word_freq, ORACLES["text_word_freq"]),
     "text_vocab_encode": (q_text_vocab_encode, ORACLES["text_vocab_encode"]),
+    "text_word_entropy": (q_text_word_entropy, ORACLES["text_word_entropy"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (
         q_events_running_totals,
