@@ -89,6 +89,10 @@ HEADLINE = [
     "chunk_documents",
     "corpus_merge_priority",
     "dq_checks",
+    "scd2_point_in_time",
+    "events_cohort_retention",
+    "basket_part_pairs",
+    "text_word_entropy",
 ]
 
 
