@@ -229,3 +229,58 @@ TIMESERIES_QUERIES["events_cohort_retention"] = (
     q_events_cohort_retention,
     COHORT_ORACLE,
 )
+
+ROLLING_DAYS = 7
+
+
+def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU-style metric, computed
+    as (user, day) activity against a broadcast day spine with a bounded
+    date-difference join, then a distinct-user count per spine day.
+
+    Scale shape: activity dedups to (user, day) in one map-side-combinable
+    pass; the spine is O(days) rows and broadcasts; each activity row
+    lands in at most ``ROLLING_DAYS`` spine days, so the expansion is
+    bounded and the final count-distinct is the standard two-phase
+    distinct aggregate on (day, user).
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    activity = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    bounds = activity.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("spine_day")
+    )
+    joined = activity.join(
+        F.broadcast(spine),
+        (F.datediff(F.col("spine_day"), F.col("day")) >= 0)
+        & (F.datediff(F.col("spine_day"), F.col("day")) < ROLLING_DAYS),
+    )
+    return joined.groupBy("spine_day").agg(
+        F.countDistinct("user_id").alias("n_active_7d")
+    )
+
+
+ROLLING_ORACLE = f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM activity
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS spine_day
+      FROM bounds
+    )
+    SELECT spine_day, count(DISTINCT user_id)::BIGINT AS n_active_7d
+    FROM spine JOIN activity
+      ON spine_day - day >= 0 AND spine_day - day < {ROLLING_DAYS}
+    GROUP BY spine_day
+"""
+
+
+TIMESERIES_QUERIES["events_rolling_actives"] = (
+    q_events_rolling_actives,
+    ROLLING_ORACLE,
+)
