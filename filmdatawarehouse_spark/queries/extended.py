@@ -175,6 +175,43 @@ def q_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification over the MinHash near-dup candidate
+    pairs: Levenshtein distance plus normalized similarity
+    ``1 - lev/max(len_a, len_b)`` for every verified near-dup pair — the
+    character-level confirmation layer a curation pipeline runs on its
+    (tiny) pair set, NEVER on the corpus cross-product.
+
+    Determinism: Levenshtein is exact integer DP in both engines;
+    the normalized similarity is one double division of exact ints.
+
+    Scale shape: the pair set is the already-subquadratic LSH output;
+    joining texts back is two key joins, and the DP cost is
+    O(pairs × len²) on ~100-word docs — trivial next to candidate
+    generation.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
+    a = docs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("_ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("text").alias("_tb")
+    )
+    j = pairs.select("doc_id_a", "doc_id_b").join(a, "doc_id_a").join(b, "doc_id_b")
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        lev.cast("int").alias("edit_distance"),
+        (F.lit(1.0) - lev.cast("double") / denom.cast("double")).alias(
+            "edit_similarity"
+        ),
+    )
+
+
 ANN_PAIR_RECALL_BAR = 0.9
 
 
@@ -1434,6 +1471,24 @@ ORACLES: dict[str, str] = {
                  (a, x) -> a + x) / n AS word_entropy
         FROM agg
     """,
+    "dedup_edit_distance": f"""
+        WITH sh AS ({_WORD_SHINGLES}),
+        pairs AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+            AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                >= {JACCARD_T}
+        )
+        SELECT doc_id_a, doc_id_b,
+               levenshtein(ta.text, tb.text)::INT AS edit_distance,
+               1.0 - levenshtein(ta.text, tb.text)::DOUBLE
+                     / greatest(len(ta.text), len(tb.text)) AS edit_similarity
+        FROM pairs
+        JOIN documents ta ON ta.doc_id = doc_id_a
+        JOIN documents tb ON tb.doc_id = doc_id_b
+    """,
     "multimodal_byte_stats": """
         WITH b AS (
           SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
@@ -1549,6 +1604,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_word_freq": (q_text_word_freq, ORACLES["text_word_freq"]),
     "text_vocab_encode": (q_text_vocab_encode, ORACLES["text_vocab_encode"]),
     "text_word_entropy": (q_text_word_entropy, ORACLES["text_word_entropy"]),
+    "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (
         q_events_running_totals,
