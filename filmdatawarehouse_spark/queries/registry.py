@@ -25,72 +25,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 
 # First-50 window for the external driver, highest certification value first
-# (round-4 rebuild per VERDICT r03 item 2 — exactly ≤50 names so the window
-# test can actually gate):
-#  1. the 7 queries that ERRed in r03 on the events-reader bug — the fix
-#     (io/sources.py type-adaptive ts) must re-certify against the driver
-#  2. the 34 entries rotated out of r03's window (parity set + text/events
-#     extended) — no driver row since r02, and r03 proved rotation isn't
-#     free: the environment shifted underneath exactly the rotated set
-#  3. operators whose implementation changed this round (lazy incremental
-#     guard, scoped bucketed-scan conf) — keep inside the window
-#  4. new queries added this round (streaming-dedup batch twin etc.)
+# (round-5 rotation per VERDICT r04 item 1 — the 49 registered queries with
+# NO CORRECTNESS_r04 row, so after this round every query has an
+# r04-or-r05 green driver row):
+#  1. the 9 round-4 additions that have NEVER had a driver row — local
+#     sf0.001 oracle-green is necessary but not sufficient (r03 proved the
+#     driver environment can diverge from the local check)
+#  2. new round-5 queries (also driver-never-seen)
+#  3. the r03-certified dedup/similarity/quantize/curation/relational
+#     families rotated out of the r04 window (no driver row since r02/r03)
+# Everything certified green in r04 moves to the tail; it is still verified
+# locally every pytest run by tests/test_parity_queries.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. errored in r03, fixed this round: must re-certify
-    "events_hourly_gapfill",
-    "stream_sessions_final",
-    "stratified_sample_events",
-    "asof_join_events",
-    "range_join_events",
-    "skew_salted_group_count",
-    "skew_salted_join",
-    # -- 2. rotated out of r03 (last driver row: r02) — parity set first
-    "scan_project",
-    "filter_pushdown",
-    "join_inner_equi",
-    "fact_daily_orders",
-    "fact_monthly_totals",
-    "monthly_revenue",
-    "filtered_daily_series",
-    "top10_parts",
-    "sql_passthrough",
-    "dim_date_generate",
-    "derive_date_id",
-    "derive_month_key",
-    "clean_dropna_dedup",
-    # -- 2b. rotated-out extended (events/text/misc)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_user_totals",
-    "events_running_totals",
-    "events_funnel",
-    "events_gaps",
-    "events_locf_fill",
-    "events_json_props",
-    "latest_order_per_customer",
-    "grouping_sets_orders",
-    "profile_orders",
-    "unpivot_part",
-    "embedding_norm_hist",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_normalize_dedup",
-    "text_word_freq",
-    "text_tfidf",
-    # -- 3. implementation touched this round
-    "dedup_incremental",
-    "join_bigbig_bucketed",
-    "dedup_clusters",
-    # -- 4. new this round
-    "stream_dedup_final",
-    "chunk_documents",
-    "corpus_merge_priority",
-    "events_ohlc_hourly",
-    "events_range_window",
-    "events_zscore_outliers",
+    # -- 1. round-4 additions: driver-never-seen
+    "basket_part_pairs",
+    "dedup_clusters_star",
+    "dedup_edit_distance",
+    "dq_checks",
+    "events_cohort_retention",
+    "events_rolling_actives",
+    "scd2_point_in_time",
+    "text_vocab_encode",
+    "text_word_entropy",
+    # -- 2. new round-5 queries: driver-never-seen
+    # (inserted here as they land; tail entries below yield their slot —
+    #  they keep their r03 green rows and rotate back in r06)
+    # -- 3. r03-certified, no driver row since r02/r03
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_ann_recall",
+    "similarity_topk",
+    "similarity_range",
+    "similarity_ann_ivf",
+    "similarity_ann_recall",
+    "sketch_accuracy",
+    "corpus_split",
+    "text_pmi_bigrams",
+    "multimodal_frame_meta",
+    "multimodal_byte_stats",
+    "multimodal_payload_meta",
+    "window_topn_per_group",
+    "rollup_order_stats",
+    "set_ops_customers",
+    "count_distinct",
+    "scd2_customer_dim",
+    "pivot_orders",
+    "cube_order_stats",
+    "anti_join_customers",
+    "semi_join_suppliers",
+    "percentile_order_value",
+    "above_customer_avg",
+    "snapshot_diff_customers",
+    "ntile_order_value",
+    "corr_qty_price",
+    "window_rank_family",
+    "pipeline_curate_documents",
+    "join_bigbig_rollup",
+    "decontaminate_docs",
+    "pack_sequences",
+    "redact_pii_docs",
+    "text_repetition_metrics",
+    "text_repetition_gate",
+    "embedding_quantize_codes",
+    "embedding_quantize_error",
 )
 
 
