@@ -41,6 +41,13 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
+    if stride > chunk_words:
+        # stride > chunk_words leaves word gaps between consecutive chunks,
+        # breaking the every-word-covered guarantee above
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_words ({chunk_words}); "
+            "a larger stride would skip words between chunks"
+        )
     words: Column = F.split(F.col(text_col), " ")
     n_words = F.size(words)
     n_chunks = F.lit(1) + F.ceil(

@@ -1448,9 +1448,12 @@ ORACLES: dict[str, str] = {
     # value — the same sequential order the Spark side pins (see
     # operators/multimodal.py:byte_stats). sum(c) is HUGEINT in DuckDB,
     # hence the explicit BIGINT casts.
+    # coalesce(text, '') matches the Python side's NULL→'' fallback
+    # (operators/text.py:word_entropy emits a row for NULL-text docs);
+    # without it unnest would drop those docs entirely (ADVICE r04).
     "text_word_entropy": """
         WITH w AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
           FROM documents
         ), h AS (
           SELECT doc_id, word, COUNT(*)::BIGINT AS c

@@ -267,10 +267,15 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     ts = F.col("o_orderdate").cast("timestamp")
+    # The bootstrap version (valid_from == t1) is open-ended on the left so
+    # coverage is total by construction: an order dated before the first
+    # snapshot still resolves to the earliest known version rather than
+    # silently dropping out of the inner join (ADVICE r04).
+    is_bootstrap = F.col("valid_from") == t1
     return o.join(
         F.broadcast(dim),
         (F.col("o_custkey") == F.col("c_custkey"))
-        & (ts >= F.col("valid_from"))
+        & (is_bootstrap | (ts >= F.col("valid_from")))
         & (F.col("valid_to").isNull() | (ts < F.col("valid_to"))),
     ).select("o_orderkey", "o_custkey", "o_orderdate", "c_mktsegment")
 

@@ -149,6 +149,11 @@ def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * dec).cast("double").alias("_sq"),
         F.count(F.lit(1)).alias("_n"),
     )
+    # A type with a single event has no sample variance (n-1 = 0 would make
+    # z NaN via 0/0, and NaN ordering differs across engines) — a z-score is
+    # undefined for one point, so such types are excluded on BOTH sides
+    # (oracle mirrors with HAVING COUNT(*) > 1). ADVICE r04.
+    stats = stats.filter(F.col("_n") > 1)
     j = e.join(F.broadcast(stats), "event_type")
     mean = F.col("_sd") / F.col("_n")
     var = (F.col("_sq") - F.col("_sd") * F.col("_sd") / F.col("_n")) / (
@@ -169,7 +174,7 @@ ZSCORE_ORACLE = f"""
              CAST(SUM(CAST(value AS DECIMAL(18,2))
                       * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq,
              COUNT(*)::BIGINT AS n
-      FROM events GROUP BY event_type
+      FROM events GROUP BY event_type HAVING COUNT(*) > 1
     ), z AS (
       SELECT e.event_id, e.event_type, e.value,
              (e.value - sd / n)

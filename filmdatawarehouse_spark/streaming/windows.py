@@ -134,17 +134,20 @@ def enrich_with_static(
     dim: DataFrame,
     on: Column | str,
     how: str = "left",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Stream-static join: each micro-batch joins against the CURRENT
     contents of the static side — the standard enrichment shape (event
     stream ⋈ dimension table). Stateless for the stream (no watermark
-    needed on either side for inner/left), and Spark plans the static
-    side as a broadcast when it fits, so enrichment adds no shuffle to
-    the stream.
+    needed on either side for inner/left). By default the planner (AQE /
+    ``autoBroadcastJoinThreshold``) decides the static side's strategy, so
+    a dimension that outgrows memory degrades to a shuffle join instead of
+    OOMing; pass ``broadcast=True`` only when the dim is KNOWN small and
+    you want to pin the no-shuffle plan (ADVICE r04).
 
     At scale: keep the dim a real table (parquet/Delta) and let each
     micro-batch re-resolve it — that is what gives slowly-changing
     dimensions their "current as of this batch" semantics; never
     ``collect()`` the dim into a driver-side map.
     """
-    return stream.join(F.broadcast(dim), on, how)
+    return stream.join(F.broadcast(dim) if broadcast else dim, on, how)

@@ -67,6 +67,9 @@ def test_bad_params_raise(spark):
         chunk_documents(df, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_words=0)
+    # stride > chunk_words would leave word gaps between chunks
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_words=8, stride=9)
 
 
 def test_every_word_covered(spark):
