@@ -63,20 +63,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # n_docs: one zero-column parquet count; lets the hot-bucket guard skip
-    # its census whenever no bucket can exceed the cap
+    # No eager n_docs count at build time (VERDICT r04 item 2): the
+    # hot-bucket guard's count-gated census sizes itself lazily inside the
+    # query; pass n_docs only when a cheap bound is already in hand.
     d = read_table(spark, sf_dir, "documents")
-    return dd.minhash_dedup_pairs(d, threshold=JACCARD_T, n_docs=d.count())
+    return dd.minhash_dedup_pairs(d, threshold=JACCARD_T)
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, threshold=NGRAM_T, n_docs=d.count())
+    return dd.ngram_jaccard_pairs(d, threshold=NGRAM_T)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(d, hamming_max=HAMMING_MAX, n_docs=d.count())
+    return dd.simhash_pairs(d, hamming_max=HAMMING_MAX)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +92,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one survivor per component). Iterative min-label propagation in Spark;
     recursive transitive closure in the oracle."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
     return dd.dup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -101,7 +102,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the high-diameter-safe path, certified against the identical
     recursive-transitive-closure oracle."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
     return dd.star_contraction_clusters(docs.select("doc_id"), pairs)
 
 
@@ -192,7 +193,7 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation.
     """
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
+    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
     a = docs.select(
         F.col("doc_id").alias("doc_id_a"), F.col("text").alias("_ta")
     )

@@ -50,7 +50,7 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup removal: drop the higher doc_id of every verified pair
     # (survivor = lowest id). The loser set is tiny → broadcast anti-join.
     losers = (
-        dd.minhash_dedup_pairs(docs, threshold=JACCARD_T, n_docs=docs.count())
+        dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
         .select(F.col("doc_id_b").alias("doc_id"))
         .distinct()
     )
