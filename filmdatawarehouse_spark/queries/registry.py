@@ -94,6 +94,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Every registered query without a DuckDB oracle must carry an entry here
+# explaining WHY it is rows-only and WHICH hash-gated query certifies it
+# instead (tests/test_registry.py enforces the pairing; QUERIES.md renders
+# it). Rows-only is a deliberate, documented status — never a missing oracle.
+ROWS_ONLY_NOTES: dict[str, str] = {
+    "similarity_ann_ivf": (
+        "Permanently rows-only BY DESIGN: IVF top-k is approximate, and its "
+        "exact neighbor set depends on float summation order across "
+        "partitions during k-means training, so no engine-independent value "
+        "hash exists. Its quality contract is certified by "
+        "`similarity_ann_recall`, whose hash-gated oracle pins "
+        "recall@5 >= 0.9 of this exact path vs exact top-k over the same "
+        "query set (the same pattern as `dedup_embedding_ann_recall`)."
+    ),
+}
+
+
 def all_queries() -> dict[str, Entry]:
     from filmdatawarehouse_spark.queries.parity import PARITY_QUERIES
 

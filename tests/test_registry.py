@@ -23,6 +23,21 @@ def test_registry_names_unique_and_callable(spark):
         assert name == name.strip() and " " not in name
 
 
+def test_rows_only_queries_are_documented():
+    """An oracle-less query is only acceptable with an explicit design note
+    naming its hash-gated certification sibling — never a missing oracle."""
+    from filmdatawarehouse_spark.queries.registry import ROWS_ONLY_NOTES
+
+    reg = all_queries()
+    oracle_less = {n for n, (_f, sql) in reg.items() if sql is None}
+    assert oracle_less == set(ROWS_ONLY_NOTES), (
+        f"undocumented rows-only queries: {oracle_less - set(ROWS_ONLY_NOTES)}; "
+        f"stale notes: {set(ROWS_ONLY_NOTES) - oracle_less}"
+    )
+    for name, note in ROWS_ONLY_NOTES.items():
+        assert len(note) > 40, f"note for {name} too thin to justify rows-only"
+
+
 def test_query_inventory_in_sync():
     """QUERIES.md is generated from the registry; regenerate with
     `python tools/gen_query_inventory.py` whenever queries change."""

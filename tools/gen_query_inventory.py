@@ -14,7 +14,10 @@ def render() -> str:
 
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
-    from filmdatawarehouse_spark.queries.registry import all_queries
+    from filmdatawarehouse_spark.queries.registry import (
+        ROWS_ONLY_NOTES,
+        all_queries,
+    )
 
     reg = all_queries()
     window = set(list(reg)[:50])
@@ -41,6 +44,20 @@ def render() -> str:
             f"{'✓' if name in window else ''} | `{path}:{code.co_firstlineno}` |"
         )
     lines.append("")
+    if ROWS_ONLY_NOTES:
+        lines.append("## Rows-only queries")
+        lines.append("")
+        lines.append(
+            "Each oracle-less query is rows-only by documented design, with"
+        )
+        lines.append(
+            "its certification delegated to a hash-gated sibling "
+            "(enforced by `tests/test_registry.py`):"
+        )
+        lines.append("")
+        for name in sorted(ROWS_ONLY_NOTES):
+            lines.append(f"- `{name}` — {ROWS_ONLY_NOTES[name]}")
+        lines.append("")
     return "\n".join(lines)
 
 
