@@ -131,6 +131,66 @@ def byte_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def byte_stats_native(assets: DataFrame) -> DataFrame:
+    """JVM-native twin of ``byte_stats`` — the 100 TB production path.
+
+    Same output contract, no Python: the payload is widened to one row per
+    byte (hex dump → 2-char slices → int), histogrammed per (asset, byte),
+    then folded per asset with Spark's own ``log2`` — all JVM expressions,
+    map-side-combinable aggregations. Doubles may differ from the
+    pinned-fold certification twin in the last ulps; property-tested to
+    |Δ| < 1e-9 (tests/test_properties.py). Empty/NULL payloads keep their
+    zero row via explode_outer + conditional aggregation, matching the
+    twin's (0, 0, 0, 0.0, 0.0) contract.
+
+    Scale shape: the per-byte explosion is the honest cost of a JVM
+    histogram (×~3.4 row-width of the hex string, collapsed map-side by the
+    first combine to ≤256 rows per asset per partition before any
+    exchange); for multi-MB media payloads prefer the Arrow twin, whose
+    numpy ``bincount`` never materializes per-byte rows.
+    """
+    hex_col = F.hex(F.col("payload"))
+    byte_arr = F.when(
+        F.length(F.col("payload")) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col("payload"))),
+            lambda i: F.conv(
+                F.substring(hex_col, (i - F.lit(1)) * F.lit(2) + F.lit(1), 2),
+                16,
+                10,
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    b = assets.select("asset_id", F.explode_outer(byte_arr).alias("_b"))
+    h = b.groupBy("asset_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    real = F.col("_b").isNotNull()
+    c = F.col("_c").cast("double")
+    agg = h.groupBy("asset_id").agg(
+        F.sum(F.when(real, F.col("_c")).otherwise(F.lit(0))).alias("n_bytes"),
+        F.sum(
+            F.when(real, F.col("_b").cast("bigint") * F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sum_bytes"),
+        F.count(F.when(real, F.lit(1))).cast("int").alias("n_distinct_bytes"),
+        F.sum(F.when(real, c * F.log2(c)).otherwise(F.lit(0.0))).alias("_acc"),
+    )
+    n = F.col("n_bytes").cast("double")
+    nonempty = F.col("n_bytes") > 0
+    return agg.select(
+        "asset_id",
+        "n_bytes",
+        "sum_bytes",
+        "n_distinct_bytes",
+        F.when(nonempty, F.col("sum_bytes") / n).otherwise(F.lit(0.0)).alias(
+            "mean_byte"
+        ),
+        F.when(nonempty, F.log2(n) - F.col("_acc") / n)
+        .otherwise(F.lit(0.0))
+        .alias("byte_entropy"),
+    )
+
+
 def resize_images(
     assets: DataFrame, height: int = 64, width: int = 64, use_fake: bool = True
 ) -> DataFrame:

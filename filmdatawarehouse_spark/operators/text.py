@@ -286,3 +286,45 @@ def word_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(id_col, text_col).mapInPandas(
         compute, schema=WORD_ENTROPY_SCHEMA
     )
+
+
+def word_entropy_native(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """JVM-native twin of ``word_entropy`` — the 100 TB production path.
+
+    Same output contract (doc_id, n_words, n_distinct_words, word_entropy)
+    but computed entirely in whole-stage-codegen JVM expressions:
+    explode(split) → per-(doc, word) count → per-doc Σ c·log2(c) — no
+    Python, no Arrow transfer, map-side-combinable aggregations.
+
+    The pinned-fold ``word_entropy`` variant exists ONLY because the
+    cross-engine certification hash needs bit-identical doubles (libm log2,
+    sequential fold); this variant lets Spark sum in any order with its own
+    log2, so results can differ from the twin in the last ulps —
+    property-tested to |Δ| < 1e-9 (tests/test_properties.py).
+
+    Scale shape: two shuffles, both map-side combined — (doc, word) then
+    (doc); the heavy first aggregation collapses each partition's repeated
+    words before the exchange. No per-doc data ever leaves the JVM.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "_w"
+        ),
+    )
+    h = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("double")
+    agg = h.groupBy(id_col).agg(
+        F.sum("_c").alias("n_words"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_words"),
+        F.sum(c * F.log2(c)).alias("_acc"),
+    )
+    n = F.col("n_words").cast("double")
+    return agg.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        (F.log2(n) - F.col("_acc") / n).alias("word_entropy"),
+    )

@@ -177,6 +177,44 @@ def q_text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_text_word_entropy_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native production twin of ``text_word_entropy``
+    (operators/text.py:word_entropy_native): explode → groupBy → F.log2,
+    no Python in the plan. Spark's own log2/summation order differs from
+    the libm pinned fold in the last ulps, so the certification contract
+    is the 1e-9 grid: BOTH engines round the entropy to 9 dp (exact int
+    columns are compared raw). The unrounded twins are property-tested to
+    |Δ| < 1e-9 in tests/test_properties.py."""
+    out = tx.word_entropy_native(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round("word_entropy", 9).alias("word_entropy"),
+    )
+
+
+def q_multimodal_byte_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native production twin of ``multimodal_byte_stats``
+    (operators/multimodal.py:byte_stats_native), certified on the same
+    1e-9 rounding grid as ``text_word_entropy_native``."""
+    from filmdatawarehouse_spark.operators.multimodal import byte_stats_native
+
+    out = byte_stats_native(
+        attach_text_payload(read_table(spark, sf_dir, "documents"))
+    )
+    return out.select(
+        "asset_id",
+        "n_bytes",
+        "sum_bytes",
+        "n_distinct_bytes",
+        F.round("mean_byte", 9).alias("mean_byte"),
+        F.round("byte_entropy", 9).alias("byte_entropy"),
+    )
+
+
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification over the MinHash near-dup candidate
     pairs: Levenshtein distance plus normalized similarity
@@ -1525,6 +1563,59 @@ ORACLES: dict[str, str] = {
                  (a, x) -> a + x) / n AS byte_entropy
         FROM agg
     """,
+    # Native-twin contracts: same histogram replay as the pinned-fold
+    # oracles above, but the doubles are rounded to the 1e-9 grid on both
+    # sides — the native Spark plan uses its own log2 and free summation
+    # order, so bit-equality is not (and need not be) guaranteed.
+    "text_word_entropy_native": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+          FROM documents
+        ), h AS (
+          SELECT doc_id, word, COUNT(*)::BIGINT AS c
+          FROM w GROUP BY doc_id, word
+        ), agg AS (
+          SELECT doc_id,
+                 SUM(c)::BIGINT AS n,
+                 COUNT(*)::INT AS n_distinct_words,
+                 SUM(c::DOUBLE * log2(c::DOUBLE)) AS acc
+          FROM h GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n AS n_words,
+               n_distinct_words,
+               round(log2(n) - acc / n, 9) AS word_entropy
+        FROM agg
+    """,
+    "multimodal_byte_stats_native": """
+        WITH b AS (
+          SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ), pos AS (
+          SELECT asset_id, hx, unnest(range(1, n + 1)) AS i FROM b
+        ), bytes AS (
+          SELECT asset_id, ('0x' || substr(hx, 2*i::INT - 1, 2))::BIGINT AS byte
+          FROM pos
+        ), h AS (
+          SELECT asset_id, byte, COUNT(*)::BIGINT AS c
+          FROM bytes GROUP BY asset_id, byte
+        ), agg AS (
+          SELECT asset_id,
+                 SUM(c)::BIGINT AS n,
+                 SUM(byte * c)::BIGINT AS sum_bytes,
+                 COUNT(*)::INT AS n_distinct_bytes,
+                 SUM(c::DOUBLE * log2(c::DOUBLE)) AS acc
+          FROM h GROUP BY asset_id
+        )
+        SELECT asset_id,
+               n AS n_bytes,
+               sum_bytes,
+               n_distinct_bytes,
+               round(sum_bytes::DOUBLE / n, 9) AS mean_byte,
+               round(log2(n) - acc / n, 9) AS byte_entropy
+        FROM agg
+    """,
     # DuckDB md5(VARCHAR) hashes the utf-8 bytes == Spark md5(encode(text)).
     "multimodal_payload_meta": """
         SELECT doc_id AS asset_id,
@@ -1608,6 +1699,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_word_freq": (q_text_word_freq, ORACLES["text_word_freq"]),
     "text_vocab_encode": (q_text_vocab_encode, ORACLES["text_vocab_encode"]),
     "text_word_entropy": (q_text_word_entropy, ORACLES["text_word_entropy"]),
+    "text_word_entropy_native": (
+        q_text_word_entropy_native,
+        ORACLES["text_word_entropy_native"],
+    ),
     "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (
@@ -1655,6 +1750,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "multimodal_byte_stats": (
         q_multimodal_byte_stats,
         ORACLES["multimodal_byte_stats"],
+    ),
+    "multimodal_byte_stats_native": (
+        q_multimodal_byte_stats_native,
+        ORACLES["multimodal_byte_stats_native"],
     ),
     "multimodal_payload_meta": (
         q_multimodal_payload_meta,

@@ -50,6 +50,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 2. new round-5 queries: driver-never-seen
     # (inserted here as they land; tail entries below yield their slot —
     #  they keep their r03 green rows and rotate back in r06)
+    "text_word_entropy_native",
+    "multimodal_byte_stats_native",
     # -- 3. r03-certified, no driver row since r02/r03
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -90,7 +92,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition_metrics",
     "text_repetition_gate",
     "embedding_quantize_codes",
-    "embedding_quantize_error",
+    # bumped to the tail for round 5 (keep their r03 green rows; rotate
+    # back in r06): embedding_quantize_error
 )
 
 

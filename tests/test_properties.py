@@ -159,3 +159,55 @@ def test_connected_components_match_union_find(spark, edges):
     }
     assert bsp == want
     assert star == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab é"),  # repeats + multibyte utf-8
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_native_twins_agree_with_pinned_fold(spark, texts):
+    """The JVM-native production variants (word_entropy_native /
+    byte_stats_native) must agree with their pinned-fold certification
+    twins: exact-integer columns bit-equal, doubles within 1e-9 — on
+    arbitrary texts including empty strings, runs of separators, and
+    multibyte utf-8 payloads."""
+    from filmdatawarehouse_spark.operators import text as tx
+    from filmdatawarehouse_spark.operators.multimodal import (
+        attach_text_payload,
+        byte_stats,
+        byte_stats_native,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r for r in tx.word_entropy(docs).collect()}
+    b = {r.doc_id: r for r in tx.word_entropy_native(docs).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k].n_words == b[k].n_words
+        assert a[k].n_distinct_words == b[k].n_distinct_words
+        assert abs(a[k].word_entropy - b[k].word_entropy) < 1e-9
+
+    assets = attach_text_payload(docs)
+    p = {r.asset_id: r for r in byte_stats(assets).collect()}
+    q = {r.asset_id: r for r in byte_stats_native(assets).collect()}
+    assert p.keys() == q.keys()
+    for k in p:
+        assert p[k].n_bytes == q[k].n_bytes
+        assert p[k].sum_bytes == q[k].sum_bytes
+        assert p[k].n_distinct_bytes == q[k].n_distinct_bytes
+        assert abs(p[k].mean_byte - q[k].mean_byte) < 1e-9
+        assert abs(p[k].byte_entropy - q[k].byte_entropy) < 1e-9
