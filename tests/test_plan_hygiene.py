@@ -371,3 +371,106 @@ def test_vocab_encode_broadcasts_vocab_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hot-key skew stress: the aggregation queries designed skew-immune must
+# PROVE it at runtime — on a synthetic where one key holds 50% of all rows,
+# every shuffle exchange in the executed plan must carry orders of magnitude
+# fewer records than the input, because the partial (map-side) aggregate
+# collapses the hot key before the exchange. A window/global-sort form would
+# ship all 50% to one task and fail the bound.
+# ---------------------------------------------------------------------------
+
+
+def _executed_exchange_records(df) -> list[int]:
+    """Collect the result, then walk the ADAPTIVE executed plan and return
+    the records-read metric of every shuffle exchange."""
+    df.collect()
+    out: list[int] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if name == "ShuffleExchangeExec":
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "recordsRead":
+                    out.append(int(kv._2().value()))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+N_HOT_ROWS = 20_000
+
+
+def _hot_events_dir(spark, tmp_path) -> str:
+    """Synthetic events table: event_type 'hot' holds 50% of rows and
+    user_id 0 holds 50% of rows, all squeezed into 2 hours / 3 days —
+    the adversarial layout for per-type and per-user aggregation."""
+    sf_dir = str(tmp_path / "hot_sf")
+    df = spark.range(0, N_HOT_ROWS).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("id") % 3) * 86400  # 3 distinct days
+            + (F.col("id") % 7200)  # 2 distinct hours within each day
+        ).alias("ts"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 50)
+        .cast("long")
+        .alias("user_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 8).cast("string")))
+        .alias("event_type"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+def test_ohlc_hot_key_no_straggler(spark, tmp_path):
+    from filmdatawarehouse_spark.queries.timeseries import q_events_ohlc_hourly
+
+    sf_dir = _hot_events_dir(spark, tmp_path)
+    out = q_events_ohlc_hourly(spark, sf_dir)
+    recs = _executed_exchange_records(out)
+    assert recs, "expected at least one shuffle exchange"
+    # groups = |types| x |hours| (~9 x 6); with 8 map partitions the partial
+    # aggregate bounds every exchange at groups x partitions << N rows. The
+    # hot type contributes #hours rows per map task, NOT 50% of the input.
+    assert max(recs) < N_HOT_ROWS / 10, recs
+    # sanity: the hot rows were really aggregated, not dropped
+    hot_n = {
+        r.event_type: r.n_events
+        for r in out.groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    assert hot_n["hot"] == N_HOT_ROWS // 2
+
+
+def test_cohort_retention_hot_user_no_straggler(spark, tmp_path):
+    from filmdatawarehouse_spark.queries.timeseries import (
+        q_events_cohort_retention,
+    )
+
+    sf_dir = _hot_events_dir(spark, tmp_path)
+    out = q_events_cohort_retention(spark, sf_dir)
+    recs = _executed_exchange_records(out)
+    assert recs, "expected at least one shuffle exchange"
+    # (user, month) dedup happens in the partial aggregate: the hot user
+    # collapses to one row per month per map task before any exchange.
+    assert max(recs) < N_HOT_ROWS / 10, recs
+    assert out.count() > 0
