@@ -118,3 +118,29 @@ def clean_observed(df: DataFrame, table_name: str | None = None):
         return n_in, n_out, removed
 
     return cleaned, stats
+
+
+class CleanObserver:
+    """Per-job collector for ``clean_observed`` stats — the runner's
+    default observability path (VERDICT r04 item 7).
+
+    ``observer.clean(df, name)`` is signature-compatible with the cleaner
+    hook the warehouse job builders take; every call registers a pending
+    stats closure. After the job's ONE write action has run, ``flush()``
+    emits every reference-format "Cleaned: N rows removed" line and
+    returns the (table, n_in, n_out, n_removed) tuples — zero extra Spark
+    actions, all counts rode the write.
+    """
+
+    def __init__(self) -> None:
+        self._pending: list[tuple[str, object]] = []
+
+    def clean(self, df: DataFrame, table_name: str) -> DataFrame:
+        cleaned, stats = clean_observed(df, table_name)
+        self._pending.append((table_name, stats))
+        return cleaned
+
+    def flush(self) -> list[tuple[str, int, int, int]]:
+        out = [(name, *stats()) for name, stats in self._pending]
+        self._pending.clear()
+        return out

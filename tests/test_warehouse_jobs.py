@@ -135,3 +135,62 @@ def test_fact_write_is_idempotent(tmp_path, sources):
     one_day = fact.filter(F.col("date_id") == 20050501)
     write_fact(one_day, path, partition_by="date_id")
     assert spark.read.parquet(path).count() == 3
+
+
+def test_wired_dag_logs_clean_counts_without_extra_jobs(
+    spark, sources, tmp_path, capsys
+):
+    """The wired reference DAG (wire_reference_dag) must emit the
+    reference's per-table "Cleaned: N rows removed" lines with ZERO extra
+    Spark actions: the Observation counts ride each job's single write, so
+    the observed run launches exactly as many Spark jobs as a silent run
+    of the same builds+writes."""
+    from filmdatawarehouse_spark.warehouse.jobs import wire_reference_dag
+
+    def n_spark_jobs() -> int:
+        return (
+            spark._jsparkSession.sparkContext()  # noqa: SLF001
+            .statusStore()
+            .jobsList(None)
+            .size()
+        )
+
+    def write_to(sub):
+        def write(name, df):
+            df.write.mode("overwrite").parquet(str(tmp_path / sub / name))
+
+        return write
+
+    # baseline: identical builds + writes, silent default cleaner
+    silent = {
+        "dim_staff": build_dim_staff(sources["staff"]),
+        "dim_film": build_dim_film(sources["film"]),
+        "dim_store": build_dim_store(sources["store"]),
+        "dim_date": build_dim_date(spark),
+        "dim_rental": build_dim_rental(sources["rental"]),
+        "fact_monthly_payment": build_fact_monthly_payment(sources["payment"]),
+        "fact_daily_inventory": build_fact_daily_inventory(
+            sources["rental"], sources["inventory"]
+        ),
+    }
+    before = n_spark_jobs()
+    w = write_to("silent")
+    for name, df in silent.items():
+        w(name, df)
+    silent_jobs = n_spark_jobs() - before
+
+    capsys.readouterr()  # drop any buffered output
+    before = n_spark_jobs()
+    order = wire_reference_dag(spark, sources, write_to("observed")).run()
+    observed_jobs = n_spark_jobs() - before
+    out = capsys.readouterr().out
+
+    assert len(order) == 7
+    # the reference logs one line per cleaned table: 5 dims + 2 inputs of
+    # fact_daily_inventory + 1 of fact_monthly_payment
+    assert out.count("rows removed") == 8
+    assert "[staff] Cleaned: 0 rows removed" in out
+    assert observed_jobs == silent_jobs, (
+        f"observed path launched {observed_jobs} Spark jobs vs "
+        f"{silent_jobs} for the silent twin — Observation must add none"
+    )
