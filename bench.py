@@ -1,11 +1,13 @@
 """Benchmark harness: times the engine's headline queries at one SF.
 
-Prints exactly ONE JSON line:
-  {"metric": "...", "value": <total cold sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...},            # COLD: caches released per run
-   "queries_warm": {"<name>": sec, ...},       # WARM: persisted stages kept
-   "value_warm": <total warm sec>, "sf": <float>,
-   "errors": {"<name>": "<exc>"}, "n_errors": N}   # only when something broke
+Prints exactly ONE compact JSON line (cold per-query timings + totals; no
+warm dict, so a tail-capture of stdout cannot truncate it) and writes the
+FULL record to BENCH_full.json next to this file:
+  stdout:  {"metric": "...", "value": <total cold sec>, "unit": "sec",
+            "queries": {"<name>": cold sec, ...}, "value_warm": <sec>,
+            "sf": <float>, "full_json": "<path>",
+            "errors": {...}, "n_errors": N}     # errors only when present
+  file:    the same plus "queries_warm" per-query warm timings
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -93,6 +95,9 @@ HEADLINE = [
     "events_cohort_retention",
     "basket_part_pairs",
     "text_word_entropy",
+    # JVM-native production twins (round 5) — the 100 TB path variants
+    "text_word_entropy_native",
+    "multimodal_byte_stats_native",
 ]
 
 
@@ -176,7 +181,20 @@ def main() -> None:
     if cold_errors or warm_errors:
         out["errors"] = warm_errors
         out["n_errors"] = len(warm_errors)
-    print(json.dumps(out))
+
+    # Full record (cold + warm + errors) goes to a FILE the driver can
+    # archive; stdout gets ONE compact line — headline totals + per-query
+    # COLD only — so a tail-capture of stdout can never truncate the cold
+    # dict again (VERDICT r04 item 8: BENCH_r04's single long line lost its
+    # head to the driver's tail window).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {k: v for k, v in out.items() if k != "queries_warm"}
+    compact["full_json"] = full_path
+    print(json.dumps(compact))
     spark.stop()
 
 

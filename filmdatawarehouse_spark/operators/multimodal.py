@@ -149,18 +149,19 @@ def byte_stats_native(assets: DataFrame) -> DataFrame:
     exchange); for multi-MB media payloads prefer the Arrow twin, whose
     numpy ``bincount`` never materializes per-byte rows.
     """
-    hex_col = F.hex(F.col("payload"))
-    byte_arr = F.when(
-        F.length(F.col("payload")) > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.length(F.col("payload"))),
-            lambda i: F.conv(
-                F.substring(hex_col, (i - F.lit(1)) * F.lit(2) + F.lit(1), 2),
-                16,
-                10,
-            ).cast("int"),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    # Linear hex→bytes: inject a separator after every hex pair and split —
+    # O(len) per payload. (A sequence+substring form is O(len²): each
+    # substring re-scans the full hex string per element — measured 10×
+    # slower on ~600-byte payloads.) regexp_replace emits a trailing
+    # separator, so split yields one empty tail element — dropped by the
+    # empty-string filter, which also makes the empty-payload array empty.
+    hex_pairs = F.split(
+        F.regexp_replace(F.hex(F.col("payload")), "(..)", "$1,"), ","
+    )
+    byte_arr = F.transform(
+        F.filter(hex_pairs, lambda p: p != F.lit("")),
+        lambda p: F.conv(p, 16, 10).cast("int"),
+    )
     b = assets.select("asset_id", F.explode_outer(byte_arr).alias("_b"))
     h = b.groupBy("asset_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
     real = F.col("_b").isNotNull()
