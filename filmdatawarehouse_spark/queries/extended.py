@@ -215,6 +215,57 @@ def q_multimodal_byte_stats_native(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP_K = 200
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: the top-``BIGRAM_TOP_K`` conditional
+    probabilities P(w2 | w1) = c(w1,w2) / c(w1·) over the corpus, where
+    c(w1·) is the count of bigrams STARTING with w1 (so probabilities per
+    w1 sum to exactly 1) and rare bigrams (< ``BIGRAM_MIN_COUNT``) are
+    pruned AFTER the denominator is fixed — the n-gram statistics step of
+    a data-quality / generation-analysis pipeline.
+
+    Scale shape: bigrams are built per-row with zip_with over two array
+    slices (zero shuffle, no self-join); one (w1,w2) count aggregation;
+    the w1 marginal derives from those counts (never a second corpus
+    pass); top-K is TakeOrderedAndProject, never a global sort.
+
+    Determinism: exact int counts; cond_p is one double division; the
+    (cond_p desc, w1, w2) ordering is total, so the K-boundary is unique.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    words = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    marg = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bg.filter(F.col("c12") >= BIGRAM_MIN_COUNT)
+        .join(marg, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (F.col("c12").cast("double") / F.col("c1").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.col("cond_p").desc(), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification over the MinHash near-dup candidate
     pairs: Levenshtein distance plus normalized similarity
@@ -1563,6 +1614,23 @@ ORACLES: dict[str, str] = {
                  (a, x) -> a + x) / n AS byte_entropy
         FROM agg
     """,
+    "text_bigram_lm": f"""
+        WITH d AS (
+          SELECT string_split(text, ' ') AS ws FROM documents
+        ), idx AS (
+          SELECT ws, unnest(range(1, len(ws))) AS i FROM d
+        ), bg AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM idx
+        ), c AS (
+          SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+        ), c1 AS (
+          SELECT w1, SUM(c12)::BIGINT AS c1 FROM c GROUP BY w1
+        )
+        SELECT c.w1, c.w2, c.c12, c1.c1, c.c12::DOUBLE / c1.c1 AS cond_p
+        FROM c JOIN c1 USING (w1)
+        WHERE c.c12 >= {BIGRAM_MIN_COUNT}
+        ORDER BY cond_p DESC, w1, w2 LIMIT {BIGRAM_TOP_K}
+    """,
     # Native-twin contracts: same histogram replay as the pinned-fold
     # oracles above, but the doubles are rounded to the 1e-9 grid on both
     # sides — the native Spark plan uses its own log2 and free summation
@@ -1703,6 +1771,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         q_text_word_entropy_native,
         ORACLES["text_word_entropy_native"],
     ),
+    "text_bigram_lm": (q_text_bigram_lm, ORACLES["text_bigram_lm"]),
     "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (

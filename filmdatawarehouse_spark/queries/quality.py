@@ -70,3 +70,57 @@ DQ_ORACLE = """
 QUALITY_QUERIES = {
     "dq_checks": (q_dq_checks, DQ_ORACLE),
 }
+
+
+MAD_K = 3.0
+
+
+def q_docs_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier detection per source: a document is flagged
+    when |n_chars − median| > 3 × MAD of its source group — the
+    median/MAD rule that, unlike the z-score, one bot dumping 100 MB docs
+    cannot drag (mean and stddev move with the outlier; median and MAD
+    don't).
+
+    Two-pass by definition (the deviation median depends on the length
+    median): two per-group exact-median aggregations with the per-group
+    stats broadcast back — group count is |sources| (tiny), so both joins
+    are broadcast and the corpus shuffles on `source` twice at worst.
+
+    100 TB note: exact ``median`` buffers each group's values on the
+    aggregating task — certification-grade here; at corpus scale swap
+    ``percentile_approx`` and certify the sketch like ``sketch_accuracy``
+    does. Determinism: integer medians interpolate to exact .0/.5 halves
+    in double in both engines; the comparison is exact-double arithmetic.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    med = d.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter(F.col("adev") > F.lit(MAD_K) * F.col("mad"))
+        .select("doc_id", "source", "n_chars", "med", "mad")
+    )
+
+
+MAD_ORACLE = f"""
+    WITH med AS (
+      SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+    ), dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars::DOUBLE - m.med) AS adev
+      FROM documents d JOIN med m USING (source)
+    ), mad AS (
+      SELECT source, median(adev) AS mad FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad
+    FROM dev JOIN mad USING (source)
+    WHERE dev.adev > {MAD_K!r} * mad.mad
+"""
+
+QUALITY_QUERIES["docs_mad_outliers"] = (q_docs_mad_outliers, MAD_ORACLE)

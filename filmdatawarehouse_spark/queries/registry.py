@@ -52,6 +52,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #  they keep their r03 green rows and rotate back in r06)
     "text_word_entropy_native",
     "multimodal_byte_stats_native",
+    "events_wow_growth",
+    "events_sessions_capped",
+    "text_bigram_lm",
+    "docs_mad_outliers",
+    "bloom_prefilter_join",
     # -- 3. r03-certified, no driver row since r02/r03
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -87,13 +92,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_curate_documents",
     "join_bigbig_rollup",
     "decontaminate_docs",
-    "pack_sequences",
-    "redact_pii_docs",
-    "text_repetition_metrics",
-    "text_repetition_gate",
-    "embedding_quantize_codes",
-    # bumped to the tail for round 5 (keep their r03 green rows; rotate
-    # back in r06): embedding_quantize_error
+    # bumped to the tail for round 5 by the 7 new driver-never-seen
+    # queries (each keeps its r03 green row; rotate back in r06):
+    # pack_sequences, redact_pii_docs, text_repetition_metrics,
+    # text_repetition_gate, embedding_quantize_codes,
+    # embedding_quantize_error
 )
 
 

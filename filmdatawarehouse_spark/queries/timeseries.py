@@ -289,3 +289,139 @@ TIMESERIES_QUERIES["events_rolling_actives"] = (
     q_events_rolling_actives,
     ROLLING_ORACLE,
 )
+
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event_type — the trend metric layered on
+    the weekly rollup: n_events per (type, ISO week) plus the previous
+    week's count and their ratio.
+
+    Scale shape: the corpus collapses FIRST to the (type, week) frame (one
+    map-side-combinable aggregation — cardinality = types × weeks, tiny at
+    any SF), and the lag window runs over that tiny frame only. The
+    anti-pattern — a window over raw events — never appears.
+
+    Determinism: counts are exact ints; the ratio is one double division
+    of exact ints (bit-identical cross-engine); the first week's ratio is
+    NULL in both engines.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        prev.alias("prev_n"),
+        (F.col("n_events").cast("double") / prev.cast("double")).alias(
+            "wow_ratio"
+        ),
+    )
+
+
+# Spark date_trunc('week') and DuckDB date_trunc('week') both start Monday.
+WOW_ORACLE = """
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week_start,
+             COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT event_type, week_start, n_events,
+           lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
+             AS prev_n,
+           n_events::DOUBLE
+             / lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
+             AS wow_ratio
+    FROM weekly
+"""
+
+
+TIMESERIES_QUERIES["events_wow_growth"] = (q_events_wow_growth, WOW_ORACLE)
+
+SESSION_GAP_S = 1800
+SESSION_CAP_S = 3600
+
+
+def q_events_sessions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a max-duration cap:
+    sessions split when the user is idle > 30 min (the classic gap rule),
+    and a gap-session longer than 60 min is further time-sliced into
+    60-min sub-sessions from its start — the bounded-session contract
+    billing/abuse pipelines need (an endless bot stream can't produce an
+    unbounded session row).
+
+    Scale shape: two window passes over the SAME (user) partitioning —
+    one shuffle total; the gap flag, running session id, per-session
+    start, and time-slice index are all narrow per-row expressions. No
+    per-session data ever concentrates beyond the final per-session
+    aggregate (map-side combinable).
+
+    Determinism: (ts, event_id) tiebreak orders every window; epoch
+    arithmetic is exact integer; both engines slice with the identical
+    floor division.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    us = F.unix_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gap = F.when(
+        us - F.lag(us).over(w) > SESSION_GAP_S, F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = e.withColumn(
+        "gap_sess",
+        F.sum(gap).over(w.rangeBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "gap_sess")
+    sliced = with_sess.withColumn(
+        "sub",
+        F.floor((us - F.min(us).over(ws)) / F.lit(SESSION_CAP_S)),
+    )
+    return (
+        sliced.groupBy("user_id", "gap_sess", "sub")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("gap_sess").cast("int").alias("gap_session"),
+            F.col("sub").cast("int").alias("slice_idx"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+SESSIONS_CAPPED_ORACLE = f"""
+    WITH x AS (
+      SELECT event_id, user_id, ts, epoch(ts)::BIGINT AS us FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN us - lag(us) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END
+               AS gap
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *,
+             SUM(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS gap_sess
+      FROM flagged
+    ), sliced AS (
+      SELECT *,
+             FLOOR((us - MIN(us) OVER (PARTITION BY user_id, gap_sess))
+                   / {SESSION_CAP_S}) AS sub
+      FROM sess
+    )
+    SELECT user_id, gap_sess::INT AS gap_session, sub::INT AS slice_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*)::BIGINT AS n_events
+    FROM sliced GROUP BY user_id, gap_sess, sub
+"""
+
+
+TIMESERIES_QUERIES["events_sessions_capped"] = (
+    q_events_sessions_capped,
+    SESSIONS_CAPPED_ORACLE,
+)

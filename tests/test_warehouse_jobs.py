@@ -148,12 +148,19 @@ def test_wired_dag_logs_clean_counts_without_extra_jobs(
     from filmdatawarehouse_spark.warehouse.jobs import wire_reference_dag
 
     def n_spark_jobs() -> int:
-        return (
+        """Highest job id seen so far (monotonic): list SIZE would break in
+        a long pytest session once the status store starts evicting old
+        jobs past spark.ui.retainedJobs — ids never go backwards."""
+        it = (
             spark._jsparkSession.sparkContext()  # noqa: SLF001
             .statusStore()
             .jobsList(None)
-            .size()
+            .iterator()
         )
+        max_id = -1
+        while it.hasNext():
+            max_id = max(max_id, it.next().jobId())
+        return max_id + 1
 
     def write_to(sub):
         def write(name, df):
