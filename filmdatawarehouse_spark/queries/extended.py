@@ -33,6 +33,7 @@ from filmdatawarehouse_spark.operators.multimodal import (
     byte_stats,
     payload_meta,
 )
+from filmdatawarehouse_spark.operators.frequent import MG_COUNTERS
 from filmdatawarehouse_spark.operators.skew import salted_group_count, salted_join
 from filmdatawarehouse_spark.queries.registry import Entry
 from filmdatawarehouse_spark.streaming.windows import (
@@ -212,6 +213,20 @@ def q_multimodal_byte_stats_native(spark: SparkSession, sf_dir: str) -> DataFram
         "n_distinct_bytes",
         F.round("mean_byte", 9).alias("mean_byte"),
         F.round("byte_entropy", 9).alias("byte_entropy"),
+    )
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency heavy hitters WITHOUT a corpus-sized shuffle
+    (operators/frequent.py): zero-shuffle per-partition Misra–Gries
+    candidates, then an exact recount of candidates only. The answer is
+    exact and partitioning-independent (the MG union provably contains
+    every word with count > N/k), so the oracle is the plain full-histogram
+    SQL — any lost heavy hitter hash-fails."""
+    from filmdatawarehouse_spark.operators.frequent import heavy_hitters_exact
+
+    return heavy_hitters_exact(
+        read_table(spark, sf_dir, "documents").select("text")
     )
 
 
@@ -1614,6 +1629,20 @@ ORACLES: dict[str, str] = {
                  (a, x) -> a + x) / n AS byte_entropy
         FROM agg
     """,
+    # Full-histogram replay of the two-pass Misra-Gries + recount: the
+    # engine must produce EXACTLY the words above the 1/k frequency bar.
+    "text_heavy_hitters": f"""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ), tot AS (
+          SELECT COUNT(*)::BIGINT AS total_tokens FROM w
+        )
+        SELECT word, COUNT(*)::BIGINT AS cnt,
+               (SELECT total_tokens FROM tot) AS total_tokens
+        FROM w GROUP BY word
+        HAVING COUNT(*)::DOUBLE
+               > (SELECT total_tokens FROM tot)::DOUBLE / {MG_COUNTERS}.0
+    """,
     "text_bigram_lm": f"""
         WITH d AS (
           SELECT string_split(text, ' ') AS ws FROM documents
@@ -1772,6 +1801,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         ORACLES["text_word_entropy_native"],
     ),
     "text_bigram_lm": (q_text_bigram_lm, ORACLES["text_bigram_lm"]),
+    "text_heavy_hitters": (q_text_heavy_hitters, ORACLES["text_heavy_hitters"]),
     "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (
