@@ -230,6 +230,88 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# calibrated on the corpus: df<=20 leaves no shared terms at all (every
+# cross-doc term has df>20); df<=50 admits the near-dup clusters' shared
+# vocabulary, where cosine is bimodal (~1.0 for dups, ~0 otherwise)
+SPARSE_DF_CAP = 50
+SPARSE_COS_T = 0.5
+
+
+def q_text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine similarity via an inverted-index join —
+    the IR-style sparse near-dup/retrieval primitive: document pairs whose
+    RARE-term TF vectors have cosine ≥ ``SPARSE_COS_T``.
+
+    Rare-term cutoff: only terms with document frequency ≤ ``SPARSE_DF_CAP``
+    enter the index, which (a) bounds every posting list, making the
+    posting self-join ≤ DF_CAP² rows per term — the deterministic cousin
+    of the LSH hot-bucket cap — and (b) is the semantics you want
+    (stopwords carry no similarity signal). Norms are over the SAME kept
+    vector, so this is exact cosine of the df-truncated vectors; the
+    oracle applies the identical cutoff.
+
+    Scale shape: two shuffles that matter — postings on term (bounded
+    lists), pair-contribution sum on (a, b) (map-side combined). No
+    all-pairs stage exists at any corpus size.
+
+    Determinism: dot and norm² are exact int sums; sqrt is IEEE
+    correctly-rounded in both engines; one pinned divide. No logs — the
+    tf-idf ulp problem (see ``q_text_tfidf``) is designed out.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    rare = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SPARSE_DF_CAP)
+        .select("term")
+    )
+    kept = tf.join(rare, "term", "left_semi")
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = kept.select(
+        F.col("term"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = kept.select(
+        F.col("term"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    dot = (
+        a.join(b, "term")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        dot.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(SPARSE_COS_T))
+    )
+
+
 BIGRAM_MIN_COUNT = 5
 BIGRAM_TOP_K = 200
 
@@ -1643,6 +1725,36 @@ ORACLES: dict[str, str] = {
         HAVING COUNT(*)::DOUBLE
                > (SELECT total_tokens FROM tot)::DOUBLE / {MG_COUNTERS}.0
     """,
+    "text_sparse_cosine_pairs": rf"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+          FROM words WHERE len(term) > 0 GROUP BY doc_id, term
+        ), rare AS (
+          SELECT term FROM tf GROUP BY term
+          HAVING COUNT(*) <= {SPARSE_DF_CAP}
+        ), kept AS (
+          SELECT tf.* FROM tf JOIN rare USING (term)
+        ), norms AS (
+          SELECT doc_id, sqrt(SUM(tf * tf)::DOUBLE) AS nrm
+          FROM kept GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 SUM(a.tf * b.tf)::BIGINT AS dot
+          FROM kept a JOIN kept b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, dot,
+               dot::DOUBLE / (na.nrm * nb.nrm) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_id_a
+        JOIN norms nb ON nb.doc_id = doc_id_b
+        WHERE dot::DOUBLE / (na.nrm * nb.nrm) >= {SPARSE_COS_T!r}
+    """,
     "text_bigram_lm": f"""
         WITH d AS (
           SELECT string_split(text, ' ') AS ws FROM documents
@@ -1802,6 +1914,10 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     ),
     "text_bigram_lm": (q_text_bigram_lm, ORACLES["text_bigram_lm"]),
     "text_heavy_hitters": (q_text_heavy_hitters, ORACLES["text_heavy_hitters"]),
+    "text_sparse_cosine_pairs": (
+        q_text_sparse_cosine_pairs,
+        ORACLES["text_sparse_cosine_pairs"],
+    ),
     "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (

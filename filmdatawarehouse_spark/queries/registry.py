@@ -58,6 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "docs_mad_outliers",
     "bloom_prefilter_join",
     "text_heavy_hitters",
+    "text_sparse_cosine_pairs",
     # -- 3. r03-certified, no driver row since r02/r03
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -91,11 +92,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corr_qty_price",
     "window_rank_family",
     "pipeline_curate_documents",
-    "join_bigbig_rollup",
-    # bumped to the tail for round 5 by the 8 new driver-never-seen
+    # bumped to the tail for round 5 by the 9 new driver-never-seen
     # queries (each keeps its r03 green row; rotate back in r06):
-    # decontaminate_docs, pack_sequences, redact_pii_docs,
-    # text_repetition_metrics, text_repetition_gate,
+    # join_bigbig_rollup, decontaminate_docs, pack_sequences,
+    # redact_pii_docs, text_repetition_metrics, text_repetition_gate,
     # embedding_quantize_codes, embedding_quantize_error
 )
 
