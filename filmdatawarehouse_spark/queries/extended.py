@@ -399,6 +399,37 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the verified near-dup pair graph — the cluster-cohesion
+    signal (a triangle means three documents pairwise-near-duplicate;
+    wedges that DON'T close flag chained borderline matches worth auditing
+    before transitive merging).
+
+    Implementation is the standard ordered-edge triangle join: edges
+    already satisfy a < b, so (a,b) ⋈ (b,c) ⋈ (a,c) enumerates each
+    triangle exactly once with equi-joins only. At 100 TB-corpus pair
+    graphs, work is bounded by Σ deg(v)² over the (tiny, subquadratic) LSH
+    pair set — and hub nodes are exactly the mass-dup content the
+    hot-bucket cap already excised upstream.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T).select(
+        "doc_id_a", "doc_id_b"
+    )
+    e1 = e.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    e2 = e.select(F.col("doc_id_a").alias("b"), F.col("doc_id_b").alias("c"))
+    e3 = e.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.col("a").alias("doc_id_a"),
+            F.col("b").alias("doc_id_b"),
+            F.col("c").alias("doc_id_c"),
+        )
+    )
+
+
 ANN_PAIR_RECALL_BAR = 0.9
 
 
@@ -1679,6 +1710,21 @@ ORACLES: dict[str, str] = {
         JOIN documents ta ON ta.doc_id = doc_id_a
         JOIN documents tb ON tb.doc_id = doc_id_b
     """,
+    "dedup_triangles": f"""
+        WITH sh AS ({_WORD_SHINGLES}),
+        pairs AS (
+          SELECT a.doc_id AS pa, b.doc_id AS pb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+            AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                >= {JACCARD_T}
+        )
+        SELECT e1.pa AS doc_id_a, e1.pb AS doc_id_b, e2.pb AS doc_id_c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.pa = e1.pb
+        JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
     "multimodal_byte_stats": """
         WITH b AS (
           SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
@@ -1919,6 +1965,7 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         ORACLES["text_sparse_cosine_pairs"],
     ),
     "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
+    "dedup_triangles": (q_dedup_triangles, ORACLES["dedup_triangles"]),
     "text_tfidf": (q_text_tfidf, ORACLES["text_tfidf"]),
     "events_running_totals": (
         q_events_running_totals,

@@ -59,6 +59,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_prefilter_join",
     "text_heavy_hitters",
     "text_sparse_cosine_pairs",
+    "dedup_triangles",
+    "window_value_family",
+    "events_time_rollup",
     # -- 3. r03-certified, no driver row since r02/r03
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -89,11 +92,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "above_customer_avg",
     "snapshot_diff_customers",
     "ntile_order_value",
-    "corr_qty_price",
-    "window_rank_family",
-    "pipeline_curate_documents",
-    # bumped to the tail for round 5 by the 9 new driver-never-seen
+    # bumped to the tail for round 5 by the 12 new driver-never-seen
     # queries (each keeps its r03 green row; rotate back in r06):
+    # corr_qty_price, window_rank_family, pipeline_curate_documents,
     # join_bigbig_rollup, decontaminate_docs, pack_sequences,
     # redact_pii_docs, text_repetition_metrics, text_repetition_gate,
     # embedding_quantize_codes, embedding_quantize_error

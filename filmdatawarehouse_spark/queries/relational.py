@@ -669,3 +669,88 @@ RELATIONAL_QUERIES: dict[str, Entry] = {
         ORACLES["events_hourly_gapfill"],
     ),
 }
+
+
+def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family over one partition spec — first_value,
+    last_value, nth_value, lead — completing the window-function surface
+    next to ``window_rank_family``. last_value/nth_value use the explicit
+    full-partition frame (the default RANGE..CURRENT ROW frame makes
+    last_value ≡ current row — the classic silent-wrong-answer trap, pinned
+    correct here in both engines)."""
+    from pyspark.sql.window import Window
+
+    s = read_table(spark, sf_dir, "supplier")
+    order = [F.col("s_acctbal").asc(), F.col("s_suppkey").asc()]
+    w = Window.partitionBy("s_nationkey").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.first("s_suppkey").over(wf).alias("poorest_suppkey"),
+        F.last("s_suppkey").over(wf).alias("richest_suppkey"),
+        F.nth_value("s_suppkey", 2).over(wf).alias("second_poorest_suppkey"),
+        F.lead("s_suppkey").over(w).alias("next_suppkey"),
+    )
+
+
+ORACLES["window_value_family"] = """
+    SELECT s_nationkey, s_suppkey,
+           first_value(s_suppkey) OVER wf AS poorest_suppkey,
+           last_value(s_suppkey) OVER wf AS richest_suppkey,
+           nth_value(s_suppkey, 2) OVER wf AS second_poorest_suppkey,
+           lead(s_suppkey) OVER w AS next_suppkey
+    FROM supplier
+    WINDOW
+      w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+      wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup in ONE pass: event counts at (day), (month),
+    and grand-total grains via GROUPING SETS over derived time keys, with
+    grouping() flags disambiguating the NULL-key rows — the
+    time-hierarchy sibling of ``grouping_sets_orders``. One scan, one
+    Expand, one two-phase aggregate; never three separate scans."""
+    e = read_table(spark, sf_dir, "events").select("ts")
+    keyed = e.select(
+        F.to_date("ts").alias("day"),
+        (F.year("ts") * 100 + F.month("ts")).cast("int").alias("month"),
+    )
+    return (
+        keyed.groupingSets(
+            [[F.col("day")], [F.col("month")], []],
+            F.col("day"),
+            F.col("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("month").cast("int").alias("g_month"),
+        )
+        .select("day", "month", "n_events", "g_day", "g_month")
+    )
+
+
+ORACLES["events_time_rollup"] = """
+    WITH keyed AS (
+      SELECT CAST(ts AS DATE) AS day,
+             (year(ts) * 100 + month(ts))::INT AS month
+      FROM events
+    )
+    SELECT day, month, COUNT(*)::BIGINT AS n_events,
+           grouping(day)::INT AS g_day, grouping(month)::INT AS g_month
+    FROM keyed
+    GROUP BY GROUPING SETS ((day), (month), ())
+"""
+
+RELATIONAL_QUERIES["window_value_family"] = (
+    q_window_value_family,
+    ORACLES["window_value_family"],
+)
+RELATIONAL_QUERIES["events_time_rollup"] = (
+    q_events_time_rollup,
+    ORACLES["events_time_rollup"],
+)
