@@ -98,6 +98,12 @@ HEADLINE = [
     # JVM-native production twins (round 5) — the 100 TB path variants
     "text_word_entropy_native",
     "multimodal_byte_stats_native",
+    # round-5 additions
+    "text_heavy_hitters",
+    "text_sparse_cosine_pairs",
+    "bloom_prefilter_join",
+    "events_sessions_capped",
+    "dedup_triangles",
 ]
 
 
