@@ -236,6 +236,141 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARSE_DF_CAP = 50
 SPARSE_COS_T = 0.5
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style LM
+    quality proxy: score(d) = (1/|d|) Σ_w ln(c(w)/N) under the corpus's
+    own unigram MLE. Low scores flag rare-token noise; implausibly high
+    scores flag boilerplate.
+
+    Cross-engine determinism uses BOTH established recipes at once: the
+    ``ln`` runs in a zero-shuffle Arrow stage over the (vocab-sized)
+    frequency frame with glibc ``math.log`` (= DuckDB's ln, bit-identical
+    — the ``text_tfidf`` trick), and the per-doc sum goes through
+    DECIMAL(28,18) so Spark's partial-aggregation order can't drift the
+    hash (the money-sum trick). The double→decimal CAST itself rounds
+    differently between engines in the last decimal ulp (measured ≤ 9e-16
+    on the mean), so the certified contract is the 1e-12 grid — both
+    sides round the mean to 12 dp, like the native-twin oracles.
+
+    Scale shape: two aggregates (corpus vocab, per-doc sum) + one
+    broadcast join of the vocab-sized logp frame onto the token stream —
+    the corpus shuffles once on doc_id.
+    """
+    import math
+
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+
+    def logp_stage(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["logp"] = pd.Series(
+                [math.log(c / n) for c, n in zip(pdf["c"], pdf["n_total"])],
+                dtype="float64",
+            )
+            yield pdf[["word", "logp"]]
+
+    logp = freq.crossJoin(F.broadcast(total)).mapInPandas(
+        logp_stage, "word string, logp double"
+    )
+    return (
+        words.join(F.broadcast(logp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+CONTAIN_T = 0.8
+CONTAIN_DF_CAP = 50
+
+
+def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the SUB-document duplication case
+    symmetric Jaccard misses: containment(A,B) = |A∩B| / min(|A|,|B|) over
+    word 3-shingle sets, so a short document pasted inside a long one
+    still scores ~1 while its Jaccard is tiny.
+
+    Candidate generation is an inverted-index join over shingles with a
+    document-frequency cap (``CONTAIN_DF_CAP``), the deterministic posting
+    bound (same role as the LSH hot-bucket cap): ubiquitous boilerplate
+    shingles leave the index, every posting list is ≤ cap, the pair join
+    is ≤ cap² per shingle. Sizes and intersections are both over the KEPT
+    shingle sets, so the score is exact containment of the df-truncated
+    sets and the oracle replays it verbatim.
+
+    Determinism: exact int intersection/size counts; one double division.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                # guard: sequence(1, 0) is an illegal range in Spark, so
+                # docs under 3 words contribute an empty shingle array
+                F.when(
+                    F.size(words) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("shingle")
+    )
+    kept = sh.join(rare, "shingle", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_a"))
+    b = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(CONTAIN_T))
+    )
+
 
 def q_text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse bag-of-words cosine similarity via an inverted-index join —
@@ -1771,6 +1906,57 @@ ORACLES: dict[str, str] = {
         HAVING COUNT(*)::DOUBLE
                > (SELECT total_tokens FROM tot)::DOUBLE / {MG_COUNTERS}.0
     """,
+    "text_unigram_logprob": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), freq AS (
+          SELECT word, COUNT(*)::BIGINT AS c FROM w GROUP BY word
+        ), tot AS (
+          SELECT SUM(c)::BIGINT AS n_total FROM freq
+        ), logp AS (
+          SELECT word, ln(c::DOUBLE / (SELECT n_total FROM tot)) AS logp
+          FROM freq
+        )
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               round(
+                 CAST(SUM(CAST(logp AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*),
+                 12) AS mean_logprob
+        FROM w JOIN logp USING (word)
+        GROUP BY doc_id
+    """,
+    "text_containment_pairs": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+        ), rare AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) <= {CONTAIN_DF_CAP}
+        ), kept AS (
+          SELECT sh.* FROM sh JOIN rare USING (shingle)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM kept GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 COUNT(*)::BIGINT AS n_inter
+          FROM kept a JOIN kept b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, n_inter,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               n_inter::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE
+                 AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE n_inter::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE
+              >= {CONTAIN_T!r}
+    """,
     "text_sparse_cosine_pairs": rf"""
         WITH words AS (
           SELECT doc_id,
@@ -1963,6 +2149,14 @@ EXTENDED_QUERIES: dict[str, Entry] = {
     "text_sparse_cosine_pairs": (
         q_text_sparse_cosine_pairs,
         ORACLES["text_sparse_cosine_pairs"],
+    ),
+    "text_containment_pairs": (
+        q_text_containment_pairs,
+        ORACLES["text_containment_pairs"],
+    ),
+    "text_unigram_logprob": (
+        q_text_unigram_logprob,
+        ORACLES["text_unigram_logprob"],
     ),
     "dedup_edit_distance": (q_dedup_edit_distance, ORACLES["dedup_edit_distance"]),
     "dedup_triangles": (q_dedup_triangles, ORACLES["dedup_triangles"]),

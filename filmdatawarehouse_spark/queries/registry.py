@@ -62,6 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_triangles",
     "window_value_family",
     "events_time_rollup",
+    "text_containment_pairs",
+    "text_unigram_logprob",
     # -- 3. r03-certified, no driver row since r02/r03
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -90,13 +92,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "semi_join_suppliers",
     "percentile_order_value",
     "above_customer_avg",
-    "snapshot_diff_customers",
-    "ntile_order_value",
-    # bumped to the tail for round 5 by the 12 new driver-never-seen
+    # bumped to the tail for round 5 by the 14 new driver-never-seen
     # queries (each keeps its r03 green row; rotate back in r06):
-    # corr_qty_price, window_rank_family, pipeline_curate_documents,
-    # join_bigbig_rollup, decontaminate_docs, pack_sequences,
-    # redact_pii_docs, text_repetition_metrics, text_repetition_gate,
+    # snapshot_diff_customers, ntile_order_value, corr_qty_price,
+    # window_rank_family, pipeline_curate_documents, join_bigbig_rollup,
+    # decontaminate_docs, pack_sequences, redact_pii_docs,
+    # text_repetition_metrics, text_repetition_gate,
     # embedding_quantize_codes, embedding_quantize_error
 )
 
