@@ -474,3 +474,55 @@ def test_cohort_retention_hot_user_no_straggler(spark, tmp_path):
     # collapses to one row per month per map task before any exchange.
     assert max(recs) < N_HOT_ROWS / 10, recs
     assert out.count() > 0
+
+
+def test_bigram_lm_topk_avoids_global_sort(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.extended import q_text_bigram_lm
+
+    plan = plan_of(q_text_bigram_lm(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_cosine_no_cartesian_and_two_phase(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.extended import (
+        q_text_sparse_cosine_pairs,
+    )
+
+    plan = plan_of(q_text_sparse_cosine_pairs(spark, sf_dir))
+    # the pair join is an equi-join on term (posting lists), never a
+    # cross product; aggregates are map-side combined
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.extended import (
+        q_text_containment_pairs,
+    )
+
+    plan = plan_of(q_text_containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_candidate_join_is_semi(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.extended import q_text_heavy_hitters
+
+    plan = plan_of(q_text_heavy_hitters(spark, sf_dir))
+    # pass-2 recount keeps only MG candidates via a (broadcast) semi join
+    assert "LeftSemi" in plan
+
+
+def test_time_rollup_single_expand_pass(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.relational import (
+        q_events_time_rollup,
+    )
+
+    plan = plan_of(q_events_time_rollup(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # GROUPING SETS compiles to ONE Expand + two-phase aggregate over one
+    # scan — never one scan per grain
+    assert tree.count("Expand") == 1
+    assert tree.count("Scan parquet") == 1
