@@ -211,3 +211,69 @@ def test_native_twins_agree_with_pinned_fold(spark, texts):
         assert p[k].n_distinct_bytes == q[k].n_distinct_bytes
         assert abs(p[k].mean_byte - q[k].mean_byte) < 1e-9
         assert abs(p[k].byte_entropy - q[k].byte_entropy) < 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),  # user
+            st.integers(min_value=0, max_value=20_000),  # epoch seconds
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_capped_sessions_match_bruteforce(spark, events):
+    """events_sessions_capped's gap+slice logic vs a sequential reference:
+    same session membership (gap>30min splits, 60-min slices from session
+    start) for any event layout, including exact-boundary gaps."""
+    from filmdatawarehouse_spark.queries.timeseries import (
+        SESSION_CAP_S,
+        SESSION_GAP_S,
+        q_events_sessions_capped,
+    )
+
+    import tempfile
+
+    rows = [
+        (i, datetime.datetime.utcfromtimestamp(ts), u, "t", 0.0, "{}")
+        for i, (u, ts) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {
+            (r.user_id, r.gap_session, r.slice_idx, r.n_events)
+            for r in q_events_sessions_capped(spark, tmp).collect()
+        }
+
+    # sequential reference
+    want: dict[tuple, int] = {}
+    by_user: dict[int, list[tuple]] = {}
+    for i, (u, ts) in enumerate(events):
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        gap_sess, prev = 0, None
+        sess_start = None
+        for ts, _i in evs:
+            if prev is not None and ts - prev > SESSION_GAP_S:
+                gap_sess += 1
+                sess_start = ts
+            elif prev is None:
+                sess_start = ts
+            prev = ts
+            sub = (ts - sess_start) // SESSION_CAP_S
+            key = (u, gap_sess, sub)
+            want[key] = want.get(key, 0) + 1
+    assert got == {(u, g, s, n) for (u, g, s), n in want.items()}
