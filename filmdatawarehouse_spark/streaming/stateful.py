@@ -134,6 +134,96 @@ def expiring_user_sessions(events: DataFrame, gap_seconds: int = 600) -> DataFra
     )
 
 
+CAPPED_STATE_SCHEMA = (
+    "n bigint, gap_start_us bigint, slice_idx bigint, "
+    "slice_start_us bigint, last_us bigint"
+)
+
+
+def expiring_capped_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    cap_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming twin of the batch ``events_sessions_capped`` query
+    (queries/timeseries.py): gap-sessionization PLUS the max-duration cap
+    — each gap-session is time-sliced at ``cap_seconds`` boundaries from
+    its start, so no emitted session row can span more than the cap even
+    for an endlessly-active key. Same state-eviction contract as
+    ``expiring_user_sessions`` (open slice only; EventTimeTimeout closes
+    and evicts); slices closed by an observed boundary crossing are
+    emitted in that same batch.
+
+    Equivalence with the batch query is pinned by
+    tests/test_streaming.py::test_stateful_capped_sessions_equal_batch
+    over a multi-batch replay.
+    """
+    gap_us = gap_seconds * 1_000_000
+    cap_us = cap_seconds * 1_000_000
+
+    def _emit(user_id, closed):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+                "session_start": pd.to_datetime(
+                    pd.Series([c[0] for c in closed], dtype="int64"), unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
+                ),
+                "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+            }
+        )
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, _gap_start, _idx, slice_start, last_us = state.get
+            state.remove()
+            yield _emit(user_id, [(slice_start, last_us, n)])
+            return
+        chunks = [
+            (pdf["ts"].astype("int64") // 1000).to_numpy() for pdf in pdf_iter
+        ]
+        ts_us = np.sort(np.concatenate(chunks)) if chunks else np.array([], "int64")
+        if state.exists:
+            n, gap_start, idx, slice_start, last_us = state.get
+        else:
+            n, gap_start, idx, slice_start, last_us = 0, None, 0, None, None
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            t = int(t)
+            if gap_start is None:
+                n, gap_start, idx, slice_start, last_us = 1, t, 0, t, t
+            elif t - last_us > gap_us:
+                # inactivity gap: close the open slice, start a new session
+                closed.append((slice_start, last_us, n))
+                n, gap_start, idx, slice_start, last_us = 1, t, 0, t, t
+            else:
+                new_idx = (t - gap_start) // cap_us
+                if new_idx != idx:
+                    # duration cap: close the slice, same gap-session
+                    closed.append((slice_start, last_us, n))
+                    n, idx, slice_start = 1, new_idx, t
+                    last_us = t
+                else:
+                    n += 1
+                    last_us = max(last_us, t)
+        state.update((n, gap_start, idx, slice_start, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield _emit(user_id, closed)
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=CAPPED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming DataFrame of per-user running (count, value-sum), updated
     each micro-batch a user appears in. Input needs columns (user_id, value).

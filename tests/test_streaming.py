@@ -517,3 +517,93 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir):
         for r in spark.sql("SELECT * FROM enrich_out").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stateful_capped_sessions_equal_batch(spark, tmp_path):
+    """The capped-session streaming operator replayed over THREE
+    micro-batches must emit exactly the batch query's session slices
+    (q_events_sessions_capped) for every session the watermark has
+    closed — gap splits and cap slices landing across batch boundaries
+    included."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdatawarehouse_spark.queries.timeseries import (
+        q_events_sessions_capped,
+    )
+    from filmdatawarehouse_spark.streaming.stateful import (
+        expiring_capped_sessions,
+    )
+
+    # user 1: gap split (10:20 -> 11:30 is 70min > 30min gap)
+    # user 2: cap slices (continuous 20-min cadence crossing two 60-min
+    #         boundaries of its 10:00 session start)
+    # user 99: lone far-future event that advances the watermark past
+    #          everyone else's timeout (its own session stays open)
+    ev = (
+        [(1, TS(2024, 1, 1, 10, 0)), (1, TS(2024, 1, 1, 10, 20)),
+         (1, TS(2024, 1, 1, 11, 30))]
+        + [(2, TS(2024, 1, 1, 10 + m // 60, m % 60)) for m in range(0, 140, 20)]
+        + [(99, TS(2025, 1, 1))]
+    )
+    batches = [
+        [r for r in ev if r[1] <= TS(2024, 1, 1, 11, 0)],
+        [r for r in ev if TS(2024, 1, 1, 11, 0) < r[1] < TS(2025, 1, 1)],
+        [r for r in ev if r[1] >= TS(2025, 1, 1)],
+    ]
+
+    d = tmp_path / "capped_src"
+    d.mkdir()
+    now = time.time()
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(d / name))
+        os.utime(str(d / name), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(d))
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        expiring_capped_sessions(stream, gap_seconds=1800, cap_seconds=3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("capped_out")
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            write(f"b{i}.parquet", rows, now - 60 * (len(batches) - i))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM capped_out").collect()
+    }
+
+    # batch twin over the SAME events (full events-table schema)
+    full = spark.createDataFrame(
+        [(i, ts, u, "t", 0.0, "{}") for i, (u, ts) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    bdir = tmp_path / "capped_batch"
+    full.write.mode("overwrite").parquet(str(bdir / "events.parquet"))
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in q_events_sessions_capped(spark, str(bdir)).collect()
+    }
+    # the watermark closed every session except user 99's open one
+    assert got == {row for row in batch if row[0] != 99}
+    assert len(got) == len(batch) - 1
