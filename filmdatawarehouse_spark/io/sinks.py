@@ -114,3 +114,32 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> No
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.mode("append").save()
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet layout on ``col`` —
+    the write-side half of data-clustering: each output file covers a
+    disjoint value range and is internally sorted, so parquet row-group
+    min/max statistics let later range/point predicates on ``col`` skip
+    whole files at the scan (the poor man's Z-order for a single key).
+
+    ``repartitionByRange`` samples range boundaries (one extra pass over a
+    sample, not the data) and shuffles once; ``sortWithinPartitions`` is a
+    partition-local sort, no extra exchange. At 100 TB pick ``n_files`` so
+    files land near the 128 MB-1 GB sweet spot.
+
+    The disjoint-range + file-skipping contract is pinned by
+    tests/test_io_formats.py::test_range_sorted_layout_skips_files.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
