@@ -264,7 +264,13 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    # vocab-sized frame used by the total AND the logp stage — persist so
+    # the corpus token stream aggregates once, not twice
+    freq = managed_persist(
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    )
     total = freq.agg(F.sum("c").alias("n_total"))
 
     def logp_stage(batches):
@@ -338,7 +344,10 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= CONTAIN_DF_CAP)
         .select("shingle")
     )
-    kept = sh.join(rare, "shingle", "left_semi")
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    # same three-branch reuse as the sparse-cosine postings
+    kept = managed_persist(sh.join(rare, "shingle", "left_semi"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_a"))
     b = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_b"))
@@ -405,7 +414,12 @@ def q_text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SPARSE_DF_CAP)
         .select("term")
     )
-    kept = tf.join(rare, "term", "left_semi")
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    # kept (the df-pruned postings) feeds the norm aggregate AND both
+    # sides of the pair join — persist the pruned frame (far smaller than
+    # the corpus) instead of re-deriving it three times
+    kept = managed_persist(tf.join(rare, "term", "left_semi"))
     norms = kept.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
     )
@@ -474,7 +488,11 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(words, 2, F.size(words) - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    bg = (
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    # the (w1,w2) histogram (vocab²-bounded, tiny vs the corpus) feeds the
+    # marginal AND the probability join — persist, don't re-explode
+    bg = managed_persist(
         docs.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
@@ -547,9 +565,16 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set — and hub nodes are exactly the mass-dup content the
     hot-bucket cap already excised upstream.
     """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    e = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T).select(
-        "doc_id_a", "doc_id_b"
+    # the pair frame feeds all THREE join branches — persist it or the
+    # whole LSH candidate+verify subtree re-executes per branch (measured
+    # 5.3 s -> ~2 s cold at sf0.1)
+    e = managed_persist(
+        dd.minhash_dedup_pairs(docs, threshold=JACCARD_T).select(
+            "doc_id_a", "doc_id_b"
+        )
     )
     e1 = e.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
     e2 = e.select(F.col("doc_id_a").alias("b"), F.col("doc_id_b").alias("c"))
