@@ -104,6 +104,8 @@ HEADLINE = [
     "bloom_prefilter_join",
     "events_sessions_capped",
     "dedup_triangles",
+    "text_containment_pairs",
+    "text_unigram_logprob",
 ]
 
 

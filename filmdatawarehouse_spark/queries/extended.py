@@ -319,6 +319,8 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: exact int intersection/size counts; one double division.
     """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.col("text"), " ")
     sh = (
@@ -338,15 +340,17 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # two persists, both load-bearing: the root shingle frame feeds the df
+    # census AND the semi-join (one explode+distinct instead of two), and
+    # kept feeds THREE consumers (sizes + both pair-join sides) — leaving
+    # either unpersisted re-executes its subtree per consumer
+    sh = managed_persist(sh)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= CONTAIN_DF_CAP)
         .select("shingle")
     )
-    from filmdatawarehouse_spark.operators.cache import managed_persist
-
-    # same three-branch reuse as the sparse-cosine postings
     kept = managed_persist(sh.join(rare, "shingle", "left_semi"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_a"))
