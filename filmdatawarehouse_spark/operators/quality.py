@@ -79,6 +79,37 @@ def check_foreign_key(
     )
 
 
+def check_accepted_values(
+    df: DataFrame, col: str, allowed: list, name: str
+) -> DataFrame:
+    """Violations = rows whose value is outside the ``allowed`` set (NULL
+    counts as a violation — pair with check_not_null to distinguish).
+    The allowed set is a literal in the plan (dbt's accepted_values):
+    an O(|allowed|) isin filter at scan speed, no join."""
+    ok = F.col(col).isin(list(allowed))
+    return df.agg(
+        F.count(F.when(~F.coalesce(ok, F.lit(False)), 1)).alias("_v")
+    ).select(*_report(name, F.col("_v")))
+
+
+def check_freshness(
+    df: DataFrame, ts_col: str, max_age_seconds: int, now: str, name: str
+) -> DataFrame:
+    """Violation (0 or 1) = the table's MAX event time is older than
+    ``max_age_seconds`` before ``now`` — the is-my-feed-stale check.
+    ``now`` is an explicit ISO timestamp, not current_timestamp(): a
+    nondeterministic clock in the plan would break retries, caching, and
+    any cross-engine certification. One max aggregation."""
+    stale = (
+        F.unix_seconds(F.lit(now).cast("timestamp"))
+        - F.unix_seconds(F.max(F.col(ts_col)))
+    ) > max_age_seconds
+    # an EMPTY table has no freshness at all -> violation
+    return df.agg(
+        F.when(F.coalesce(stale, F.lit(True)), 1).otherwise(0).alias("_v")
+    ).select(*_report(name, F.col("_v")))
+
+
 def run_checks(checks: list[DataFrame]) -> DataFrame:
     """Union the one-row reports into (check_name, n_violations, passed)."""
     if not checks:

@@ -76,3 +76,47 @@ def test_run_checks_empty_raises(spark):
 
     with _pytest.raises(ValueError):
         q.run_checks([])
+
+
+def test_accepted_values_counts_outsiders(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    rows = [
+        {"k": 1, "status": "OPEN"},
+        {"k": 2, "status": "CLOSED"},
+        {"k": 3, "status": "BOGUS"},   # outside the set
+        {"k": 4, "status": None},      # NULL counts as violation
+    ]
+    df = literal_rows(spark, rows, schema)
+    [r] = q.check_accepted_values(
+        df, "status", ["OPEN", "CLOSED"], "status_domain"
+    ).collect()
+    assert (r.check_name, r.n_violations, r.passed) == ("status_domain", 2, 0)
+
+
+def test_freshness_passes_and_fails_on_age(spark):
+    import datetime
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    rows = [
+        {"ts": datetime.datetime(2024, 1, 1, 10, 0)},
+        {"ts": datetime.datetime(2024, 1, 1, 12, 0)},  # max
+    ]
+    df = literal_rows(spark, rows, schema)
+    fresh = q.check_freshness(
+        df, "ts", 3600, "2024-01-01 12:30:00", "feed_fresh"
+    ).collect()[0]
+    assert (fresh.n_violations, fresh.passed) == (0, 1)
+    stale = q.check_freshness(
+        df, "ts", 3600, "2024-01-01 14:00:00", "feed_fresh"
+    ).collect()[0]
+    assert (stale.n_violations, stale.passed) == (1, 0)
+    # empty table = no freshness at all
+    empty = q.check_freshness(
+        df.filter(F.lit(False)), "ts", 3600, "2024-01-01 12:30:00", "feed_fresh"
+    ).collect()[0]
+    assert (empty.n_violations, empty.passed) == (1, 0)
