@@ -34,6 +34,19 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.check_range(
                 events, F.col("value") >= 0, "events_value_nonnegative"
             ),
+            q.check_accepted_values(
+                orders, "o_orderstatus", ["O", "F", "P"], "orders_status_domain"
+            ),
+            # deterministic clock: explicit literal 'now', generous age so
+            # the check passes at every SF; that it FIRES on stale/empty
+            # feeds is pinned by tests/test_quality.py
+            q.check_freshness(
+                events,
+                "ts",
+                100 * 365 * 86400,
+                "2030-01-01 00:00:00",
+                "events_freshness",
+            ),
         ]
     )
 
@@ -64,6 +77,24 @@ DQ_ORACLE = """
     SELECT 'events_value_nonnegative',
            COUNT(*) FILTER (NOT COALESCE(value >= 0, FALSE))::BIGINT,
            (COUNT(*) FILTER (NOT COALESCE(value >= 0, FALSE)) = 0)::INT
+    FROM events
+    UNION ALL
+    SELECT 'orders_status_domain',
+           COUNT(*) FILTER (
+             NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE))::BIGINT,
+           (COUNT(*) FILTER (
+             NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE)) = 0)::INT
+    FROM orders
+    UNION ALL
+    SELECT 'events_freshness',
+           (CASE WHEN max(ts) IS NULL THEN 1
+                 WHEN epoch(TIMESTAMP '2030-01-01 00:00:00')
+                      - epoch(max(ts)) > 100::BIGINT * 365 * 86400 THEN 1
+                 ELSE 0 END)::BIGINT,
+           (CASE WHEN max(ts) IS NULL THEN 0
+                 WHEN epoch(TIMESTAMP '2030-01-01 00:00:00')
+                      - epoch(max(ts)) > 100::BIGINT * 365 * 86400 THEN 0
+                 ELSE 1 END)::INT
     FROM events
 """
 
