@@ -367,3 +367,38 @@ def test_star_contraction_matches_bsp_on_real_pairs(spark, sf_dir):
         for r in star_contraction_clusters(ids, pairs).collect()
     }
     assert star == bsp and len(star) > 0
+
+
+def test_round5_text_queries_survive_degenerate_docs(spark, tmp_path):
+    """Empty text, 1-word, 2-word, and NULL-text documents must flow
+    through every round-5 text query without errors (slice-length-0,
+    empty-split, and NULL-handling edges)."""
+    import pyspark.sql.functions as F
+
+    rows = [(1, ""), (2, "solo"), (3, "two words"), (4, None), (5, "a b c")]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn(
+            "n_chars", F.length(F.coalesce("text", F.lit(""))).cast("long")
+        )
+    )
+    d = str(tmp_path / "degenerate_docs")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    from filmdatawarehouse_spark.queries.extended import (
+        q_text_bigram_lm,
+        q_text_containment_pairs,
+        q_text_heavy_hitters,
+        q_text_sparse_cosine_pairs,
+        q_text_unigram_logprob,
+    )
+
+    assert q_text_bigram_lm(spark, d).count() == 0  # no bigram reaches c>=5
+    assert q_text_sparse_cosine_pairs(spark, d).count() == 0
+    assert q_text_containment_pairs(spark, d).count() == 0
+    # heavy hitters: every token clears 1/64 of this tiny corpus
+    assert q_text_heavy_hitters(spark, d).count() > 0
+    # logprob drops only the NULL-text doc (split(NULL) explodes nothing)
+    assert q_text_unigram_logprob(spark, d).count() == 4
