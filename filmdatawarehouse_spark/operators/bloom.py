@@ -5,12 +5,14 @@ runtime.bloomFilter.enabled`) exposed as an explicit operator: build a
 Bloom filter over a SELECTIVE dimension's join keys, then drop fact rows
 whose key cannot join BEFORE the fact side shuffles. At 100 TB the win is
 shuffle volume: a 1%-selective dim turns a full-fact exchange into a ~1%
-exchange for the cost of one scan + k md5 hashes per row (JVM codegen'd,
-no Python).
+exchange for the cost of one scan + 2 salted ``xxhash64`` evaluations per
+row, expanded to k bit positions by Kirsch–Mitzenmacher double hashing
+(JVM codegen'd, no Python).
 
 PySpark 4.1 exposes neither ``bloom_filter_agg`` nor
 ``DataFrame.stat.bloomFilter``, so the filter is built from first
-principles: k 60-bit md5 hashes mod m set bits in an m-bit bitmap. The
+principles: k double-hashed positions mod m set bits in an m-bit bitmap
+(see ``_hash_positions`` for the exact arithmetic). The
 bitmap is collected to the driver as ≤ m/64 longs (BOUNDED by the m_bits
 parameter — 2048 longs at the default 2^17, the same O(constant) driver
 contract as the ANN centroid arrays) and re-enters the plan as an array
@@ -33,7 +35,8 @@ K_HASHES = 5
 
 def _hash_positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k bit positions for a key via Kirsch–Mitzenmacher double hashing:
-    pos_i = (h1 + i·h2) mod m from two seeded ``xxhash64`` values — a
+    pos_i = (h1 + i·h2) mod m from two salted ``xxhash64`` values (the
+    salt literals hash as extra columns under xxhash64's fixed seed) — a
     single JVM-native hash expression per value (the md5 → substring →
     base-16 conv chain measured ~4× slower per row on the probe side,
     which runs on EVERY fact row). pmod folds each hash into

@@ -159,8 +159,9 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if the filter ever dropped a joining row, the hash would mismatch.
 
     Scale shape: at 100 TB with a 1%-selective dim this turns the fact
-    exchange into a ~1% exchange for one scan + k md5 probes per row (JVM
-    codegen, zero Python, zero extra shuffle). This is Spark's own
+    exchange into a ~1% exchange for one scan + 2 salted xxhash64 values
+    expanded to k bit probes per row (JVM codegen, zero Python, zero
+    extra shuffle). This is Spark's own
     runtime.bloomFilter pattern made explicit/portable — usable where the
     optimizer's version doesn't fire (e.g. a pre-filtered write, or a
     non-join consumer).

@@ -128,7 +128,7 @@ def wire_reference_dag(
     write action via ``write(name, df)``, then flushes the reference-format
     "Cleaned: N rows removed" lines — whose counts rode the write itself
     (CollectMetrics), never extra ``count()`` jobs (VERDICT r04 item 7;
-    pinned by tests/test_runner.py::test_wired_dag_logs_clean_counts_without_extra_jobs).
+    pinned by tests/test_warehouse_jobs.py::test_wired_dag_logs_clean_counts_without_extra_jobs).
 
     ``sources`` needs keys staff/film/store/rental/inventory/payment.
     Returns the runner (dims before facts, 1 retry — W1/W3 parity).
