@@ -255,6 +255,18 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two aggregates (corpus vocab, per-doc sum) + one
     broadcast join of the vocab-sized logp frame onto the token stream —
     the corpus shuffles once on doc_id.
+
+    DELIBERATE 2-SCAN (r05 verdict item 3 decision): the token stream
+    (``words``) is derived twice — once feeding the vocab aggregate, once
+    feeding the per-doc scoring join — and is intentionally NOT
+    persisted. Caching it would materialize a corpus-sized exploded frame
+    (≥ 1.3× corpus bytes: every token re-keyed by doc_id) that cannot fit
+    executor storage at 100 TB, so it would spill — i.e. pay a full write
+    + read of MORE bytes than the second parquet scan costs, while also
+    evicting the frames worth keeping (the vocab-sized ``freq``, which IS
+    persisted below). Re-scanning parquet re-applies column pruning to
+    (doc_id, text) and re-uses the page cache at certification SF. Same
+    tradeoff as the containment query's persist policy, documented there.
     """
     import math
 
