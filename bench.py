@@ -106,6 +106,16 @@ HEADLINE = [
     "dedup_triangles",
     "text_containment_pairs",
     "text_unigram_logprob",
+    # round-6 additions
+    "text_prefix_filter_pairs",
+    "regional_supplier_revenue",
+    "customer_rfm",
+    "orders_abc_pareto",
+    "events_daily_streaks",
+    "events_first_touch",
+    "events_mode_type",
+    "graph_bfs_hops",
+    "events_hour_heatmap",
 ]
 
 

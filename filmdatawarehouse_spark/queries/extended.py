@@ -2257,3 +2257,168 @@ EXTENDED_QUERIES: dict[str, Entry] = {
         ORACLES["multimodal_payload_meta"],
     ),
 }
+
+
+# exact Jaccard threshold for the prefix-filter join, as an integer
+# rational: ceil(t·n) computed as (T_NUM·n + T_DEN − 1) // T_DEN — float
+# ceil(0.7·n) returns 22 for n=30 (0.7·30 = 21.000000000000004), so the
+# prefix length MUST be integer arithmetic in both engines
+PPJOIN_T_NUM = 7
+PPJOIN_T_DEN = 10
+
+
+def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08 — reimplemented from the
+    published semantics): every document pair whose word-3-shingle sets
+    have Jaccard ≥ 0.7, with NO approximation and NO df cap — the exact
+    complement to the MinHash-LSH path (probabilistic recall) and the
+    df-capped containment path (truncated sets).
+
+    The trick: order each document's shingles by GLOBAL rarity
+    (df asc, shingle asc — a canonical total order), and index only each
+    document's PREFIX of length n − ⌈t·n⌉ + 1. If two sets share no
+    prefix element under a common order, their intersection lives in
+    their suffixes of size ⌈t·n⌉ − 1 < t·n ≤ t·|A∪B|, so Jaccard < t:
+    prefix-disjoint pairs are provably below threshold and never become
+    candidates. Candidates then verify EXACTLY via array_intersect on the
+    full shingle arrays, with the threshold test in integer cross-
+    multiplication (T_DEN·|A∩B| ≥ T_NUM·|A∪B|) — no float in any
+    decision.
+
+    Scale shape: the candidate join is over PREFIX postings only — the
+    rarest ~(1−t)·n shingles of each doc, so posting lists are short by
+    construction (rarity order guarantees the prefix picks the least
+    frequent shingles; a df-hot shingle can only appear in prefixes of
+    docs that have nothing rarer). Verification joins candidates to the
+    per-doc shingle arrays — one shuffle of ≤ candidate rows + arrays.
+    The df census and the rank window both partition cleanly (shingle,
+    doc_id). No all-pairs stage at any corpus size; the LSH hot-bucket
+    cap has no analogue here because exactness is the contract — worst-
+    case adversarial corpora (all docs identical) degrade to the true
+    quadratic OUTPUT size, which no exact algorithm can beat.
+
+    Determinism: ranks are total-ordered by (df, shingle); prefix length
+    is integer; verification counts are exact ints; the reported jaccard
+    is one int/int double division (correctly rounded identically in
+    both engines).
+    """
+    from pyspark.sql.window import Window
+
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(words) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    # persisted: feeds the df census, the rank window, and the per-doc
+    # array build (three consumers of one explode+distinct)
+    sh = managed_persist(sh)
+
+    df_census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_census, "shingle")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_size = Window.partitionBy("doc_id")
+    prefix_len = (
+        F.col("n")
+        - F.floor(
+            (F.lit(PPJOIN_T_NUM) * F.col("n") + F.lit(PPJOIN_T_DEN - 1))
+            / F.lit(PPJOIN_T_DEN)
+        )
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_size))
+        .filter(F.col("rn") <= prefix_len)
+        .select("shingle", "doc_id")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .distinct()
+    )
+
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("n_inter", inter.cast("bigint"))
+        .filter(
+            F.lit(PPJOIN_T_DEN) * F.col("n_inter") >= F.lit(PPJOIN_T_NUM) * union
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_inter",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_inter").cast("double") / union.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+ORACLES["text_prefix_filter_pairs"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*)::BIGINT AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE {PPJOIN_T_DEN} * n_inter >= {PPJOIN_T_NUM} * (sa.n + sb.n - n_inter)
+"""
+
+EXTENDED_QUERIES["text_prefix_filter_pairs"] = (
+    q_text_prefix_filter_pairs,
+    ORACLES["text_prefix_filter_pairs"],
+)

@@ -24,81 +24,93 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 
+# The round the NEXT CORRECTNESS_r{N}.json will carry. Bumped at each
+# round's window rotation; pins the staleness ledger (QUERIES.md "last
+# driver row" column + tests/test_registry.py staleness guard) to the
+# round files that exist at rotation time, so the guard stays green even
+# after the driver drops this round's new CORRECTNESS file mid-round.
+CURRENT_ROUND = 6
+
 # First-50 window for the external driver, highest certification value first
-# (round-5 rotation per VERDICT r04 item 1 — the 49 registered queries with
-# NO CORRECTNESS_r04 row, so after this round every query has an
-# r04-or-r05 green driver row):
-#  1. the 9 round-4 additions that have NEVER had a driver row — local
-#     sf0.001 oracle-green is necessary but not sufficient (r03 proved the
-#     driver environment can diverge from the local check)
-#  2. new round-5 queries (also driver-never-seen)
-#  3. the r03-certified dedup/similarity/quantize/curation/relational
-#     families rotated out of the r04 window (no driver row since r02/r03)
-# Everything certified green in r04 moves to the tail; it is still verified
-# locally every pytest run by tests/test_parity_queries.py.
+# (round-6 rotation per VERDICT r05 item 1):
+#  1. the 13 queries whose ONLY driver rows are r03 (bumped from the r05
+#     window by the 14 round-5 additions) — 3 rounds stale, the maximum
+#     the staleness guard tolerates
+#  2. new round-6 queries (driver-never-seen; inserted as they land,
+#     taking slots from the bottom of group 3)
+#  3. the stalest r04-certified entries — streaming twins, dedup/text
+#     operators, and the events/timeseries family first; 19 r04 entries
+#     wait for r07, where they lead the window: the 14 simplest parity
+#     entries (clean_dropna_dedup, derive_date_id, derive_month_key,
+#     dim_date_generate, fact_daily_orders, fact_monthly_totals,
+#     filter_pushdown, filtered_daily_series, join_inner_equi,
+#     monthly_revenue, scan_project, sql_passthrough, top10_parts,
+#     unpivot_part) plus the 5 that yielded slots to round-6 additions
+#     (grouping_sets_orders, join_bigbig_bucketed,
+#     skew_salted_group_count, skew_salted_join, profile_orders).
+# Everything certified green in r05 moves to the tail; every entry is
+# still verified locally on every pytest run by
+# tests/test_parity_queries.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. round-4 additions: driver-never-seen
-    "basket_part_pairs",
-    "dedup_clusters_star",
-    "dedup_edit_distance",
-    "dq_checks",
-    "events_cohort_retention",
-    "events_rolling_actives",
-    "scd2_point_in_time",
-    "text_vocab_encode",
-    "text_word_entropy",
-    # -- 2. new round-5 queries: driver-never-seen
-    # (inserted here as they land; tail entries below yield their slot —
-    #  they keep their r03 green rows and rotate back in r06)
-    "text_word_entropy_native",
-    "multimodal_byte_stats_native",
-    "events_wow_growth",
-    "events_sessions_capped",
-    "text_bigram_lm",
-    "docs_mad_outliers",
-    "bloom_prefilter_join",
-    "text_heavy_hitters",
-    "text_sparse_cosine_pairs",
-    "dedup_triangles",
-    "window_value_family",
-    "events_time_rollup",
-    "text_containment_pairs",
-    "text_unigram_logprob",
-    # -- 3. r03-certified, no driver row since r02/r03
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_ann_recall",
-    "similarity_topk",
-    "similarity_range",
-    "similarity_ann_ivf",
-    "similarity_ann_recall",
-    "sketch_accuracy",
-    "corpus_split",
-    "text_pmi_bigrams",
-    "multimodal_frame_meta",
-    "multimodal_byte_stats",
-    "multimodal_payload_meta",
-    "window_topn_per_group",
-    "rollup_order_stats",
-    "set_ops_customers",
-    "count_distinct",
-    "scd2_customer_dim",
-    "pivot_orders",
-    "cube_order_stats",
-    "anti_join_customers",
-    "semi_join_suppliers",
-    "percentile_order_value",
-    "above_customer_avg",
-    # bumped to the tail for round 5 by the 14 new driver-never-seen
-    # queries (each keeps its r03 green row; rotate back in r06):
-    # snapshot_diff_customers, ntile_order_value, corr_qty_price,
-    # window_rank_family, pipeline_curate_documents, join_bigbig_rollup,
-    # decontaminate_docs, pack_sequences, redact_pii_docs,
-    # text_repetition_metrics, text_repetition_gate,
-    # embedding_quantize_codes, embedding_quantize_error
+    # -- 1. r03-only driver rows (stalest first priority)
+    "snapshot_diff_customers",
+    "ntile_order_value",
+    "corr_qty_price",
+    "window_rank_family",
+    "pipeline_curate_documents",
+    "join_bigbig_rollup",
+    "decontaminate_docs",
+    "pack_sequences",
+    "redact_pii_docs",
+    "text_repetition_metrics",
+    "text_repetition_gate",
+    "embedding_quantize_codes",
+    "embedding_quantize_error",
+    # -- 2. new round-6 queries: driver-never-seen
+    "stream_sessions_capped",
+    "text_prefix_filter_pairs",
+    "regional_supplier_revenue",
+    "customer_rfm",
+    "orders_abc_pareto",
+    "events_daily_streaks",
+    "events_first_touch",
+    "events_mode_type",
+    "graph_bfs_hops",
+    "events_hour_heatmap",
+    # -- 3. stalest r04-certified entries
+    "stream_sessions_final",
+    "stream_dedup_final",
+    "dedup_clusters",
+    "dedup_incremental",
+    "text_normalize_dedup",
+    "text_tfidf",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_token_count",
+    "text_word_freq",
+    "chunk_documents",
+    "corpus_merge_priority",
+    "stratified_sample_events",
+    "embedding_norm_hist",
+    "events_funnel",
+    "events_gaps",
+    "events_hourly_gapfill",
+    "events_json_props",
+    "events_locf_fill",
+    "events_ohlc_hourly",
+    "events_range_window",
+    "events_running_totals",
+    "events_session_window",
+    "events_sliding_window",
+    "events_zscore_outliers",
+    "asof_join_events",
+    # events_tumbling_window, events_user_totals, range_join_events,
+    # latest_order_per_customer, grouping_sets_orders,
+    # join_bigbig_bucketed, skew_salted_group_count, skew_salted_join,
+    # profile_orders yielded their r06 slots to the nine new round-6
+    # queries above; they keep their r04 rows and join the 14 r04 parity
+    # entries at the head of the r07 window
 )
 
 
@@ -215,9 +227,18 @@ def all_queries() -> dict[str, Entry]:
         pass
 
     try:
+        from filmdatawarehouse_spark.queries.graph import GRAPH_QUERIES
+
+        registry.update(GRAPH_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from filmdatawarehouse_spark.queries.streaming_twin import (
             stream_dedup_final,
             stream_dedup_final_oracle,
+            stream_sessions_capped_final,
+            stream_sessions_capped_final_oracle,
             stream_sessions_final,
             stream_sessions_final_oracle,
         )
@@ -225,6 +246,10 @@ def all_queries() -> dict[str, Entry]:
         registry["stream_sessions_final"] = (
             stream_sessions_final,
             stream_sessions_final_oracle(),
+        )
+        registry["stream_sessions_capped"] = (
+            stream_sessions_capped_final,
+            stream_sessions_capped_final_oracle(),
         )
         registry["stream_dedup_final"] = (
             stream_dedup_final,

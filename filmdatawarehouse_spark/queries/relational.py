@@ -754,3 +754,293 @@ RELATIONAL_QUERIES["events_time_rollup"] = (
     q_events_time_rollup,
     ORACLES["events_time_rollup"],
 )
+
+
+def q_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped "local supplier volume": revenue from lineitems
+    where the customer and the supplier sit in the SAME nation of one
+    region, over one order-date year — the canonical 6-way
+    fact⋈fact⋈4-dim join (region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem ⋈ supplier).
+
+    Scale shape: the date predicate prunes orders AT THE SCAN (pushed
+    filter); orders⋈lineitem is the one big⋈big shuffle (both sides hash
+    on orderkey); nation⋈region collapses to a broadcast hash join onto
+    customer and supplier; the c_nationkey = s_nationkey condition rides
+    the lineitem⋈supplier join as a residual equi-key, never a second
+    shuffle. Revenue sums in DECIMAL (order-independent) and casts to
+    double once.
+
+    Reference analog: none (single-table pandas); SURVEY §2.3 extension
+    surface.
+    """
+    region_name = "ASIA"
+    nat = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == region_name
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("cn_key"), "n_name")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("cn_key")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLES["regional_supplier_revenue"] = """
+    SELECT n_name,
+           COUNT(*)::BIGINT AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+# rule-based RFM thresholds (days / orders / revenue). DELIBERATELY fixed
+# rules, not quantiles: quantile scoring needs a global rank (single-
+# partition window) or interpolated percentiles (engine-dependent float
+# interpolation) — fixed business-rule buckets are what production RFM
+# systems ship, embarrassingly parallel, and hash-certifiable.
+RFM_RECENCY_DAYS = (365, 730, 1460)  # <=1y:3, <=2y:2, <=4y:1, else 0
+RFM_FREQ = (10, 5, 2)  # >=10:3, >=5:2, >=2:1, else 0
+RFM_MONETARY = ("500000", "200000", "50000")  # decimal thresholds
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based RFM segmentation: per customer, recency (days between
+    their last order and the corpus max order date), frequency (order
+    count), monetary (DECIMAL revenue sum), each bucketed 0-3 by the
+    fixed thresholds above, plus the composite ``rfm`` code. One
+    map-side-combined aggregate per customer + a broadcast of the scalar
+    max date — no window, no quantile, no second shuffle.
+
+    Scale: customers get one row each out of the orders aggregate
+    (map-side combine bounds the exchange at |customers| rows); the
+    bucketing is pure per-row expression. At 100 TB this is the plan you
+    want — the alternative quantile-based scoring needs a global sort.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days", F.datediff(F.col("maxd"), F.col("last_order"))
+        )
+    )
+    r1, r2, r3 = RFM_RECENCY_DAYS
+    f1, f2, f3 = RFM_FREQ
+    m1, m2, m3 = RFM_MONETARY
+    r_score = (
+        F.when(F.col("recency_days") <= r1, 3)
+        .when(F.col("recency_days") <= r2, 2)
+        .when(F.col("recency_days") <= r3, 1)
+        .otherwise(0)
+    )
+    f_score = (
+        F.when(F.col("frequency") >= f1, 3)
+        .when(F.col("frequency") >= f2, 2)
+        .when(F.col("frequency") >= f3, 1)
+        .otherwise(0)
+    )
+    m_score = (
+        F.when(F.col("monetary") >= F.lit(m1).cast("decimal(18,2)"), 3)
+        .when(F.col("monetary") >= F.lit(m2).cast("decimal(18,2)"), 2)
+        .when(F.col("monetary") >= F.lit(m3).cast("decimal(18,2)"), 1)
+        .otherwise(0)
+    )
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary").cast("double").alias("monetary"),
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).cast("int").alias("rfm"),
+    )
+
+
+ORACLES["customer_rfm"] = f"""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT maxd FROM maxd))::INT
+               AS recency_days,
+             COUNT(*)::BIGINT AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT *,
+             CASE WHEN recency_days <= {RFM_RECENCY_DAYS[0]} THEN 3
+                  WHEN recency_days <= {RFM_RECENCY_DAYS[1]} THEN 2
+                  WHEN recency_days <= {RFM_RECENCY_DAYS[2]} THEN 1
+                  ELSE 0 END AS r_score,
+             CASE WHEN frequency >= {RFM_FREQ[0]} THEN 3
+                  WHEN frequency >= {RFM_FREQ[1]} THEN 2
+                  WHEN frequency >= {RFM_FREQ[2]} THEN 1
+                  ELSE 0 END AS f_score,
+             CASE WHEN monetary >= {RFM_MONETARY[0]} THEN 3
+                  WHEN monetary >= {RFM_MONETARY[1]} THEN 2
+                  WHEN monetary >= {RFM_MONETARY[2]} THEN 1
+                  ELSE 0 END AS m_score
+      FROM per_cust
+    )
+    SELECT custkey, recency_days, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
+           r_score::INT AS r_score, f_score::INT AS f_score,
+           m_score::INT AS m_score,
+           (r_score * 100 + f_score * 10 + m_score)::INT AS rfm
+    FROM scored
+"""
+
+
+ABC_A, ABC_B = "0.800000000000", "0.950000000000"
+
+
+def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts ranked by
+    descending revenue, cumulative revenue share, class A up to 80% of
+    total, B to 95%, C above. The global cumulative sum runs through
+    ``operators/prefix.global_running_sum`` — range partition + bounded
+    per-partition-offset collect + partition-parallel window — NEVER a
+    single-partition ``Window.orderBy`` over all parts (the round-2 weak
+    -plan smell; tests/test_plan_hygiene.py pins the absence of a
+    1-partition WindowExec).
+
+    Determinism: ranking order is (revenue DESC, partkey) — total;
+    revenue and cumulative sums are DECIMAL-exact; the share divides two
+    exactly-representable-as-double values and rounds to the 1e-12 grid
+    (the established cross-engine contract); class thresholds compare
+    against the rounded share.
+    """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+    from filmdatawarehouse_spark.operators.prefix import global_running_sum
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    # persisted: the (part-sized) aggregate feeds BOTH the grand total and
+    # the prefix-sum operator — without it the lineitem scan+agg runs twice
+    per_part = managed_persist(
+        li.groupBy("l_partkey").agg(
+            F.sum(revenue.cast("decimal(28,4)")).alias("rev")
+        )
+    )
+    total = per_part.agg(F.sum("rev").alias("tot"))
+    cum = global_running_sum(
+        per_part,
+        F.col("rev"),
+        [F.col("rev").desc(), F.col("l_partkey")],
+        "cum_rev",
+    )
+    share = F.round(
+        F.col("cum_rev").cast("double") / F.col("tot").cast("double"), 12
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("cum_share", share)
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= F.lit(float(ABC_A)), "A")
+            .when(F.col("cum_share") <= F.lit(float(ABC_B)), "B")
+            .otherwise("C"),
+        )
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "cum_share",
+            "abc_class",
+        )
+    )
+
+
+ORACLES["orders_abc_pareto"] = f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      AS DECIMAL(28,4))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS tot
+      FROM per_part
+    )
+    SELECT l_partkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+             AS cum_share,
+           CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                     <= {ABC_A} THEN 'A'
+                WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+                     <= {ABC_B} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+"""
+
+
+RELATIONAL_QUERIES["regional_supplier_revenue"] = (
+    q_regional_supplier_revenue,
+    ORACLES["regional_supplier_revenue"],
+)
+RELATIONAL_QUERIES["customer_rfm"] = (
+    q_customer_rfm,
+    ORACLES["customer_rfm"],
+)
+RELATIONAL_QUERIES["orders_abc_pareto"] = (
+    q_orders_abc_pareto,
+    ORACLES["orders_abc_pareto"],
+)

@@ -116,6 +116,124 @@ def stream_sessions_final_oracle() -> str:
     """
 
 
+def stream_sessions_capped_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable twin of the CAPPED-session streaming operator
+    (``streaming.stateful.expiring_capped_sessions``): all closed session
+    SLICES — gap-split at 30 min idle AND time-sliced at 60 min from each
+    gap-session's start — after the watermark passes the end of the data
+    (r05 verdict item 6: the operator had pytest multi-batch equivalence
+    but no driver row).
+
+    Same two-batch protocol as ``stream_sessions_final``: batch 1 carries
+    every real event; batch 2 carries one far-future sentinel for user -1
+    whose watermark advance fires EventTimeTimeout on every remaining open
+    slice. The sentinel's own open session is filtered out. The closed
+    slice set must equal the batch ``events_sessions_capped`` query
+    projected to (user_id, session_start, session_end, n_events) — which
+    is what the DuckDB oracle computes.
+
+    Scale note: certification query — materializes the stream locally
+    (temp dir + memory sink); the production operator is the unbounded
+    ``expiring_capped_sessions`` with O(open slices) state.
+    """
+    from filmdatawarehouse_spark.queries.timeseries import (
+        SESSION_CAP_S,
+        SESSION_GAP_S as CAPPED_GAP_S,
+    )
+    from filmdatawarehouse_spark.streaming.stateful import (
+        expiring_capped_sessions,
+    )
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    tmp = tempfile.mkdtemp(prefix="fdw_stream_capped_")
+    src = os.path.join(tmp, "src")
+    qname = f"stream_sessions_capped_{next(_RUN_COUNTER)}"
+    try:
+        events.write.parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "1 second")
+        )
+        q = (
+            expiring_capped_sessions(
+                stream, gap_seconds=CAPPED_GAP_S, cap_seconds=SESSION_CAP_S
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            sentinel = spark.createDataFrame(
+                [(-1,)], "user_id long"
+            ).select(
+                "user_id",
+                (
+                    F.lit(max_ts).cast("timestamp")
+                    + F.expr(
+                        f"INTERVAL {CAPPED_GAP_S + SESSION_CAP_S + 3600} SECONDS"
+                    )
+                ).alias("ts"),
+            )
+            sentinel.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.table(qname).filter(F.col("user_id") >= 0)
+
+
+def stream_sessions_capped_final_oracle() -> str:
+    """Capped sessionization in MICROSECOND arithmetic — the streaming
+    operator's state machine works in integer µs (``streaming/stateful.py
+    expiring_capped_sessions``: gap check ``t - last_us > gap_us``, slice
+    index ``(t - gap_start) // cap_us``), and the events table carries
+    sub-second timestamps, so the oracle must use ``epoch_us`` (the
+    second-granularity batch oracle in queries/timeseries.py would
+    misplace events near a boundary whose fractional seconds straddle
+    it). Projected to the operator's output columns — one row per (gap
+    session, cap slice), identified by its (start, end, n_events)
+    triple."""
+    from filmdatawarehouse_spark.queries.timeseries import (
+        SESSION_CAP_S,
+        SESSION_GAP_S as CAPPED_GAP_S,
+    )
+
+    gap_us = CAPPED_GAP_S * 1_000_000
+    cap_us = SESSION_CAP_S * 1_000_000
+    return f"""
+        WITH x AS (
+          SELECT user_id, ts, epoch_us(ts) AS us FROM events
+        ), flagged AS (
+          SELECT *,
+                 CASE WHEN us - lag(us) OVER w > {gap_us}
+                      THEN 1 ELSE 0 END AS gap
+          FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), sess AS (
+          SELECT *,
+                 SUM(gap) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS gap_sess
+          FROM flagged
+        ), sliced AS (
+          SELECT *,
+                 (us - MIN(us) OVER (PARTITION BY user_id, gap_sess))
+                   // {cap_us} AS sub
+          FROM sess
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*)::BIGINT AS n_events
+        FROM sliced GROUP BY user_id, gap_sess, sub
+    """
+
+
 DEDUP_KEYS = ["user_id", "event_type"]
 
 

@@ -425,3 +425,236 @@ TIMESERIES_QUERIES["events_sessions_capped"] = (
     q_events_sessions_capped,
     SESSIONS_CAPPED_ORACLE,
 )
+
+
+def q_events_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands):
+    distinct active days, island id = day − row_number (constant within a
+    consecutive run), then per-island lengths rolled up to per-user
+    longest/count/total. The standard engagement-streak query.
+
+    Scale shape: the distinct collapses to one row per (user, day) with
+    map-side combine BEFORE its exchange; the window and both rollups
+    partition by user — no global window, no skew beyond a user's day
+    count (bounded by the calendar). Determinism: days are exact dates;
+    row_number is total-ordered by (day) within user (days are distinct,
+    so no tiebreak needed).
+
+    Reference analog: none (SURVEY §2.5 extension surface).
+    """
+    e = read_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+STREAKS_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), islands AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(len)::BIGINT AS longest_streak,
+           COUNT(*)::BIGINT AS n_streaks,
+           SUM(len)::BIGINT AS active_days
+    FROM streaks GROUP BY user_id
+"""
+
+
+TIMESERIES_QUERIES["events_daily_streaks"] = (
+    q_events_daily_streaks,
+    STREAKS_ORACLE,
+)
+
+
+def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: for every user with at least one
+    purchase, the event type that FIRST touched them (their earliest
+    event of any type), their first purchase time, the seconds from
+    first touch to first purchase, and their purchase count — the
+    marketing-attribution primitive.
+
+    Scale shape: one window (rn = 1 picks the first event, total-ordered
+    by (ts, event_id)) and one filtered aggregate, both partitioned by
+    user — the window and the aggregate share the user partitioning; no
+    global sort, no skew beyond per-user event counts. Seconds are exact
+    integer µs arithmetic (sub-second timestamps).
+
+    Reference analog: none (SURVEY §2.5 extension surface).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_touch_type"),
+            F.col("ts").alias("first_touch_ts"),
+        )
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase_ts"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    return first_touch.join(purchases, "user_id").select(
+        "user_id",
+        "first_touch_type",
+        "first_touch_ts",
+        "first_purchase_ts",
+        (
+            (
+                F.unix_micros("first_purchase_ts")
+                - F.unix_micros("first_touch_ts")
+            )
+            / F.lit(1_000_000)
+        ).alias("secs_to_purchase"),
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+    )
+
+
+FIRST_TOUCH_ORACLE = """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), first_touch AS (
+      SELECT user_id, event_type AS first_touch_type,
+             ts AS first_touch_ts
+      FROM ranked WHERE rn = 1
+    ), purchases AS (
+      SELECT user_id, MIN(ts) AS first_purchase_ts,
+             COUNT(*)::BIGINT AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT f.user_id, first_touch_type, first_touch_ts, first_purchase_ts,
+           (epoch_us(first_purchase_ts) - epoch_us(first_touch_ts))
+             / 1000000.0 AS secs_to_purchase,
+           n_purchases
+    FROM first_touch f JOIN purchases p ON f.user_id = p.user_id
+"""
+
+
+TIMESERIES_QUERIES["events_first_touch"] = (
+    q_events_first_touch,
+    FIRST_TOUCH_ORACLE,
+)
+
+
+def q_events_mode_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MODE: each user's most frequent event type, with a
+    deterministic tie rule (highest count, then lexicographically
+    smallest type). Built as count-per-(user, type) → rank window —
+    both shuffles on user-sized keys, the counts collapse map-side; no
+    engine-specific ``mode()``/``arg_max`` whose tie behavior differs
+    across engines.
+
+    Reference analog: none (SURVEY §2.5 extension surface).
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+MODE_TYPE_ORACLE = """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, cnt AS n_events
+    FROM ranked WHERE rn = 1
+"""
+
+
+TIMESERIES_QUERIES["events_mode_type"] = (
+    q_events_mode_type,
+    MODE_TYPE_ORACLE,
+)
+
+
+def q_events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with per-cell share of
+    total — the ops-dashboard staple. One map-side-combined aggregate;
+    the share divides by a broadcast scalar.
+
+    Cross-engine pin: Spark's ``dayofweek`` is 1=Sunday..7=Saturday;
+    DuckDB's ``dayofweek`` is 0=Sunday..6=Saturday — the query emits the
+    0-based convention (Spark value − 1). Share is one int/int double
+    division on exact counts, rounded to the 1e-12 grid.
+    """
+    e = read_table(spark, sf_dir, "events").select("ts")
+    total = e.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("total").cast("double"),
+                12,
+            ).alias("share"),
+        )
+    )
+
+
+HOUR_HEATMAP_ORACLE = """
+    WITH t AS (SELECT COUNT(*)::BIGINT AS total FROM events)
+    SELECT dayofweek(ts)::INT AS dow, hour(ts)::INT AS hour,
+           COUNT(*)::BIGINT AS n_events,
+           round(COUNT(*)::DOUBLE / (SELECT total FROM t)::DOUBLE, 12)
+             AS share
+    FROM events GROUP BY 1, 2
+"""
+
+
+TIMESERIES_QUERIES["events_hour_heatmap"] = (
+    q_events_hour_heatmap,
+    HOUR_HEATMAP_ORACLE,
+)

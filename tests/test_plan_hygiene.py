@@ -553,3 +553,79 @@ def test_mad_outliers_stats_broadcast(spark, sf_dir):
     # assert the property, not the count: every join-back is broadcast
     assert tree.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in tree and "Cartesian" not in tree
+
+
+def test_abc_pareto_has_no_single_partition_window(spark, sf_dir):
+    """The global cumulative share runs through operators/prefix.py
+    (range partition + bounded offset collect + per-partition window) —
+    the plan must contain NO unpartitioned WindowExec (which would drag
+    every part to one task)."""
+    from filmdatawarehouse_spark.queries.relational import q_orders_abc_pareto
+
+    df = q_orders_abc_pareto(spark, sf_dir)
+    # authoritative check: every WindowExec in the executed plan must
+    # have a non-empty partitionSpec
+    found = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if name == "WindowExec":
+            found.append(node.partitionSpec().size())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    df.collect()
+    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    assert found, "expected at least one WindowExec"
+    assert all(n > 0 for n in found), (
+        f"unpartitioned WindowExec present: partitionSpec sizes {found}"
+    )
+
+
+def test_regional_revenue_broadcasts_dims_and_pushes_date(spark, sf_dir):
+    """TPC-H Q5 shape: the order-date range predicate must reach the
+    orders scan, and the nation/region/supplier dims must enter as
+    broadcast joins — the fact side shuffles only for the big join."""
+    from filmdatawarehouse_spark.queries.relational import (
+        q_regional_supplier_revenue,
+    )
+
+    plan = plan_of(q_regional_supplier_revenue(spark, sf_dir))
+    pushed = [
+        seg.splitlines()[0]
+        for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("o_orderdate" in s for s in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_customer_rfm_is_one_aggregate_no_window(spark, sf_dir):
+    """Rule-based RFM must stay a single per-customer aggregate plus
+    per-row bucketing: no window function, no join beyond the scalar
+    max-date broadcast."""
+    from filmdatawarehouse_spark.queries.relational import q_customer_rfm
+
+    plan = plan_of(q_customer_rfm(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_prefix_filter_pairs_no_cartesian(spark, sf_dir):
+    """The exact similarity join must candidate via the prefix-posting
+    equi-join — never a cross product — and verify via array intersect
+    on the pair set only."""
+    from filmdatawarehouse_spark.queries.extended import (
+        q_text_prefix_filter_pairs,
+    )
+
+    plan = plan_of(q_text_prefix_filter_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

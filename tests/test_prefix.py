@@ -1,0 +1,106 @@
+"""operators/prefix.global_running_sum: equality with the single-window
+reference under adversarial partitioning, and the prefix-filter join's
+completeness against brute force on planted near-dup corpora."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from filmdatawarehouse_spark.operators.prefix import global_running_sum
+
+
+def _reference_cumsum(df, value, order):
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("cum", F.sum(value).over(w))
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """The distributed prefix sum must equal the (single-partition)
+    window reference exactly — decimals, every row — regardless of the
+    partition count it is given."""
+    rows = [(i, str((i * 37 % 100) + 0.25)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v string").select(
+        "k", F.col("v").cast("decimal(18,2)").alias("v")
+    )
+    order = [F.col("v").desc(), F.col("k")]
+    want = {
+        r["k"]: r["cum"]
+        for r in _reference_cumsum(df, F.col("v"), order).collect()
+    }
+    for n_parts in (1, 3, 32, 97):
+        got = {
+            r["k"]: r["cum"]
+            for r in global_running_sum(
+                df, F.col("v"), order, "cum", n_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
+
+
+def test_global_running_sum_keeps_exact_decimal_offsets(spark):
+    """Sub-cent scales must survive the offset round-trip (the r06 bug
+    class: a fixed decimal(38,2) offset cast truncated scale-4 sums)."""
+    rows = [(i, str(i + 0.0001)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v string").select(
+        "k", F.col("v").cast("decimal(18,4)").alias("v")
+    )
+    order = [F.col("k")]
+    out = global_running_sum(df, F.col("v"), order, "cum", n_partitions=7)
+    total = out.agg(F.max("cum")).collect()[0][0]
+    want = sum(Decimal(str(i + 0.0001)).quantize(Decimal("0.0001")) for i in range(100))
+    assert total == want
+
+
+def test_prefix_filter_join_is_complete_vs_brute_force(spark, tmp_path):
+    """Planted near-duplicates (Jaccard >= 0.7 on word 3-shingles) must
+    ALL surface — the prefix filter is an exactness-preserving pruning,
+    so the result must equal brute force over every pair, under any
+    partitioning."""
+    from itertools import combinations
+
+    from filmdatawarehouse_spark.queries.extended import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        q_text_prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base + " lambda"),  # near-dup of 0
+        # one word replaced flips THREE 3-shingles: J = 5/11 ≈ 0.45,
+        # correctly below the 0.7 bar — a true negative the filter must
+        # also agree on
+        (2, base.replace("gamma", "mu")),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "completely different words entirely here now today folks"),
+        (5, base + " lambda"),  # exact dup of 1
+    ]
+    d = tmp_path / "docs_sf"
+    spark.createDataFrame(docs, "doc_id long, text string").repartition(
+        4
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in q_text_prefix_filter_pairs(spark, str(d)).collect()
+    }
+
+    def shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        a, b = shingles(ta), shingles(tb)
+        inter = len(a & b)
+        union = len(a | b)
+        if PPJOIN_T_DEN * inter >= PPJOIN_T_NUM * union:
+            want.add((min(ia, ib), max(ia, ib)))
+
+    assert got == want
+    assert (0, 1) in want and (1, 5) in want
+    assert (0, 2) not in want  # 3-shingle damage: J = 5/11 < 0.7

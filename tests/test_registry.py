@@ -38,6 +38,37 @@ def test_rows_only_queries_are_documented():
         assert len(note) > 40, f"note for {name} too thin to justify rows-only"
 
 
+def test_staleness_bounded_by_window_rotation():
+    """Every registered query must have a green driver row no older than
+    2 rounds OR a slot in this round's 50-entry window (VERDICT r05
+    item 5). The ledger is pinned to the rounds that existed at rotation
+    (CURRENT_ROUND - 1) so the guard is stable even after the driver
+    writes this round's CORRECTNESS file."""
+    import os
+    import sys
+
+    from filmdatawarehouse_spark.queries.registry import CURRENT_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from gen_query_inventory import last_certified
+    finally:
+        sys.path.pop(0)
+
+    ledger = last_certified(CURRENT_ROUND - 1)
+    reg = all_queries()
+    window = set(list(reg)[:50])
+    overdue = [
+        n
+        for n in reg
+        if ledger.get(n, 0) <= CURRENT_ROUND - 3 and n not in window
+    ]
+    assert not overdue, (
+        f"queries >2 rounds stale with no window slot this round: {overdue}"
+    )
+
+
 def test_query_inventory_in_sync():
     """QUERIES.md is generated from the registry; regenerate with
     `python tools/gen_query_inventory.py` whenever queries change."""

@@ -9,18 +9,49 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def last_certified(max_round: int) -> dict[str, int]:
+    """Latest round (<= ``max_round``) in which each query got a green
+    driver row (rows_match true, no error) in CORRECTNESS_r{N}.json.
+    ``max_round`` is pinned (registry.CURRENT_ROUND - 1) so the ledger —
+    and the staleness guard built on it — does not shift mid-round when
+    the driver drops the current round's file."""
+    import json
+
+    rounds: dict[str, int] = {}
+    for rnd in range(1, max_round + 1):
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        for q, row in data.items():
+            full = row.get("rows_match") and not row.get("err")
+            # documented rows-only entries (registry.ROWS_ONLY_NOTES) get
+            # err='no_oracle' from the driver; their green is "ran and
+            # produced rows"
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if full or rows_only:
+                rounds[q] = rnd
+    return rounds
+
+
 def render() -> str:
     import sys
 
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
     from filmdatawarehouse_spark.queries.registry import (
+        CURRENT_ROUND,
         ROWS_ONLY_NOTES,
         all_queries,
     )
 
     reg = all_queries()
     window = set(list(reg)[:50])
+    ledger = last_certified(CURRENT_ROUND - 1)
     lines = [
         "# Query inventory",
         "",
@@ -31,17 +62,23 @@ def render() -> str:
         f"{len(reg)} registered queries; "
         f"{sum(1 for _, (_f, s) in reg.items() if s)} with DuckDB oracles",
         "(the rest are rows-only by design). The first 50 form the external",
-        "driver's certification window for this round.",
+        "driver's certification window for this round. `last driver row` is",
+        f"the latest green CORRECTNESS round as of rotation (r{CURRENT_ROUND});",
+        "`—` = awaiting first driver row (this round's window covers it).",
+        "No query may be staler than 2 rounds without a window slot",
+        "(`tests/test_registry.py::test_staleness_bounded_by_window_rotation`).",
         "",
-        "| # | query | oracle | window | source |",
-        "|---|-------|--------|--------|--------|",
+        "| # | query | oracle | window | last driver row | source |",
+        "|---|-------|--------|--------|-----------------|--------|",
     ]
     for i, (name, (fn, sql)) in enumerate(reg.items(), 1):
         code = inspect.unwrap(fn).__code__
         path = code.co_filename.split(REPO + "/")[-1]
+        last = f"r{ledger[name]:02d}" if name in ledger else "—"
         lines.append(
             f"| {i} | `{name}` | {'sql' if sql else 'rows-only'} | "
-            f"{'✓' if name in window else ''} | `{path}:{code.co_firstlineno}` |"
+            f"{'✓' if name in window else ''} | {last} | "
+            f"`{path}:{code.co_firstlineno}` |"
         )
     lines.append("")
     if ROWS_ONLY_NOTES:
