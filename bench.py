@@ -116,6 +116,9 @@ HEADLINE = [
     "events_mode_type",
     "graph_bfs_hops",
     "events_hour_heatmap",
+    # (stream_* certification twins stay out of the bench like the other
+    # streaming replays — they time the replay harness, not an operator)
+    "events_hourly_anomalies",
 ]
 
 

@@ -2340,26 +2340,48 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     )
-    prefix = (
+    # persisted: the prefix frame feeds BOTH sides of the candidate
+    # self-join — unpersisted, the census-join + double-window subtree
+    # executes twice
+    prefix = managed_persist(
         ranked.withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_size))
         .filter(F.col("rn") <= prefix_len)
-        .select("shingle", "doc_id")
+        .select("shingle", "doc_id", "n")
     )
+    # length filter (the classic AllPairs size pruning): J(A,B) <=
+    # min/max of the set sizes, so J >= t forces t·max <= min — checked
+    # in both directions with integer cross-multiplication BEFORE the
+    # candidate distinct (measured 1.9x candidate reduction at sf0.1:
+    # 202,477 -> 104,502 pairs; grows with doc-length variance).
+    # Removes only pairs that cannot pass; exactness preserved.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(PPJOIN_T_DEN) * F.col("a.n")
+                >= F.lit(PPJOIN_T_NUM) * F.col("b.n")
+            )
+            & (
+                F.lit(PPJOIN_T_DEN) * F.col("b.n")
+                >= F.lit(PPJOIN_T_NUM) * F.col("a.n")
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .distinct()
     )
 
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr"),
-        F.count(F.lit(1)).alias("n_sh"),
+    # persisted: consumed by both the a-side and b-side verification joins
+    sets = managed_persist(
+        sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_id_a"),

@@ -22,12 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BFS_MAX_HOPS = 4
-BFS_SEED_MOD = 100  # seeds = docs with doc_id % BFS_SEED_MOD == 0
+BFS_SEED_MOD = 10  # seeds = docs with doc_id % BFS_SEED_MOD == 0
+# (mod 10 so seeds actually intersect the near-dup clusters at the
+#  certification SFs — mod 100 left every seed isolated at sf0.01 and the
+#  BFS rounds never expanded)
 
 
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum hop count (<= BFS_MAX_HOPS) from the seed set (doc_id %
-    100 == 0) to every reachable document over the exact near-dup pair
+    10 == 0) to every reachable document over the exact near-dup pair
     graph. Level-synchronous BFS: K rounds of (frontier ⋈ edges) →
     min-aggregate, each round persisted and localCheckpoint'd to keep
     the plan flat (the dedup_clusters discipline).

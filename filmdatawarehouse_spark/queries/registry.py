@@ -39,15 +39,14 @@ CURRENT_ROUND = 6
 #  2. new round-6 queries (driver-never-seen; inserted as they land,
 #     taking slots from the bottom of group 3)
 #  3. the stalest r04-certified entries — streaming twins, dedup/text
-#     operators, and the events/timeseries family first; 19 r04 entries
+#     operators, and the events/timeseries family first; 25 r04 entries
 #     wait for r07, where they lead the window: the 14 simplest parity
 #     entries (clean_dropna_dedup, derive_date_id, derive_month_key,
 #     dim_date_generate, fact_daily_orders, fact_monthly_totals,
 #     filter_pushdown, filtered_daily_series, join_inner_equi,
 #     monthly_revenue, scan_project, sql_passthrough, top10_parts,
-#     unpivot_part) plus the 5 that yielded slots to round-6 additions
-#     (grouping_sets_orders, join_bigbig_bucketed,
-#     skew_salted_group_count, skew_salted_join, profile_orders).
+#     unpivot_part) plus the 9 that yielded slots to round-6 additions
+#     (see the tail comment below).
 # Everything certified green in r05 moves to the tail; every entry is
 # still verified locally on every pytest run by
 # tests/test_parity_queries.py.
@@ -77,6 +76,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_mode_type",
     "graph_bfs_hops",
     "events_hour_heatmap",
+    "stream_interval_join",
+    "events_hourly_anomalies",
     # -- 3. stalest r04-certified entries
     "stream_sessions_final",
     "stream_dedup_final",
@@ -101,14 +102,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_ohlc_hourly",
     "events_range_window",
     "events_running_totals",
-    "events_session_window",
-    "events_sliding_window",
     "events_zscore_outliers",
     "asof_join_events",
+    # events_session_window, events_sliding_window,
     # events_tumbling_window, events_user_totals, range_join_events,
     # latest_order_per_customer, grouping_sets_orders,
     # join_bigbig_bucketed, skew_salted_group_count, skew_salted_join,
-    # profile_orders yielded their r06 slots to the nine new round-6
+    # profile_orders yielded their r06 slots to the eleven new round-6
     # queries above; they keep their r04 rows and join the 14 r04 parity
     # entries at the head of the r07 window
 )
@@ -237,6 +237,8 @@ def all_queries() -> dict[str, Entry]:
         from filmdatawarehouse_spark.queries.streaming_twin import (
             stream_dedup_final,
             stream_dedup_final_oracle,
+            stream_interval_join_final,
+            stream_interval_join_final_oracle,
             stream_sessions_capped_final,
             stream_sessions_capped_final_oracle,
             stream_sessions_final,
@@ -254,6 +256,10 @@ def all_queries() -> dict[str, Entry]:
         registry["stream_dedup_final"] = (
             stream_dedup_final,
             stream_dedup_final_oracle(),
+        )
+        registry["stream_interval_join"] = (
+            stream_interval_join_final,
+            stream_interval_join_final_oracle(),
         )
     except ImportError:
         pass

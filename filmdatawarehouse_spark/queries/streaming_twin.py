@@ -234,6 +234,112 @@ def stream_sessions_capped_final_oracle() -> str:
     """
 
 
+IJ_WIDTH_S = 600
+
+
+def stream_interval_join_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable twin of the stream-stream interval join
+    (``streaming.dedup.stream_interval_join``): every (click, purchase)
+    pair for the same user with ``0 < purchase_ts − click_ts ≤ 10 min``,
+    produced by a REAL two-batch ``readStream`` run of both sides.
+
+    Protocol: both sides split at the midpoint of the time range; batch 1
+    seeds the join state, batch 2 joins across the batch boundary —
+    exercising cross-batch state retention, the thing a single-batch
+    replay would miss. A streaming INNER interval join emits each
+    qualifying pair exactly once regardless of batching (pairs are data-
+    determined; the watermark only bounds state size), so the output is
+    deterministic and equals the batch pair join the DuckDB oracle
+    computes.
+
+    Scale note: certification query (temp dir + memory sink); the
+    production operator is the unbounded ``stream_interval_join`` whose
+    state is bounded by watermark × interval width.
+    """
+    from filmdatawarehouse_spark.streaming.dedup import stream_interval_join
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    t_split = lo + (hi - lo) // 2
+
+    tmp = tempfile.mkdtemp(prefix="fdw_stream_ij_")
+    lsrc = os.path.join(tmp, "left")
+    rsrc = os.path.join(tmp, "right")
+    qname = f"stream_interval_join_{next(_RUN_COUNTER)}"
+    try:
+        clicks.filter(F.unix_micros("click_ts") <= t_split).write.parquet(lsrc)
+        purchases.filter(F.unix_micros("purchase_ts") <= t_split).write.parquet(
+            rsrc
+        )
+        l_stream = spark.readStream.schema(
+            "user_id long, click_id long, click_ts timestamp"
+        ).parquet(lsrc)
+        r_stream = spark.readStream.schema(
+            "p_user long, purchase_id long, purchase_ts timestamp"
+        ).parquet(rsrc)
+        joined = stream_interval_join(
+            l_stream,
+            r_stream.withColumnRenamed("p_user", "user_id"),
+            on="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            width_seconds=IJ_WIDTH_S,
+        )
+        q = (
+            joined.select("user_id", "click_id", "purchase_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            clicks.filter(F.unix_micros("click_ts") > t_split).write.mode(
+                "append"
+            ).parquet(lsrc)
+            purchases.filter(F.unix_micros("purchase_ts") > t_split).write.mode(
+                "append"
+            ).parquet(rsrc)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.table(qname)
+
+
+def stream_interval_join_final_oracle() -> str:
+    """The same pair set in one batch SQL: equal user, strictly-after
+    purchase within the window — microsecond-exact arithmetic, matching
+    the operator's ``unix_micros`` bounds."""
+    return f"""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) - epoch_us(c.ts) > 0
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= {IJ_WIDTH_S * 1_000_000}
+    """
+
+
 DEDUP_KEYS = ["user_id", "event_type"]
 
 

@@ -658,3 +658,89 @@ TIMESERIES_QUERIES["events_hour_heatmap"] = (
     q_events_hour_heatmap,
     HOUR_HEATMAP_ORACLE,
 )
+
+
+ANOM_Z = 2.0
+
+
+def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each observed (calendar hour)
+    event count is z-scored against the same (day-of-week, hour-of-day)
+    cell across the whole range — the ops-monitoring primitive ("is this
+    Tuesday 3pm unusually quiet?"). Cells with zero variance (or a single
+    sample) yield NULL z and never flag.
+
+    Contract: only hours with >= 1 event participate (zero-event hours
+    are absent from both the samples and the baseline — documented
+    choice; gap-filling variants exist via ``events_hourly_gapfill``).
+
+    Determinism: counts are ints; mean and variance use the pinned
+    integer-numerator formulas mean = sx/cnt and
+    var = (cnt·sxx − sx²)/cnt² — exact int64 arithmetic up to one
+    IEEE-correctly-rounded double division each — then
+    z = round((x − mean)/sqrt(var), 12). One aggregate per grain, a
+    broadcast join of the 7×24-bounded baseline; no window.
+    """
+    e = read_table(spark, sf_dir, "events").select("ts")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    base = hourly.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("cnt").cast("double")
+    var = (
+        (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("cnt") * F.col("cnt")).cast("double")
+    )
+    z = F.round(
+        (F.col("n_events").cast("double") - mean) / F.sqrt(var), 12
+    )
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hour"])
+        .select(
+            "day",
+            "dow",
+            "hour",
+            "n_events",
+            F.when(var > 0, z).alias("z"),
+            F.when(var > 0, F.abs(z) >= F.lit(ANOM_Z))
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+HOURLY_ANOM_ORACLE = f"""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day, dayofweek(ts)::INT AS dow,
+             hour(ts)::INT AS hour, COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT dow, hour, COUNT(*)::BIGINT AS cnt,
+             SUM(n_events)::BIGINT AS sx,
+             SUM(n_events * n_events)::BIGINT AS sxx
+      FROM hourly GROUP BY dow, hour
+    )
+    SELECT day, h.dow, h.hour, n_events,
+           CASE WHEN (cnt*sxx - sx*sx) > 0 THEN
+             round((n_events::DOUBLE - sx::DOUBLE / cnt::DOUBLE)
+                   / sqrt((cnt*sxx - sx*sx)::DOUBLE / (cnt*cnt)::DOUBLE), 12)
+           END AS z,
+           CASE WHEN (cnt*sxx - sx*sx) > 0 THEN
+             abs(round((n_events::DOUBLE - sx::DOUBLE / cnt::DOUBLE)
+                 / sqrt((cnt*sxx - sx*sx)::DOUBLE / (cnt*cnt)::DOUBLE), 12))
+               >= {ANOM_Z}
+           ELSE FALSE END AS is_anomaly
+    FROM hourly h JOIN base USING (dow, hour)
+"""
+
+
+TIMESERIES_QUERIES["events_hourly_anomalies"] = (
+    q_events_hourly_anomalies,
+    HOURLY_ANOM_ORACLE,
+)

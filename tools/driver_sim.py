@@ -5,7 +5,9 @@ does), smoke-runs entry(), then runs every queries() entry at the given SF
 and compares row-count / column names / order-insensitive values against
 oracle_sql() via DuckDB. This is the engine's real runtime surface.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
+(with query names, only those registry entries are compared — for
+iterating on one query without the full 8-minute sweep)
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -66,6 +69,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if n in ONLY}
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
         try:
