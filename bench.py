@@ -119,6 +119,8 @@ HEADLINE = [
     # (stream_* certification twins stay out of the bench like the other
     # streaming replays — they time the replay harness, not an operator)
     "events_hourly_anomalies",
+    "pricing_summary",
+    "shipping_priority",
 ]
 
 

@@ -1044,3 +1044,156 @@ RELATIONAL_QUERIES["orders_abc_pareto"] = (
     q_orders_abc_pareto,
     ORACLES["orders_abc_pareto"],
 )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus), the
+    full battery of sums/averages over shipped lineitems — the canonical
+    wide-aggregate scan benchmark.
+
+    Scale shape: the textbook one-pass plan — pushed ship-date filter,
+    pruned columns, ONE map-side-combined aggregate over a 6-ish-group
+    key space (the exchange moves |groups| x |map partitions| rows, not
+    data). Sums run in DECIMAL (order-independent); averages divide the
+    exact decimal sums by the exact count once, in double, rounded to
+    the 1e-12 grid (the established cross-engine contract).
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum((price * (one - disc)).cast("decimal(38,4)")).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                (price * (one - disc) * (one + tax)).cast("decimal(38,6)")
+            ).alias("sum_charge"),
+            F.sum(disc).alias("sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        F.round(F.col("sum_qty").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price").cast("double") / n, 6).alias(
+            "avg_price"
+        ),
+        F.round(F.col("sum_disc").cast("double") / n, 6).alias("avg_disc"),
+        F.col("count_order"),
+    )
+
+
+ORACLES["pricing_summary"] = """
+    WITH a AS (
+      SELECT l_returnflag, l_linestatus,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4))) AS sum_disc_price,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2)))
+                  AS DECIMAL(38,6))) AS sum_charge,
+             SUM(CAST(l_discount AS DECIMAL(18,2))) AS sum_disc,
+             COUNT(*)::BIGINT AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum_qty AS DOUBLE) AS sum_qty,
+           CAST(sum_base_price AS DOUBLE) AS sum_base_price,
+           CAST(sum_disc_price AS DOUBLE) AS sum_disc_price,
+           CAST(sum_charge AS DOUBLE) AS sum_charge,
+           round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+           round(CAST(sum_base_price AS DOUBLE) / count_order, 6)
+             AS avg_price,
+           round(CAST(sum_disc AS DOUBLE) / count_order, 6) AS avg_disc,
+           count_order
+    FROM a
+"""
+
+
+SHIP_PRIORITY_K = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-10 orders by outstanding
+    revenue for one market segment, ordered before a date with lineitems
+    shipped after it.
+
+    Scale shape: both date predicates push to their scans; the segment-
+    filtered customer broadcasts onto orders; orders⋈lineitem is the one
+    big exchange; the top-10 plans TakeOrderedAndProject (per-partition
+    partial top-K), never a global sort. Ties pinned by o_orderkey.
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue.cast("decimal(38,4)")).alias("rev"))
+        .select(
+            "o_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(SHIP_PRIORITY_K)
+    )
+
+
+ORACLES["shipping_priority"] = f"""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT {SHIP_PRIORITY_K}
+"""
+
+
+RELATIONAL_QUERIES["pricing_summary"] = (
+    q_pricing_summary,
+    ORACLES["pricing_summary"],
+)
+RELATIONAL_QUERIES["shipping_priority"] = (
+    q_shipping_priority,
+    ORACLES["shipping_priority"],
+)

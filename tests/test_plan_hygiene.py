@@ -629,3 +629,31 @@ def test_prefix_filter_pairs_no_cartesian(spark, sf_dir):
     plan = plan_of(q_text_prefix_filter_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_one_pass_pushed(spark, sf_dir):
+    """TPC-H Q1 shape: ship-date predicate pushed to the scan, exactly
+    one aggregate exchange (partial+final), no join, no window."""
+    from filmdatawarehouse_spark.queries.relational import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, sf_dir))
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]]
+    assert any("l_shipdate" in s for s in pushed), pushed
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Window" not in tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 via TakeOrderedAndProject (never a global
+    sort), segment-filtered customer broadcast, both date predicates
+    pushed."""
+    from filmdatawarehouse_spark.queries.relational import q_shipping_priority
+
+    plan = plan_of(q_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = " ".join(
+        seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]
+    )
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
