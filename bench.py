@@ -121,6 +121,8 @@ HEADLINE = [
     "events_hourly_anomalies",
     "pricing_summary",
     "shipping_priority",
+    "incremental_daily_rollup",
+    "orders_upsert_merge",
 ]
 
 

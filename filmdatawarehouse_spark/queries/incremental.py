@@ -91,3 +91,169 @@ INCREMENTAL_ORACLE = f"""
 INCREMENTAL_QUERIES = {
     "dedup_incremental": (q_incremental_dedup, INCREMENTAL_ORACLE),
 }
+
+
+ROLLUP_SPLIT = "1998-06-01"
+
+
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the daily orders
+    rollup built as BASE (orders before the split date) merged with a
+    DELTA batch (orders after it) must equal the full recompute — the
+    correctness contract behind every incremental pipeline run
+    (reference analog: the DAG's full re-reads per daily run are exactly
+    what this replaces at scale; SURVEY §2.6/§2.9).
+
+    Merge rule: full outer on the day key, counts and DECIMAL sums added
+    with null→0 coalescing — the standard additive-measure MV merge.
+    At 100 TB the base aggregate is a stored table and only the delta
+    partition is scanned; here both derive from the same table so the
+    oracle (full recompute) certifies merge ≡ recompute exactly.
+
+    Scale shape: two map-side-combined aggregates (base days, delta
+    days) + one day-keyed merge join of two dimension-sized frames.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    split = F.lit(ROLLUP_SPLIT)
+
+    def rollup(df):
+        return df.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < split))
+    delta = rollup(o.filter(F.col("o_orderdate") >= split))
+    b = base.select(
+        "day",
+        F.col("n_orders").alias("n_b"),
+        F.col("total").alias("t_b"),
+    )
+    d = delta.select(
+        "day",
+        F.col("n_orders").alias("n_d"),
+        F.col("total").alias("t_d"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        b.join(d, "day", "full_outer")
+        .select(
+            "day",
+            (
+                F.coalesce(F.col("n_b"), F.lit(0))
+                + F.coalesce(F.col("n_d"), F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce(F.col("t_b"), zero) + F.coalesce(F.col("t_d"), zero)
+            ).cast("double").alias("total_price"),
+        )
+    )
+
+
+INCREMENTAL_ROLLUP_ORACLE = """
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY 1
+"""
+
+
+UPSERT_MOD = 10
+UPSERT_RESIDUE = 3
+UPSERT_NEW_SHIFT = 1_000_000_000
+
+
+def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / last-write-wins upsert semantics without a mutable
+    table format: a deterministic update batch (derived from orders so
+    both engines replay it — keys % 10 == 3 get status 'U' and a 10%
+    price bump; the same rows re-keyed +1e9 are brand-new inserts) is
+    merged onto the base by key, updates winning over base rows, inserts
+    appearing once. Prices stay at DECIMAL scale 4 end to end — the
+    10% bump is an EXACT scale-2 × scale-2 product; re-quantizing it to
+    scale 2 would hit the engines' different rounding modes (Spark
+    HALF_UP vs DuckDB HALF_EVEN on the .005 boundary — observed 158
+    rows off by a cent before this was removed).
+
+    Implementation is the scalable MERGE shape: union the two sides with
+    a priority column and keep max_by(struct) per key — ONE shuffle with
+    map-side combine, no join, no window (a row_number window would sort
+    per key for the same result). The decimal bump is exact
+    (price × 1.10 in DECIMAL), so the hash gate certifies both the
+    survivorship rule and the update arithmetic.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(28,4)").alias("price"),
+        F.lit(0).alias("prio"),
+    )
+    upd_src = o.filter(
+        F.pmod(F.col("o_orderkey"), F.lit(UPSERT_MOD)) == UPSERT_RESIDUE
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.10").cast("decimal(4,2)")
+        ).cast("decimal(28,4)").alias("price"),
+    )
+    updates = upd_src.select("*", F.lit(1).alias("prio")).unionAll(
+        upd_src.select(
+            (F.col("o_orderkey") + F.lit(UPSERT_NEW_SHIFT)).alias("o_orderkey"),
+            "o_orderstatus",
+            "price",
+            F.lit(1).alias("prio"),
+        )
+    )
+    merged = (
+        base.unionAll(updates)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct("o_orderstatus", "price"), F.col("prio")
+            ).alias("s")
+        )
+    )
+    return merged.select(
+        "o_orderkey",
+        F.col("s.o_orderstatus").alias("o_orderstatus"),
+        F.col("s.price").cast("double").alias("price"),
+    )
+
+
+UPSERT_ORACLE = f"""
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(4,2))
+                  AS DECIMAL(28,4)) AS price
+      FROM orders WHERE o_orderkey % {UPSERT_MOD} = {UPSERT_RESIDUE}
+    )
+    SELECT o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           CAST(coalesce(u.price, b.price) AS DOUBLE) AS price
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(28,4)) AS price
+          FROM orders) b
+    FULL OUTER JOIN upd u USING (o_orderkey)
+    UNION ALL
+    SELECT o_orderkey + {UPSERT_NEW_SHIFT}, o_orderstatus,
+           CAST(price AS DOUBLE)
+    FROM upd
+"""
+
+
+INCREMENTAL_QUERIES["incremental_daily_rollup"] = (
+    q_incremental_daily_rollup,
+    INCREMENTAL_ROLLUP_ORACLE,
+)
+INCREMENTAL_QUERIES["orders_upsert_merge"] = (
+    q_orders_upsert_merge,
+    UPSERT_ORACLE,
+)

@@ -39,7 +39,7 @@ CURRENT_ROUND = 6
 #  2. new round-6 queries (driver-never-seen; inserted as they land,
 #     taking slots from the bottom of group 3)
 #  3. the stalest r04-certified entries — streaming twins, dedup/text
-#     operators, and the events/timeseries family first; 27 r04 entries
+#     operators, and the events/timeseries family first; 29 r04 entries
 #     wait for r07, where they lead the window: the 14 simplest parity
 #     entries (clean_dropna_dedup, derive_date_id, derive_month_key,
 #     dim_date_generate, fact_daily_orders, fact_monthly_totals,
@@ -80,6 +80,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hourly_anomalies",
     "pricing_summary",
     "shipping_priority",
+    "incremental_daily_rollup",
+    "orders_upsert_merge",
     # -- 3. stalest r04-certified entries
     "stream_sessions_final",
     "stream_dedup_final",
@@ -87,8 +89,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "text_normalize_dedup",
     "text_tfidf",
-    "text_langid",
-    "text_quality",
     "text_fingerprint",
     "chunk_documents",
     "corpus_merge_priority",
@@ -104,11 +104,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_running_totals",
     "events_zscore_outliers",
     "asof_join_events",
-    # text_token_count, text_word_freq, events_session_window,
-    # events_sliding_window, events_tumbling_window, events_user_totals,
-    # range_join_events, latest_order_per_customer, grouping_sets_orders,
+    # text_langid, text_quality, text_token_count, text_word_freq,
+    # events_session_window, events_sliding_window,
+    # events_tumbling_window, events_user_totals, range_join_events,
+    # latest_order_per_customer, grouping_sets_orders,
     # join_bigbig_bucketed, skew_salted_group_count, skew_salted_join,
-    # profile_orders yielded their r06 slots to the thirteen new round-6
+    # profile_orders yielded their r06 slots to the fifteen new round-6
     # queries above; they keep their r04 rows and join the 14 r04 parity
     # entries at the head of the r07 window
 )
