@@ -276,3 +276,57 @@ def test_range_sorted_layout_skips_files(spark, sf_dir, tmp_path):
     )
     want = orders.filter(F.col("o_orderkey") <= lo).count()
     assert got == want > 0
+
+
+def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Z-order layout must give BOTH key columns compact per-file value
+    ranges — a single-key range sort can only narrow one dimension. The
+    metric: mean per-file span as a fraction of the full domain, which
+    parquet min/max file skipping is directly proportional to."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.io.sinks import write_range_sorted, write_zorder
+    from filmdatawarehouse_spark.io.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "single")
+    write_zorder(li, zdir, "l_partkey", "l_suppkey", n_files=8)
+    write_range_sorted(li, sdir, "l_partkey", n_files=8)
+
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    dom_p, dom_s = max(hi_p - lo_p, 1), max(hi_s - lo_s, 1)
+
+    def mean_spans(d):
+        spans_p, spans_s = [], []
+        for f in glob.glob(os.path.join(d, "part-*.parquet")):
+            row = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("l_partkey"), F.max("l_partkey"),
+                    F.min("l_suppkey"), F.max("l_suppkey"),
+                )
+                .collect()[0]
+            )
+            spans_p.append((row[1] - row[0]) / dom_p)
+            spans_s.append((row[3] - row[2]) / dom_s)
+        return sum(spans_p) / len(spans_p), sum(spans_s) / len(spans_s)
+
+    zp, zs = mean_spans(zdir)
+    sp, ss = mean_spans(sdir)
+    # single-key sort: partkey files are narrow but suppkey spans ~ full
+    assert sp < 0.35, sp
+    assert ss > 0.8, ss
+    # z-order: BOTH dimensions compact (each file a 2-D tile)
+    assert zp < 0.6, (zp, sp)
+    assert zs < 0.6, (zs, ss)
+    # and the z-layout must beat single-key on the second dimension by a
+    # wide margin — that's the whole point
+    assert zs < ss / 1.5, (zs, ss)

@@ -657,3 +657,18 @@ def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
         seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]
     )
     assert "o_orderdate" in pushed and "l_shipdate" in pushed
+
+
+def test_mg_candidate_pass_is_zero_shuffle_arrow(spark, sf_dir):
+    """Pass 1 of the heavy-hitter path must stay a zero-shuffle
+    ``mapInArrow`` stage: scan → Arrow stage, NO Exchange beneath it
+    (the whole point of the MG summary is that the token stream never
+    shuffles; the r06 rewrite must not have changed that)."""
+    from filmdatawarehouse_spark.operators.frequent import mg_candidates
+    from filmdatawarehouse_spark.io.sources import read_table
+
+    df = mg_candidates(read_table(spark, sf_dir, "documents").select("text"))
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "MapInArrow" in tree, tree
+    assert "Exchange" not in tree, tree
