@@ -123,6 +123,7 @@ HEADLINE = [
     "shipping_priority",
     "incremental_daily_rollup",
     "orders_upsert_merge",
+    "text_hof_stats",
 ]
 
 

@@ -2444,3 +2444,68 @@ EXTENDED_QUERIES["text_prefix_filter_pairs"] = (
     q_text_prefix_filter_pairs,
     ORACLES["text_prefix_filter_pairs"],
 )
+
+
+LONG_WORD_LEN = 8
+
+
+def q_text_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics computed ENTIRELY with higher-order
+    array functions — no explode anywhere: token count, mean/max word
+    length, long-word count and ratio, distinct-token count.
+
+    Why it matters at 100 TB: the explode → groupBy(doc_id) idiom
+    multiplies the row count by tokens-per-doc (~60× here) and then
+    shuffles it all back just to undo the multiplication. HOFs
+    (aggregate/transform/filter/array_distinct) compute the same values
+    inside the row, map-side, zero shuffle — the plan is scan → project.
+    Plan-tested shuffle-free.
+
+    Determinism: all counts/lengths are exact ints; mean length is one
+    int/int double division rounded to the 1e-12 grid.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    lens = F.transform(words, lambda w: F.length(w))
+    total_len = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(words)
+    n_long = F.size(F.filter(lens, lambda x: x >= F.lit(LONG_WORD_LEN)))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(total_len.cast("double") / n.cast("double"), 12).alias(
+            "mean_word_len"
+        ),
+        F.array_max(lens).cast("int").alias("max_word_len"),
+        n_long.cast("bigint").alias("n_long_words"),
+        F.round(n_long.cast("double") / n.cast("double"), 12).alias(
+            "long_ratio"
+        ),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
+    )
+
+
+ORACLES["text_hof_stats"] = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           len(ws)::BIGINT AS n_tokens,
+           round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                 / len(ws), 12) AS mean_word_len,
+           list_max(list_transform(ws, x -> length(x)))::INT
+             AS max_word_len,
+           len(list_filter(ws, x -> length(x) >= {LONG_WORD_LEN}))::BIGINT
+             AS n_long_words,
+           round(len(list_filter(ws, x -> length(x) >= {LONG_WORD_LEN}))::DOUBLE
+                 / len(ws), 12) AS long_ratio,
+           len(list_distinct(ws))::BIGINT AS n_distinct
+    FROM w
+"""
+
+EXTENDED_QUERIES["text_hof_stats"] = (
+    q_text_hof_stats,
+    ORACLES["text_hof_stats"],
+)

@@ -672,3 +672,16 @@ def test_mg_candidate_pass_is_zero_shuffle_arrow(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "MapInArrow" in tree, tree
     assert "Exchange" not in tree, tree
+
+
+def test_hof_stats_is_shuffle_free(spark, sf_dir):
+    """The HOF text-stats query must plan scan → project only: no
+    Exchange, no Generate (explode), no Python stage — the whole point
+    is that per-doc array math stays inside the row."""
+    from filmdatawarehouse_spark.queries.extended import q_text_hof_stats
+
+    plan = plan_of(q_text_hof_stats(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Generate" not in tree, tree
+    assert "Python" not in tree and "Arrow" not in tree, tree
