@@ -27,7 +27,7 @@ this is the engine-side primitive behind Pareto/ABC analyses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
