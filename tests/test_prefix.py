@@ -104,3 +104,36 @@ def test_prefix_filter_join_is_complete_vs_brute_force(spark, tmp_path):
     assert got == want
     assert (0, 1) in want and (1, 5) in want
     assert (0, 2) not in want  # 3-shingle damage: J = 5/11 < 0.7
+
+
+def test_prefix_filter_join_all_identical_worst_case(spark, tmp_path):
+    """An all-identical corpus is the exact join's provable worst case —
+    the OUTPUT is quadratic, so the only correct behavior is to return
+    every pair. 12 identical docs → C(12,2) = 66 pairs, jaccard 1.0."""
+    from filmdatawarehouse_spark.queries.extended import (
+        q_text_prefix_filter_pairs,
+    )
+
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    d = tmp_path / "ident_sf"
+    spark.createDataFrame(docs, "doc_id long, text string").repartition(
+        3
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = q_text_prefix_filter_pairs(spark, str(d)).collect()
+    assert len(rows) == 66
+    assert all(r.jaccard == 1.0 and r.n_inter == 4 for r in rows)
+
+
+def test_prefix_filter_join_degenerate_docs(spark, tmp_path):
+    """Sub-3-word and empty documents produce no shingles and must
+    neither pair nor crash; a lone normal doc has no partner."""
+    from filmdatawarehouse_spark.queries.extended import (
+        q_text_prefix_filter_pairs,
+    )
+
+    docs = [(0, ""), (1, "one two"), (2, "a b c d e f g h")]
+    d = tmp_path / "degen_sf"
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    assert q_text_prefix_filter_pairs(spark, str(d)).collect() == []
