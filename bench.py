@@ -124,6 +124,7 @@ HEADLINE = [
     "incremental_daily_rollup",
     "orders_upsert_merge",
     "text_hof_stats",
+    "events_transitions",
 ]
 
 

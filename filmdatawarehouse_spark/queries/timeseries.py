@@ -744,3 +744,82 @@ TIMESERIES_QUERIES["events_hourly_anomalies"] = (
     q_events_hourly_anomalies,
     HOURLY_ANOM_ORACLE,
 )
+
+
+TRANSITION_GAP_S = 1800
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the event-type transition matrix — counts
+    and conditional probabilities P(next | prev) over ADJACENT event
+    pairs of the same user within a 30-minute gap (a cross-session pair
+    is not a behavioral transition). The first-order Markov summary
+    product analytics builds funnels from.
+
+    Scale shape: one lag window partitioned by user (total-ordered by
+    (ts, event_id)), then a map-side-combined count over the tiny
+    |types|² key space; the row-probability denominator comes from a
+    second aggregation of that matrix (types²-sized, broadcast). No
+    global window, no skew beyond per-user event counts.
+
+    Determinism: exact integer counts; P is one int/int double division
+    rounded to the 1e-12 grid.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    flagged = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(
+        F.col("prev_type").isNotNull()
+        & (F.col("gap_us") <= F.lit(TRANSITION_GAP_S * 1_000_000))
+    )
+    matrix = flagged.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = matrix.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return matrix.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.col("n_from").cast("double"),
+            12,
+        ).alias("p"),
+    )
+
+
+TRANSITIONS_ORACLE = f"""
+    WITH lagged AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER w AS prev_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), matrix AS (
+      SELECT prev_type, next_type, COUNT(*)::BIGINT AS n_transitions
+      FROM lagged
+      WHERE prev_type IS NOT NULL
+        AND gap_us <= {TRANSITION_GAP_S * 1_000_000}
+      GROUP BY prev_type, next_type
+    ), totals AS (
+      SELECT prev_type, SUM(n_transitions) AS n_from
+      FROM matrix GROUP BY prev_type
+    )
+    SELECT m.prev_type, m.next_type, m.n_transitions,
+           round(m.n_transitions::DOUBLE / t.n_from::DOUBLE, 12) AS p
+    FROM matrix m JOIN totals t ON m.prev_type = t.prev_type
+"""
+
+
+TIMESERIES_QUERIES["events_transitions"] = (
+    q_events_transitions,
+    TRANSITIONS_ORACLE,
+)
