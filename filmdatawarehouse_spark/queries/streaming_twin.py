@@ -340,6 +340,118 @@ def stream_interval_join_final_oracle() -> str:
     """
 
 
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters with the CANDIDATE pass run as a real
+    stateful stream: the documents token stream replays through
+    ``streaming.stateful.streaming_mg_candidates`` in two micro-batches
+    (bounded n_buckets × k state, update-mode emissions), the final
+    per-bucket summaries are read back (max ``seq`` per bucket), and the
+    bounded candidate set gets the same batch exact recount as
+    ``text_heavy_hitters`` — so the ANSWER is exact and shares that
+    query's plain full-histogram oracle, while certifying the streaming
+    operator's cross-batch state carry and its superset guarantee (any
+    heavy hitter the stream state lost would be missing here and
+    hash-fail).
+
+    Scale note: certification query (temp dir + memory sink); the
+    production operator is the unbounded ``streaming_mg_candidates``
+    with n_buckets × k counters of state, plus a periodic batch recount
+    over candidates — the streaming analogue of the two-pass batch
+    shape.
+    """
+    from filmdatawarehouse_spark.operators.frequent import MG_COUNTERS
+    from filmdatawarehouse_spark.streaming.stateful import (
+        MG_STATE_K,
+        streaming_mg_candidates,
+    )
+
+    assert MG_STATE_K == MG_COUNTERS  # same threshold N/k as the oracle
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="fdw_stream_hh_")
+    src = os.path.join(tmp, "src")
+    qname = f"stream_heavy_hitters_{next(_RUN_COUNTER)}"
+    try:
+        # two deterministic halves by doc_id parity → two micro-batches
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src)
+            .select(
+                F.explode(F.split(F.col("text"), " ")).alias("word")
+            )
+        )
+        q = (
+            streaming_mg_candidates(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(
+                src
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    emissions = spark.table(qname)
+    # renamed join keys: last_seq derives from emissions, so a bare
+    # ["bucket","seq"] join is a self-join with conflicting attributes
+    last_seq = emissions.groupBy("bucket").agg(F.max("seq").alias("s2")).select(
+        F.col("bucket").alias("b2"), "s2"
+    )
+    cand = (
+        emissions.join(
+            F.broadcast(last_seq),
+            (F.col("bucket") == F.col("b2")) & (F.col("seq") == F.col("s2")),
+        )
+        .select("word")
+        .distinct()
+    )
+
+    # batch exact recount over the streamed-in candidates (pass 2 of the
+    # batch operator, verbatim semantics)
+    tokens = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    total = tokens.agg(F.count(F.lit(1)).alias("total_tokens"))
+    counts = (
+        tokens.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt").cast("double")
+            > F.col("total_tokens").cast("double") / F.lit(float(MG_COUNTERS))
+        )
+        .select("word", "cnt", "total_tokens")
+    )
+
+
+def stream_heavy_hitters_oracle() -> str:
+    """Identical contract to the batch ``text_heavy_hitters`` oracle: the
+    exact recount makes the streaming candidate pass answer-invariant."""
+    from filmdatawarehouse_spark.operators.frequent import MG_COUNTERS
+
+    return f"""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ), tot AS (
+          SELECT COUNT(*)::BIGINT AS total_tokens FROM w
+        )
+        SELECT word, COUNT(*)::BIGINT AS cnt,
+               (SELECT total_tokens FROM tot) AS total_tokens
+        FROM w GROUP BY word
+        HAVING COUNT(*)::DOUBLE
+               > (SELECT total_tokens FROM tot)::DOUBLE / {MG_COUNTERS}.0
+    """
+
+
 DEDUP_KEYS = ["user_id", "event_type"]
 
 

@@ -239,3 +239,83 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+MG_BUCKETS = 8
+MG_STATE_K = 64
+HH_OUT_SCHEMA = "bucket int, seq bigint, word string, est bigint"
+HH_STATE_SCHEMA = "words array<string>, counts array<long>, seq bigint"
+
+
+def streaming_mg_candidates(
+    tokens: DataFrame,
+    n_buckets: int = MG_BUCKETS,
+    k: int = MG_STATE_K,
+) -> DataFrame:
+    """Streaming Misra–Gries heavy-hitter CANDIDATES with bounded state:
+    the token stream hash-partitions by word into ``n_buckets`` buckets,
+    and each bucket carries one MG summary (≤ ``k`` counters) across
+    micro-batches in ``applyInPandasWithState``. Total state is
+    n_buckets × k counters REGARDLESS of stream length — the streaming
+    twin of ``operators/frequent.mg_candidates``.
+
+    Superset guarantee (same argument as the batch pass, per bucket): a
+    word's entire count lands in exactly ONE bucket (hash partitioning
+    by word), so a word with global count C > N/k has C > n_bucket/k in
+    its bucket and must survive that bucket's summary. The union of
+    per-bucket survivors therefore contains every global 1/k-heavy
+    hitter — which is what makes an EXACT recount over the candidates
+    possible downstream (queries/streaming_twin.stream_heavy_hitters).
+
+    Each batch emits the bucket's updated summary tagged with a
+    monotonically increasing ``seq``; the FINAL summary per bucket is
+    the row set with that bucket's maximum seq (update-mode sinks retain
+    all emissions). Input must be a streaming frame with one ``word``
+    column; ``bucket`` is derived here so callers can't mis-partition.
+    """
+    from pyspark.sql import functions as F
+
+    def update(key, pdf_iter, state: GroupState):
+        counters: pd.Series | None = None
+        if state.exists:
+            words, counts, seq = state.get
+            counters = pd.Series(list(counts), index=list(words), dtype="int64")
+        else:
+            seq = 0
+        for pdf in pdf_iter:
+            hist = pdf["word"].value_counts()
+            merged = hist if counters is None else counters.add(hist, fill_value=0)
+            if len(merged) > k:
+                kth = merged.nlargest(k + 1).iloc[-1]
+                merged = merged[merged > kth] - kth
+            counters = merged
+        if counters is None:
+            counters = pd.Series(dtype="int64")
+        seq = int(seq) + 1
+        state.update(
+            (list(counters.index), [int(c) for c in counters], seq)
+        )
+        (bucket,) = key
+        yield pd.DataFrame(
+            {
+                "bucket": pd.Series([int(bucket)] * len(counters), dtype="int32"),
+                "seq": pd.Series([seq] * len(counters), dtype="int64"),
+                "word": counters.index.astype(str),
+                "est": counters.to_numpy("int64"),
+            }
+        )
+
+    return (
+        tokens.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int"),
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HH_OUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

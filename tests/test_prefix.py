@@ -137,3 +137,20 @@ def test_prefix_filter_join_degenerate_docs(spark, tmp_path):
         str(d / "documents.parquet")
     )
     assert q_text_prefix_filter_pairs(spark, str(d)).collect() == []
+
+
+def test_global_running_sum_empty_and_single_row(spark):
+    """Degenerate inputs: empty frame -> empty result (no crash on the
+    empty offsets collect); single row -> cum == value."""
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "k int, v decimal(18,2)")
+    assert (
+        global_running_sum(empty, F.col("v"), [F.col("k")], "cum").collect()
+        == []
+    )
+    one = spark.createDataFrame([(1, "7.25")], "k int, v string").select(
+        "k", F.col("v").cast("decimal(18,2)").alias("v")
+    )
+    [row] = global_running_sum(one, F.col("v"), [F.col("k")], "cum").collect()
+    assert str(row["cum"]) == "7.25"

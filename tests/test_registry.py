@@ -86,3 +86,15 @@ def test_query_inventory_in_sync():
     assert on_disk == render(), (
         "QUERIES.md out of date — run `python tools/gen_query_inventory.py`"
     )
+
+
+def test_bench_headline_names_all_registered():
+    """Every bench.py HEADLINE name must exist in the registry — a typo
+    or a renamed query would otherwise silently drop out of the bench
+    (bench filters to registered names instead of failing)."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    reg = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"bench HEADLINE names not registered: {missing}"

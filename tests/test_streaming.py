@@ -607,3 +607,56 @@ def test_stateful_capped_sessions_equal_batch(spark, tmp_path):
     # the watermark closed every session except user 99's open one
     assert got == {row for row in batch if row[0] != 99}
     assert len(got) == len(batch) - 1
+
+
+def test_streaming_mg_candidates_cross_batch_state(spark, tmp_path):
+    """The streaming MG summary must CARRY state across micro-batches: a
+    word that is heavy only in aggregate (15+15 occurrences across two
+    batches, against fresh noise each batch) must survive to the final
+    summary, and every bucket's final summary must hold <= k rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.streaming.stateful import (
+        streaming_mg_candidates,
+    )
+
+    d = tmp_path / "hh_src"
+    d.mkdir()
+    k = 4
+
+    def write(name, words):
+        pq.write_table(
+            pa.table({"word": pa.array(words, pa.string())}), str(d / name)
+        )
+
+    stream = spark.readStream.schema("word string").parquet(str(d))
+    q = (
+        streaming_mg_candidates(stream, n_buckets=2, k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_out")
+        .start()
+    )
+    try:
+        write("b0.parquet", ["hot"] * 15 + [f"n{i}" for i in range(40)])
+        q.processAllAvailable()
+        write("b1.parquet", ["hot"] * 15 + [f"m{i}" for i in range(40)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    em = spark.sql("SELECT * FROM hh_out")
+    last = em.groupBy("bucket").agg(F.max("seq").alias("s2")).collect()
+    final = {}
+    for r in last:
+        rows = em.filter(
+            (F.col("bucket") == r["bucket"]) & (F.col("seq") == r["s2"])
+        ).collect()
+        assert len(rows) <= k, rows
+        for row in rows:
+            final[row["word"]] = row["est"]
+    assert "hot" in final, final
+    # est is an undercount, never an overcount
+    assert 0 < final["hot"] <= 30
