@@ -201,6 +201,11 @@ def write_zorder(
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).collect()[0]
+    if lo_x is None or lo_y is None:
+        # empty input (or an all-NULL key): nothing to cluster — write it
+        # as-is, like write_range_sorted does
+        df.write.mode(mode).parquet(path)
+        return
     top = (1 << Z_BITS) - 1
 
     def scale(c, lo, hi):

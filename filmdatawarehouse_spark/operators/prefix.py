@@ -55,21 +55,33 @@ def global_running_sum(
         )
     )
 
-    tot_df = base.groupBy("_pid").agg(F.sum(value).alias("t"))
+    tot_df = base.groupBy("_pid").agg(
+        F.sum(value).alias("t"), F.count(value).alias("n_vals")
+    )
     # offsets must round-trip at the EXACT scale of the sum type — a
     # fixed cast (an earlier decimal(38,2)) silently truncates sub-cent
     # scales and shifts every downstream cumulative value
     sum_type = tot_df.schema["t"].dataType.simpleString()
-    totals = {r["_pid"]: r["t"] for r in tot_df.collect()}
+    stats = {r["_pid"]: (r["t"], r["n_vals"]) for r in tot_df.collect()}
     running = 0
+    seen_vals = 0
     offsets = []
-    for pid in sorted(totals):
-        offsets.append((pid, str(running)))
-        running += totals[pid]
+    for pid in sorted(stats):
+        t, n_vals = stats[pid]
+        # _had_prior: whether ANY non-null value precedes this partition —
+        # needed to reproduce SQL window-sum NULL semantics (the running
+        # sum is NULL until the first non-null value, then SKIPS nulls;
+        # an all-NULL partition sums to t=NULL and contributes nothing)
+        offsets.append((pid, str(running), seen_vals > 0))
+        if t is not None:
+            running += t
+        seen_vals += n_vals
     # offsets ride back in as strings -> exact sum type (str is an
     # unambiguous decimal literal; no float hop)
-    off = spark.createDataFrame(offsets, "_pid int, _offset string").select(
-        "_pid", F.col("_offset").cast(sum_type).alias("_offset")
+    off = spark.createDataFrame(
+        offsets, "_pid int, _offset string, _had_prior boolean"
+    ).select(
+        "_pid", F.col("_offset").cast(sum_type).alias("_offset"), "_had_prior"
     )
 
     w = (
@@ -77,9 +89,16 @@ def global_running_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    cum = F.when(
+        F.col("_cum_in").isNull() & ~F.col("_had_prior"),
+        F.lit(None).cast(sum_type),
+    ).otherwise(
+        F.coalesce(F.col("_cum_in"), F.lit(0).cast(sum_type))
+        + F.col("_offset")
+    )
     return (
         base.withColumn("_cum_in", F.sum(value).over(w))
         .join(F.broadcast(off), "_pid")
-        .withColumn(out_col, F.col("_cum_in") + F.col("_offset"))
-        .drop("_pid", "_cum_in", "_offset")
+        .withColumn(out_col, cum)
+        .drop("_pid", "_cum_in", "_offset", "_had_prior")
     )

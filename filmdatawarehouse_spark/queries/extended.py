@@ -315,6 +315,27 @@ CONTAIN_T = 0.8
 CONTAIN_DF_CAP = 50
 
 
+def _word_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows of distinct word 3-shingles — the shared
+    derivation for the containment and prefix-filter pair queries. Uses
+    ``operators/dedup.word_shingles`` with the token array BOUND as a
+    column first: an inline ``split(...)`` referenced inside the
+    per-shingle lambda is re-evaluated by Catalyst at every reference,
+    turning shingling quadratic (the anti-pattern word_shingles'
+    docstring pins; both queries carried it until r06). Short/empty docs
+    get an empty array → no rows; per-doc distinctness comes from
+    word_shingles' array_distinct, so no row-level distinct is needed."""
+    from filmdatawarehouse_spark.operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
+    return with_toks.select(
+        "doc_id", F.explode(word_shingles(F.col("_toks"))).alias("shingle")
+    )
+
+
 def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment detection — the SUB-document duplication case
     symmetric Jaccard misses: containment(A,B) = |A∩B| / min(|A|,|B|) over
@@ -333,25 +354,7 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from filmdatawarehouse_spark.operators.cache import managed_persist
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                # guard: sequence(1, 0) is an illegal range in Spark, so
-                # docs under 3 words contribute an empty shingle array
-                F.when(
-                    F.size(words) >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(words) - 2),
-                        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _word_shingle_rows(spark, sf_dir)
     # two persists, both load-bearing: the root shingle frame feeds the df
     # census AND the semi-join (one explode+distinct instead of two), and
     # kept feeds THREE consumers (sizes + both pair-join sides) — leaving
@@ -2307,26 +2310,10 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from filmdatawarehouse_spark.operators.cache import managed_persist
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size(words) >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(words) - 2),
-                        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
     # persisted: feeds the df census, the rank window, and the per-doc
-    # array build (three consumers of one explode+distinct)
-    sh = managed_persist(sh)
+    # array build (three consumers of one shared shingle derivation —
+    # _word_shingle_rows binds the token array before the lambda)
+    sh = managed_persist(_word_shingle_rows(spark, sf_dir))
 
     df_census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_census, "shingle")

@@ -65,9 +65,13 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") % BFS_SEED_MOD == 0)
     )
-    dists = managed_persist(
-        seeds.select("doc_id", F.lit(0).cast("int").alias("hops"))
-    )
+    # localCheckpoint ONLY (the dedup_clusters discipline, dedup.py:762):
+    # the checkpoint already materializes each round's frontier as cached
+    # RDD blocks, so wrapping it in managed_persist would store a second
+    # copy of every round for zero benefit
+    dists = seeds.select(
+        "doc_id", F.lit(0).cast("int").alias("hops")
+    ).localCheckpoint(eager=True)
     for _k in range(1, BFS_MAX_HOPS + 1):
         expanded = (
             dists.join(edges, dists.doc_id == edges.src)
@@ -76,7 +80,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("hops").cast("int").alias("hops"))
         )
-        dists = managed_persist(expanded.localCheckpoint(eager=True))
+        dists = expanded.localCheckpoint(eager=True)
     return dists
 
 

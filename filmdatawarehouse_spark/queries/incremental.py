@@ -163,16 +163,21 @@ INCREMENTAL_ROLLUP_ORACLE = """
 
 UPSERT_MOD = 10
 UPSERT_RESIDUE = 3
-UPSERT_NEW_SHIFT = 1_000_000_000
+# insert keys are NEGATIVE mirrors of the update keys: -(k+1) is disjoint
+# from every real o_orderkey (>= 0) at ANY scale factor — an additive
+# shift (+1e9, the first cut) collides with real keys once o_orderkey
+# exceeds the shift (TPC-H reaches 6M x SF), silently merging a real
+# order with a synthetic insert and breaking the MERGE contract
 
 
 def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO / last-write-wins upsert semantics without a mutable
     table format: a deterministic update batch (derived from orders so
     both engines replay it — keys % 10 == 3 get status 'U' and a 10%
-    price bump; the same rows re-keyed +1e9 are brand-new inserts) is
-    merged onto the base by key, updates winning over base rows, inserts
-    appearing once. Prices stay at DECIMAL scale 4 end to end — the
+    price bump; the same rows re-keyed to negative mirrors are brand-new
+    inserts) is merged onto the base by key, updates winning over base rows, inserts
+    (the same rows under negative mirror keys, disjoint from every real
+    key at any SF) appearing once. Prices stay at DECIMAL scale 4 end to end — the
     10% bump is an EXACT scale-2 × scale-2 product; re-quantizing it to
     scale 2 would hit the engines' different rounding modes (Spark
     HALF_UP vs DuckDB HALF_EVEN on the .005 boundary — observed 158
@@ -206,7 +211,7 @@ def q_orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = upd_src.select("*", F.lit(1).alias("prio")).unionAll(
         upd_src.select(
-            (F.col("o_orderkey") + F.lit(UPSERT_NEW_SHIFT)).alias("o_orderkey"),
+            (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
             "o_orderstatus",
             "price",
             F.lit(1).alias("prio"),
@@ -243,7 +248,7 @@ UPSERT_ORACLE = f"""
           FROM orders) b
     FULL OUTER JOIN upd u USING (o_orderkey)
     UNION ALL
-    SELECT o_orderkey + {UPSERT_NEW_SHIFT}, o_orderstatus,
+    SELECT -(o_orderkey + 1), o_orderstatus,
            CAST(price AS DOUBLE)
     FROM upd
 """

@@ -111,7 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # events_tumbling_window, events_user_totals, range_join_events,
     # latest_order_per_customer, grouping_sets_orders,
     # join_bigbig_bucketed, skew_salted_group_count, skew_salted_join,
-    # profile_orders yielded their r06 slots to the eighteen new round-6
+    # profile_orders yielded their r06 slots to the nineteen new round-6
     # queries above; they keep their r04 rows and join the 14 r04 parity
     # entries at the head of the r07 window
 )

@@ -767,8 +767,9 @@ def q_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter); orders⋈lineitem is the one big⋈big shuffle (both sides hash
     on orderkey); nation⋈region collapses to a broadcast hash join onto
     customer and supplier; the c_nationkey = s_nationkey condition rides
-    the lineitem⋈supplier join as a residual equi-key, never a second
-    shuffle. Revenue sums in DECIMAL (order-independent) and casts to
+    the lineitem⋈supplier join as a residual equi-key. Supplier itself is
+    deliberately NOT hint-broadcast (it grows with SF); AQE picks
+    broadcast while it fits and a shuffled hash join beyond that. Revenue sums in DECIMAL (order-independent) and casts to
     double once.
 
     Reference analog: none (single-table pandas); SURVEY §2.3 extension
@@ -807,7 +808,11 @@ def q_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            # no broadcast HINT: supplier grows with SF (10k rows x SF) and
+            # a forced broadcast would hit the 8 GB driver limit at the
+            # scale this plan targets; AQE broadcasts it while it is small
+            # and falls back to a shuffled join when it is not
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("cn_key")),
         )

@@ -127,10 +127,13 @@ def stream_sessions_capped_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same two-batch protocol as ``stream_sessions_final``: batch 1 carries
     every real event; batch 2 carries one far-future sentinel for user -1
     whose watermark advance fires EventTimeTimeout on every remaining open
-    slice. The sentinel's own open session is filtered out. The closed
-    slice set must equal the batch ``events_sessions_capped`` query
-    projected to (user_id, session_start, session_end, n_events) — which
-    is what the DuckDB oracle computes.
+    slice. The sentinel's own open session is filtered out. The certified
+    contract is the MICROSECOND-granularity oracle below — which is the
+    streaming operator's own arithmetic. It matches the batch
+    ``events_sessions_capped`` query only on whole-second timestamps: the
+    batch query deliberately slices in seconds, so on this sub-second
+    events table the two queries legitimately differ at boundary events
+    (each is certified against its own-granularity oracle).
 
     Scale note: certification query — materializes the stream locally
     (temp dir + memory sink); the production operator is the unbounded

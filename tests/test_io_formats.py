@@ -330,3 +330,14 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     # and the z-layout must beat single-key on the second dimension by a
     # wide margin — that's the whole point
     assert zs < ss / 1.5, (zs, ss)
+
+
+def test_zorder_empty_input(spark, tmp_path):
+    """An empty frame must write an empty parquet dataset, not raise on
+    the NULL min/max scaling bounds."""
+    from filmdatawarehouse_spark.io.sinks import write_zorder
+
+    empty = spark.createDataFrame([], "a long, b long")
+    out = str(tmp_path / "z_empty")
+    write_zorder(empty, out, "a", "b")
+    assert spark.read.parquet(out).count() == 0

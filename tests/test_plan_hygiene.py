@@ -384,31 +384,10 @@ def test_vocab_encode_broadcasts_vocab_topk_no_global_sort(spark, sf_dir):
 
 
 def _executed_exchange_records(df) -> list[int]:
-    """Collect the result, then walk the ADAPTIVE executed plan and return
-    the records-read metric of every shuffle exchange."""
-    df.collect()
-    out: list[int] = []
+    """Shared adaptive-plan walker (filmdatawarehouse_spark.plans)."""
+    from filmdatawarehouse_spark.plans import executed_exchange_records
 
-    def walk(node):
-        name = node.getClass().getSimpleName()
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-            return
-        if name.endswith("QueryStageExec"):
-            walk(node.plan())
-            return
-        if name == "ShuffleExchangeExec":
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                if kv._1() == "recordsRead":
-                    out.append(int(kv._2().value()))
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return out
+    return executed_exchange_records(df)
 
 
 N_HOT_ROWS = 20_000
@@ -562,27 +541,14 @@ def test_abc_pareto_has_no_single_partition_window(spark, sf_dir):
     every part to one task)."""
     from filmdatawarehouse_spark.queries.relational import q_orders_abc_pareto
 
+    from filmdatawarehouse_spark.plans import (
+        executed_window_partition_spec_sizes,
+    )
+
     df = q_orders_abc_pareto(spark, sf_dir)
     # authoritative check: every WindowExec in the executed plan must
     # have a non-empty partitionSpec
-    found = []
-
-    def walk(node):
-        name = node.getClass().getSimpleName()
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-            return
-        if name.endswith("QueryStageExec"):
-            walk(node.plan())
-            return
-        if name == "WindowExec":
-            found.append(node.partitionSpec().size())
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    df.collect()
-    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    found = executed_window_partition_spec_sizes(df)
     assert found, "expected at least one WindowExec"
     assert all(n > 0 for n in found), (
         f"unpartitioned WindowExec present: partitionSpec sizes {found}"

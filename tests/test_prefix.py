@@ -154,3 +154,30 @@ def test_global_running_sum_empty_and_single_row(spark):
     )
     [row] = global_running_sum(one, F.col("v"), [F.col("k")], "cum").collect()
     assert str(row["cum"]) == "7.25"
+
+
+def test_global_running_sum_all_null_partition(spark):
+    """A contiguous order range whose values are all NULL sums to a NULL
+    partition total; the offset builder must treat it as zero (matching
+    the window sum, which skips NULLs) instead of raising TypeError."""
+    from pyspark.sql import functions as F
+
+    for null_pred in (
+        lambda i: 40 <= i < 60,  # interior all-NULL range
+        lambda i: i < 25,  # leading NULLs: cum must stay NULL until k=25
+    ):
+        rows = [
+            (i, None if null_pred(i) else str(i + 0.5)) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "k int, v string").select(
+            "k", F.col("v").cast("decimal(18,2)").alias("v")
+        )
+        out = global_running_sum(
+            df, F.col("v"), [F.col("k")], "cum", n_partitions=5
+        )
+        want = {
+            r["k"]: r["cum"]
+            for r in _reference_cumsum(df, F.col("v"), [F.col("k")]).collect()
+        }
+        got = {r["k"]: r["cum"] for r in out.collect()}
+        assert got == want

@@ -26,30 +26,11 @@ if REPO not in sys.path:
 
 
 def exchange_records(df) -> list[int]:
-    """recordsRead of every shuffle exchange in the executed plan."""
-    df.collect()
-    out: list[int] = []
+    """recordsRead of every shuffle exchange (shared adaptive-plan
+    walker, filmdatawarehouse_spark.plans)."""
+    from filmdatawarehouse_spark.plans import executed_exchange_records
 
-    def walk(node):
-        name = node.getClass().getSimpleName()
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-            return
-        if name.endswith("QueryStageExec"):
-            walk(node.plan())
-            return
-        if name == "ShuffleExchangeExec":
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                if kv._1() == "recordsRead":
-                    out.append(int(kv._2().value()))
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return out
+    return executed_exchange_records(df)
 
 
 def main() -> None:
@@ -94,19 +75,24 @@ def main() -> None:
     n_dim_all = read_table(spark, sf_dir, "supplier").count()
 
     results = {}
-    for label in ("plain", "bloom", "plain", "bloom"):  # cold then warm
-        li, s = fact(), supp()
-        t0 = time.time()
-        if label == "bloom":
-            li = bloom_prefilter(li, build_bloom(s, "s_suppkey"), "l_suppkey")
-        df = agg(li.join(s, li.l_suppkey == s.s_suppkey))
-        recs = exchange_records(df)
-        dt = time.time() - t0
-        results[label] = {
-            "sec": round(dt, 3),
-            "exchange_records": recs,
-            "max_exchange": max(recs) if recs else 0,
-        }
+    # first pass is cold, second warm — recorded SEPARATELY (an earlier
+    # cut stored both under one key, silently reporting only warm)
+    for pass_name in ("cold", "warm"):
+        for variant in ("plain", "bloom"):
+            li, s = fact(), supp()
+            t0 = time.time()
+            if variant == "bloom":
+                li = bloom_prefilter(
+                    li, build_bloom(s, "s_suppkey"), "l_suppkey"
+                )
+            df = agg(li.join(s, li.l_suppkey == s.s_suppkey))
+            recs = exchange_records(df)
+            dt = time.time() - t0
+            results[f"{variant}_{pass_name}"] = {
+                "sec": round(dt, 3),
+                "exchange_records": recs,
+                "max_exchange": max(recs) if recs else 0,
+            }
 
     print(
         json.dumps(
@@ -119,8 +105,8 @@ def main() -> None:
                 **results,
                 "shuffle_rows_reduction": round(
                     1
-                    - results["bloom"]["max_exchange"]
-                    / max(results["plain"]["max_exchange"], 1),
+                    - results["bloom_warm"]["max_exchange"]
+                    / max(results["plain_warm"]["max_exchange"], 1),
                     4,
                 ),
             }
