@@ -341,3 +341,25 @@ def test_zorder_empty_input(spark, tmp_path):
     out = str(tmp_path / "z_empty")
     write_zorder(empty, out, "a", "b")
     assert spark.read.parquet(out).count() == 0
+
+
+def test_zorder_key_bit_interleave_exact(spark):
+    """zorder_key must be an exact Morton interleave: bit i of x at
+    position 2i, bit i of y at 2i+1 — verified by de-interleaving the
+    JVM-computed z in Python for boundary and pseudo-random keys."""
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.io.sinks import Z_BITS, zorder_key
+
+    top = (1 << Z_BITS) - 1
+    pairs = [(0, 0), (top, top), (top, 0), (0, top), (1, 2), (0x5555, 0xAAAA)]
+    pairs += [((i * 40503) & top, (i * 9973) & top) for i in range(50)]
+    df = spark.createDataFrame(pairs, "x long, y long").withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        x = y = 0
+        for i in range(Z_BITS):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y), (r.x, r.y, r.z)

@@ -181,3 +181,31 @@ def test_global_running_sum_all_null_partition(spark):
         }
         got = {r["k"]: r["cum"] for r in out.collect()}
         assert got == want
+
+
+def test_abc_pareto_ties_partition_invariant(spark, tmp_path):
+    """All-equal revenues are the worst tie case for a global cumsum: the
+    (revenue DESC, partkey) total order must make the result identical
+    across partition counts, with cum_share strictly increasing."""
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.queries.relational import q_orders_abc_pareto
+
+    rows = [(k % 40, 100.0, 0.0) for k in range(400)]  # 40 parts, equal rev
+    d = tmp_path / "tie_sf"
+    spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double, l_discount double"
+    ).repartition(8).write.parquet(str(d / "lineitem.parquet"))
+
+    base = None
+    for _ in range(2):  # rangepartition sampling must not matter
+        got = sorted(
+            (r.l_partkey, r.cum_share, r.abc_class)
+            for r in q_orders_abc_pareto(spark, str(d)).collect()
+        )
+        shares = [g[1] for g in got]
+        assert shares == sorted(shares) and len(set(shares)) == len(shares)
+        if base is None:
+            base = got
+        else:
+            assert got == base
