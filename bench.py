@@ -125,6 +125,7 @@ HEADLINE = [
     "orders_upsert_merge",
     "text_hof_stats",
     "events_transitions",
+    "skew_profile_custkey",
 ]
 
 

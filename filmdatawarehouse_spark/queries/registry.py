@@ -39,7 +39,7 @@ CURRENT_ROUND = 6
 #  2. new round-6 queries (driver-never-seen; inserted as they land,
 #     taking slots from the bottom of group 3)
 #  3. the stalest r04-certified entries — streaming twins, dedup/text
-#     operators, and the events/timeseries family first; 32 r04 entries
+#     operators, and the events/timeseries family first; 33 r04 entries
 #     wait for r07, where they lead the window: the 14 simplest parity
 #     entries (clean_dropna_dedup, derive_date_id, derive_month_key,
 #     dim_date_generate, fact_daily_orders, fact_monthly_totals,
@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_hof_stats",
     "events_transitions",
     "stream_heavy_hitters",
+    "skew_profile_custkey",
     # -- 3. stalest r04-certified entries
     "stream_sessions_final",
     "stream_dedup_final",
@@ -98,7 +99,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_events",
     "embedding_norm_hist",
     "events_funnel",
-    "events_locf_fill",
     "events_ohlc_hourly",
     "events_range_window",
     "events_running_totals",
@@ -106,12 +106,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_events",
     # text_langid, text_quality, text_token_count, text_word_freq,
     # events_gaps, events_hourly_gapfill, events_json_props,
-    # events_session_window,
+    # events_locf_fill, events_session_window,
     # events_sliding_window,
     # events_tumbling_window, events_user_totals, range_join_events,
     # latest_order_per_customer, grouping_sets_orders,
     # join_bigbig_bucketed, skew_salted_group_count, skew_salted_join,
-    # profile_orders yielded their r06 slots to the nineteen new round-6
+    # profile_orders yielded their r06 slots to the twenty new round-6
     # queries above; they keep their r04 rows and join the 14 r04 parity
     # entries at the head of the r07 window
 )

@@ -1202,3 +1202,81 @@ RELATIONAL_QUERIES["shipping_priority"] = (
     q_shipping_priority,
     ORACLES["shipping_priority"],
 )
+
+
+SKEW_TOP_N = 10
+
+
+def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for orders.o_custkey — the check you run
+    BEFORE choosing a join strategy (salting / AQE skew-join / broadcast):
+    the ``SKEW_TOP_N`` heaviest keys with their group sizes and share of
+    all rows, each row also carrying the key-count and exact p50/p99
+    group sizes so the heavy keys can be read against the distribution's
+    body.
+
+    Scale shape: one map-side-combined count per key; the top-N is
+    TakeOrderedAndProject over the key-sized frame; the scalar stats are
+    one more aggregate over the same frame, broadcast back. Exact
+    ``percentile`` buffers the key-sized (not row-sized) values on one
+    task — swap percentile_approx beyond ~10⁸ keys (the
+    `docs_mad_outliers` note applies).
+
+    Determinism: counts are exact ints; share is one int/int double
+    division rounded to the 1e-12 grid; exact interpolated percentile
+    matches DuckDB's quantile_cont bit-for-bit (the
+    `percentile_order_value` contract); top-N ties pinned by key.
+    """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    # key-sized frame feeds the top-N AND the stats aggregate; the total
+    # row count folds into the stats pass as sum(cnt) — no separate
+    # eager count() scan of the table
+    counts = managed_persist(
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_group"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_group"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("o_custkey")).limit(
+        SKEW_TOP_N
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(
+            F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 12
+        ).alias("share"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        "p50_group",
+        "p99_group",
+    )
+
+
+ORACLES["skew_profile_custkey"] = f"""
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT COUNT(*)::BIGINT AS n_keys,
+             SUM(cnt)::BIGINT AS n_rows,
+             quantile_cont(cnt, 0.5) AS p50_group,
+             quantile_cont(cnt, 0.99) AS p99_group
+      FROM counts
+    )
+    SELECT o_custkey, cnt,
+           round(cnt::DOUBLE / n_rows::DOUBLE, 12) AS share,
+           n_keys, p50_group, p99_group
+    FROM counts, stats
+    ORDER BY cnt DESC, o_custkey
+    LIMIT {SKEW_TOP_N}
+"""
+
+
+RELATIONAL_QUERIES["skew_profile_custkey"] = (
+    q_skew_profile_custkey,
+    ORACLES["skew_profile_custkey"],
+)
