@@ -378,9 +378,16 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = F.col("syy").cast("double")
     return agg.select(
         F.col("n"),
-        (
+        # 1e-12 grid on the O(1) output (r06 fix): at sf>=0.1 the sums'
+        # decimal->double casts land past 2^53, where Spark's correctly-
+        # rounded BigDecimal conversion and DuckDB's int128-then-divide
+        # double-rounding can differ in the last ulp — observed 7e-19
+        # absolute at sf0.1. The correlation itself is in [-1, 1], so the
+        # grid costs nothing.
+        F.round(
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            12,
         ).alias("corr_qty_price"),
     )
 
@@ -469,9 +476,10 @@ ORACLES: dict[str, str] = {
           FROM lineitem
         )
         SELECT n,
-               (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                  / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 12)
                  AS corr_qty_price
         FROM s
     """,
