@@ -1,13 +1,20 @@
 """Benchmark harness: times the engine's headline queries at one SF.
 
-Prints exactly ONE compact JSON line (cold per-query timings + totals; no
-warm dict, so a tail-capture of stdout cannot truncate it) and writes the
-FULL record to BENCH_full.json next to this file:
+Prints exactly ONE fixed-size JSON line (totals + counts + the 8 slowest
+cold queries — hard-capped at 1,800 chars so a ~2,000-char stdout
+tail-capture can never truncate it; BENCH_r06 lost its record when the
+full 66-query dict outgrew the tail) and writes the FULL record to
+BENCH_full.json next to this file:
   stdout:  {"metric": "...", "value": <total cold sec>, "unit": "sec",
-            "queries": {"<name>": cold sec, ...}, "value_warm": <sec>,
-            "sf": <float>, "full_json": "<path>",
-            "errors": {...}, "n_errors": N}     # errors only when present
-  file:    the same plus "queries_warm" per-query warm timings
+            "value_warm": <sec>, "n_queries": N, "sf": <float>,
+            "queries": {<8 slowest cold>}, "queries_note": "...",
+            "full_json": "<path>", "n_errors": N,
+            "anchor_drift_median": <ratio>}     # last two only when present
+  file:    complete cold ("queries") + warm ("queries_warm") dicts,
+           "errors", and "anchor_drift" — the scan-bound anchor queries'
+           warm ratio vs the previous committed BENCH_full.json, so
+           round-over-round environment drift is recorded in the harness
+           instead of being re-derived from git each round.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -210,19 +217,70 @@ def main() -> None:
         out["errors"] = warm_errors
         out["n_errors"] = len(warm_errors)
 
-    # Full record (cold + warm + errors) goes to a FILE the driver can
-    # archive; stdout gets ONE compact line — headline totals + per-query
-    # COLD only — so a tail-capture of stdout can never truncate the cold
-    # dict again (VERDICT r04 item 8: BENCH_r04's single long line lost its
-    # head to the driver's tail window).
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
+
+    # Environment-drift self-attribution (VERDICT r06 item 5): record each
+    # scan-bound anchor query's warm ratio vs the PREVIOUS committed
+    # BENCH_full.json before overwriting it. Anchors are queries whose code
+    # ~never changes, so their drift measures the shared-JVM / page-cache
+    # environment, not any plan change; divide a query's round-over-round
+    # ratio by `anchor_drift.median` before calling it a regression.
+    anchors = ("filter_pushdown", "filtered_daily_series", "monthly_revenue")
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") != sf:  # cross-SF ratios are meaningless
+            raise ValueError("previous record is a different SF")
+        prev_warm = prev.get("queries_warm", {})
+        ratios = {
+            a: round(warm[a] / prev_warm[a], 4)
+            for a in anchors
+            if warm.get(a) and prev_warm.get(a)
+        }
+        if ratios:
+            med = sorted(ratios.values())[len(ratios) // 2]
+            out["anchor_drift"] = {
+                "ratios_warm_vs_prev": ratios,
+                "median": med,
+                "prev_value_warm": prev.get("value_warm"),
+            }
+    except (OSError, ValueError, KeyError):
+        pass
+
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
-    compact = {k: v for k, v in out.items() if k != "queries_warm"}
-    compact["full_json"] = full_path
-    print(json.dumps(compact))
+
+    # stdout protocol (VERDICT r06 item 2): the driver recovers the record
+    # from a ~2,000-char stdout TAIL, and at 66 headline queries the full
+    # per-query dict outgrew it (BENCH_r06.json parsed=null). stdout now
+    # carries a FIXED-SIZE record — totals, counts, sf, the slowest few
+    # queries, and the BENCH_full.json path holding the complete dicts —
+    # printed as the very last line, with a hard size assertion
+    # (tests/test_env_contract.py pins it).
+    slowest = dict(sorted(cold.items(), key=lambda kv: -kv[1])[:8])
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "value_warm": out["value_warm"],
+        "n_queries": len(cold),
+        "sf": sf,
+        "queries": slowest,
+        "queries_note": f"8 slowest cold of {len(cold)}; full dicts in full_json",
+        "full_json": full_path,
+    }
+    if "n_errors" in out:
+        compact["n_errors"] = out["n_errors"]
+    if "anchor_drift" in out:
+        compact["anchor_drift_median"] = out["anchor_drift"]["median"]
+    line = json.dumps(compact)
+    if len(line) > 1800:  # never outgrow the driver's tail capture again
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    assert len(line) <= 1800, f"bench stdout record too big: {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -124,8 +124,18 @@ def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
         )
 
+    # The base/delta predicates must PARTITION the rows: a bare
+    # (< split) / (>= split) pair silently drops NULL dates from BOTH
+    # sides (NULL fails both), while the full-recompute oracle would keep
+    # them as a NULL day group — merge != recompute the day a NULL date
+    # appears. Route NULLs explicitly into the delta (new/unknown data
+    # belongs to the incoming batch), making the split provably total.
     base = rollup(o.filter(F.col("o_orderdate") < split))
-    delta = rollup(o.filter(F.col("o_orderdate") >= split))
+    delta = rollup(
+        o.filter(
+            (F.col("o_orderdate") >= split) | F.col("o_orderdate").isNull()
+        )
+    )
     b = base.select(
         "day",
         F.col("n_orders").alias("n_b"),

@@ -29,91 +29,75 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # driver row" column + tests/test_registry.py staleness guard) to the
 # round files that exist at rotation time, so the guard stays green even
 # after the driver drops this round's new CORRECTNESS file mid-round.
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 # First-50 window for the external driver, highest certification value first
-# (round-6 rotation per VERDICT r05 item 1):
-#  1. the 13 queries whose ONLY driver rows are r03 (bumped from the r05
-#     window by the 14 round-5 additions) — 3 rounds stale, the maximum
-#     the staleness guard tolerates
-#  2. new round-6 queries (driver-never-seen; inserted as they land,
-#     taking slots from the bottom of group 3)
-#  3. the stalest r04-certified entries — streaming twins, dedup/text
-#     operators, and the events/timeseries family first; 33 r04 entries
-#     wait for r07, where they lead the window: the 14 simplest parity
-#     entries (clean_dropna_dedup, derive_date_id, derive_month_key,
-#     dim_date_generate, fact_daily_orders, fact_monthly_totals,
-#     filter_pushdown, filtered_daily_series, join_inner_equi,
-#     monthly_revenue, scan_project, sql_passthrough, top10_parts,
-#     unpivot_part) plus the 16 that yielded slots to round-6 additions
-#     (see the tail comment below).
-# Everything certified green in r05 moves to the tail; every entry is
-# still verified locally on every pytest run by
-# tests/test_parity_queries.py.
+# (round-7 rotation per VERDICT r06 item 3):
+#  1. the 33 queries whose latest driver rows are r04 — 2 rounds stale,
+#     the maximum the staleness guard tolerates; they MUST certify this
+#     round (the 14 simplest parity entries plus the 19 that yielded
+#     their r06 slots to round-6 additions)
+#  2. new round-7 queries (driver-never-seen; registered as they land)
+# Everything certified green in r05/r06 moves to the tail and queues for
+# the r08 window; every entry is still verified locally on every pytest
+# run by tests/test_parity_queries.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. r03-only driver rows (stalest first priority)
-    "snapshot_diff_customers",
-    "ntile_order_value",
-    "corr_qty_price",
-    "window_rank_family",
-    "pipeline_curate_documents",
-    "join_bigbig_rollup",
-    "decontaminate_docs",
-    "pack_sequences",
-    "redact_pii_docs",
-    "text_repetition_metrics",
-    "text_repetition_gate",
-    "embedding_quantize_codes",
-    "embedding_quantize_error",
-    # -- 2. new round-6 queries: driver-never-seen
-    "stream_sessions_capped",
-    "text_prefix_filter_pairs",
-    "regional_supplier_revenue",
-    "customer_rfm",
-    "orders_abc_pareto",
-    "events_daily_streaks",
-    "events_first_touch",
-    "events_mode_type",
-    "graph_bfs_hops",
-    "events_hour_heatmap",
-    "stream_interval_join",
-    "events_hourly_anomalies",
-    "pricing_summary",
-    "shipping_priority",
-    "incremental_daily_rollup",
-    "orders_upsert_merge",
-    "text_hof_stats",
-    "events_transitions",
-    "stream_heavy_hitters",
-    "skew_profile_custkey",
-    # -- 3. stalest r04-certified entries
-    "stream_sessions_final",
-    "stream_dedup_final",
-    "dedup_clusters",
-    "dedup_incremental",
-    "text_normalize_dedup",
-    "text_tfidf",
-    "text_fingerprint",
-    "chunk_documents",
-    "corpus_merge_priority",
-    "stratified_sample_events",
-    "embedding_norm_hist",
-    "events_funnel",
-    "events_ohlc_hourly",
-    "events_range_window",
-    "events_running_totals",
-    "events_zscore_outliers",
-    "asof_join_events",
-    # text_langid, text_quality, text_token_count, text_word_freq,
-    # events_gaps, events_hourly_gapfill, events_json_props,
-    # events_locf_fill, events_session_window,
-    # events_sliding_window,
-    # events_tumbling_window, events_user_totals, range_join_events,
-    # latest_order_per_customer, grouping_sets_orders,
-    # join_bigbig_bucketed, skew_salted_group_count, skew_salted_join,
-    # profile_orders yielded their r06 slots to the twenty new round-6
-    # queries above; they keep their r04 rows and join the 14 r04 parity
-    # entries at the head of the r07 window
+    # -- 1. r04-stale entries (hard deadline: this round)
+    "scan_project",
+    "clean_dropna_dedup",
+    "filter_pushdown",
+    "dim_date_generate",
+    "derive_date_id",
+    "derive_month_key",
+    "join_inner_equi",
+    "fact_daily_orders",
+    "fact_monthly_totals",
+    "monthly_revenue",
+    "top10_parts",
+    "filtered_daily_series",
+    "sql_passthrough",
+    "unpivot_part",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_word_freq",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_user_totals",
+    "events_gaps",
+    "events_json_props",
+    "events_locf_fill",
+    "events_hourly_gapfill",
+    "latest_order_per_customer",
+    "grouping_sets_orders",
+    "range_join_events",
+    "join_bigbig_bucketed",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "profile_orders",
+    # -- 2. new round-7 queries: driver-never-seen
+    "revenue_forecast_q6",
+    "returned_items_topk",
+    "promo_revenue_monthly",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "orders_exists_late_lines",
+    "priority_lines_by_status",
+    "part_min_price_per_type",
+    "customers_anti_orders",
+    "orders_rollup_totals",
+    "events_pivot_type_daily",
+    "text_topk_per_lang",
+    "split_contamination_rate",
+    "acctbal_histogram",
+    "skew_profile_custkey_approx",
+    "docs_mad_outliers_approx",
+    "events_distinct_users_approx",
+    # the 50 r05-certified entries + the 50 r06-certified entries hold
+    # their rows and queue for the r08 window (r05 set first — it will be
+    # 2 rounds stale by then, hitting the same hard deadline the r04 set
+    # hits this round)
 )
 
 

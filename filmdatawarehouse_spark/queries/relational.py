@@ -1231,9 +1231,11 @@ def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     `docs_mad_outliers` note applies).
 
     Determinism: counts are exact ints; share is one int/int double
-    division rounded to the 1e-12 grid; exact interpolated percentile
-    matches DuckDB's quantile_cont bit-for-bit (the
-    `percentile_order_value` contract); top-N ties pinned by key.
+    division rounded to the 1e-12 grid; p50/p99 are ALSO grid-rounded
+    (1e-12 — group sizes are O(10) here, well inside double resolution)
+    because fractional-rank interpolation (p99) lets Spark's percentile
+    and DuckDB's quantile_cont associate the (hi-lo)*frac formula
+    differently and diverge in the last ulp; top-N ties pinned by key.
     """
     from filmdatawarehouse_spark.operators.cache import managed_persist
 
@@ -1260,8 +1262,8 @@ def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 12
         ).alias("share"),
         F.col("n_keys").cast("bigint").alias("n_keys"),
-        "p50_group",
-        "p99_group",
+        F.round("p50_group", 12).alias("p50_group"),
+        F.round("p99_group", 12).alias("p99_group"),
     )
 
 
@@ -1271,8 +1273,8 @@ ORACLES["skew_profile_custkey"] = f"""
     ), stats AS (
       SELECT COUNT(*)::BIGINT AS n_keys,
              SUM(cnt)::BIGINT AS n_rows,
-             quantile_cont(cnt, 0.5) AS p50_group,
-             quantile_cont(cnt, 0.99) AS p99_group
+             round(quantile_cont(cnt, 0.5), 12) AS p50_group,
+             round(quantile_cont(cnt, 0.99), 12) AS p99_group
       FROM counts
     )
     SELECT o_custkey, cnt,

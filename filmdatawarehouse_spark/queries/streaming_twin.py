@@ -368,7 +368,14 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_mg_candidates,
     )
 
-    assert MG_STATE_K == MG_COUNTERS  # same threshold N/k as the oracle
+    if MG_STATE_K != MG_COUNTERS:  # same threshold N/k as the oracle;
+        # an `assert` is stripped under python -O, which would let a
+        # drifted constant silently shrink the candidate superset
+        raise ValueError(
+            f"MG_STATE_K ({MG_STATE_K}) must equal MG_COUNTERS "
+            f"({MG_COUNTERS}): the streaming candidate threshold and the "
+            "exact-recount threshold are the same N/k bound"
+        )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="fdw_stream_hh_")

@@ -284,7 +284,17 @@ def streaming_mg_candidates(
             seq = 0
         for pdf in pdf_iter:
             hist = pdf["word"].value_counts()
-            merged = hist if counters is None else counters.add(hist, fill_value=0)
+            if counters is None:
+                merged = hist
+            else:
+                # reindex-to-union + int add, NOT Series.add(fill_value=0):
+                # fill_value promotes int64→float64, making MG estimates
+                # exact only while counts stay below 2^53. Keep counter
+                # arithmetic in int64 by construction.
+                union = counters.index.union(hist.index)
+                merged = counters.reindex(union, fill_value=0).astype(
+                    "int64"
+                ) + hist.reindex(union, fill_value=0).astype("int64")
             if len(merged) > k:
                 kth = merged.nlargest(k + 1).iloc[-1]
                 merged = merged[merged > kth] - kth

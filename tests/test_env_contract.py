@@ -74,3 +74,38 @@ def test_ntz_cast_is_utc_wallclock(spark):
     assert (got.year, got.month, got.day, got.hour, got.minute, got.second, got.microsecond) == (
         2024, 1, 2, 3, 4, 5, 678901
     )
+
+
+def test_bench_stdout_record_fits_driver_tail_capture():
+    """The driver recovers bench.py's stdout record from a ~2,000-char
+    TAIL; BENCH_r06 lost its record when the full per-query dict outgrew
+    it. Pin the protocol: simulate the widest plausible record (100
+    queries, worst-case field widths) through the same compaction logic
+    bench.py uses and require the emitted line stays under 1,800 chars.
+    """
+    import json
+
+    cold = {f"a_very_long_query_name_number_{i:03d}": 123.4567 for i in range(100)}
+    slowest = dict(sorted(cold.items(), key=lambda kv: -kv[1])[:8])
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": 99999.9999,
+        "unit": "sec",
+        "value_warm": 99999.9999,
+        "n_queries": len(cold),
+        "sf": 1000.0,
+        "queries": slowest,
+        "queries_note": f"8 slowest cold of {len(cold)}; full dicts in full_json",
+        "full_json": "/root/repo/BENCH_full.json",
+        "n_errors": 100,
+        "anchor_drift_median": 1.2345,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    assert len(line) <= 1800
+
+    # and the real bench.py still contains the cap + fallback
+    src = open("bench.py").read()
+    assert "1800" in src and "slowest" in src
