@@ -138,6 +138,24 @@ def all_queries() -> dict[str, Entry]:
         pass
 
     try:
+        from filmdatawarehouse_spark.queries.warehouse_shapes import (
+            WAREHOUSE_SHAPE_QUERIES,
+        )
+
+        registry.update(WAREHOUSE_SHAPE_QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from filmdatawarehouse_spark.queries.approx_twins import (
+            APPROX_TWIN_QUERIES,
+        )
+
+        registry.update(APPROX_TWIN_QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from filmdatawarehouse_spark.queries.pipeline import (
             curate_documents,
             curate_documents_oracle,
