@@ -133,7 +133,59 @@ HEADLINE = [
     "text_hof_stats",
     "events_transitions",
     "skew_profile_custkey",
+    # round-8 additions: TPC-H warehouse shapes + certified approx twins
+    "revenue_forecast_q6",
+    "returned_items_topk",
+    "promo_revenue_monthly",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "orders_exists_late_lines",
+    "priority_lines_by_status",
+    "part_min_price_per_type",
+    "customers_anti_orders",
+    "orders_rollup_totals",
+    "events_pivot_type_daily",
+    "text_topk_per_lang",
+    "split_contamination_rate",
+    "acctbal_histogram",
+    "skew_profile_custkey_approx",
+    "docs_mad_outliers_approx",
+    "events_distinct_users_approx",
 ]
+
+
+def build_compact(out: dict, full_path: str) -> str:
+    """The ONE fixed-size stdout line, derived from the full record.
+
+    Shared by main() and tests/test_env_contract.py (ADVICE r07: the test
+    used to re-implement this compaction and could drift from the real
+    emitter). Raises — not asserts, which `-O` strips — if the record
+    cannot be brought under the driver's 1,800-char tail-capture bound.
+    """
+    cold = out["queries"]
+    slowest = dict(sorted(cold.items(), key=lambda kv: -kv[1])[:8])
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "value_warm": out["value_warm"],
+        "n_queries": len(cold),
+        "sf": out["sf"],
+        "queries": slowest,
+        "queries_note": f"8 slowest cold of {len(cold)}; full dicts in full_json",
+        "full_json": full_path,
+    }
+    if "n_errors" in out:
+        compact["n_errors"] = out["n_errors"]
+    if "anchor_drift" in out:
+        compact["anchor_drift_median"] = out["anchor_drift"]["median"]
+    line = json.dumps(compact)
+    if len(line) > 1800:  # never outgrow the driver's tail capture again
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        raise RuntimeError(f"bench stdout record too big: {len(line)}")
+    return line
 
 
 def main() -> None:
@@ -222,13 +274,25 @@ def main() -> None:
     )
 
     # Environment-drift self-attribution (VERDICT r06 item 5): record each
-    # scan-bound anchor query's warm ratio vs the PREVIOUS committed
-    # BENCH_full.json before overwriting it. Anchors are queries whose code
-    # ~never changes, so their drift measures the shared-JVM / page-cache
-    # environment, not any plan change; divide a query's round-over-round
-    # ratio by `anchor_drift.median` before calling it a regression.
-    anchors = ("filter_pushdown", "filtered_daily_series", "monthly_revenue")
+    # scan-bound anchor query's warm ratio vs the PREVIOUS run's
+    # BENCH_full.json (whatever is on disk — back-to-back runs measure
+    # run-over-run drift; in the per-round cadence the file on disk is the
+    # previous round's committed record) before overwriting it. Anchors
+    # are queries whose code ~never changes, so their drift measures the
+    # shared-JVM / page-cache environment, not any plan change; divide a
+    # query's round-over-round ratio by `anchor_drift.median` before
+    # calling it a regression. Four anchors so one missing/errored anchor
+    # still leaves a 3-point median (ADVICE r07: the old len//2 pick was
+    # an upper-median on even counts, biasing the divisor upward).
+    anchors = (
+        "filter_pushdown",
+        "filtered_daily_series",
+        "monthly_revenue",
+        "top10_parts",
+    )
     try:
+        import statistics
+
         with open(full_path) as f:
             prev = json.load(f)
         if prev.get("sf") != sf:  # cross-SF ratios are meaningless
@@ -240,10 +304,9 @@ def main() -> None:
             if warm.get(a) and prev_warm.get(a)
         }
         if ratios:
-            med = sorted(ratios.values())[len(ratios) // 2]
             out["anchor_drift"] = {
                 "ratios_warm_vs_prev": ratios,
-                "median": med,
+                "median": round(statistics.median(ratios.values()), 4),
                 "prev_value_warm": prev.get("value_warm"),
             }
     except (OSError, ValueError, KeyError):
@@ -257,30 +320,10 @@ def main() -> None:
     # per-query dict outgrew it (BENCH_r06.json parsed=null). stdout now
     # carries a FIXED-SIZE record — totals, counts, sf, the slowest few
     # queries, and the BENCH_full.json path holding the complete dicts —
-    # printed as the very last line, with a hard size assertion
-    # (tests/test_env_contract.py pins it).
-    slowest = dict(sorted(cold.items(), key=lambda kv: -kv[1])[:8])
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": "sec",
-        "value_warm": out["value_warm"],
-        "n_queries": len(cold),
-        "sf": sf,
-        "queries": slowest,
-        "queries_note": f"8 slowest cold of {len(cold)}; full dicts in full_json",
-        "full_json": full_path,
-    }
-    if "n_errors" in out:
-        compact["n_errors"] = out["n_errors"]
-    if "anchor_drift" in out:
-        compact["anchor_drift_median"] = out["anchor_drift"]["median"]
-    line = json.dumps(compact)
-    if len(line) > 1800:  # never outgrow the driver's tail capture again
-        compact.pop("queries", None)
-        line = json.dumps(compact)
-    assert len(line) <= 1800, f"bench stdout record too big: {len(line)}"
-    print(line)
+    # printed as the very last line, size-bounded by build_compact (which
+    # raises, not asserts; tests/test_env_contract.py drives the same
+    # function with worst-case inputs).
+    print(build_compact(out, full_path))
     spark.stop()
 
 

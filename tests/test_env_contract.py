@@ -83,29 +83,35 @@ def test_bench_stdout_record_fits_driver_tail_capture():
     queries, worst-case field widths) through the same compaction logic
     bench.py uses and require the emitted line stays under 1,800 chars.
     """
+    import importlib
     import json
 
-    cold = {f"a_very_long_query_name_number_{i:03d}": 123.4567 for i in range(100)}
-    slowest = dict(sorted(cold.items(), key=lambda kv: -kv[1])[:8])
-    compact = {
+    bench = importlib.import_module("bench")
+
+    # worst-case full record: 200 long-named queries, max field widths, a
+    # pathologically long full_json path, every optional field present —
+    # driven through the REAL emitter (ADVICE r07: a copied simulation of
+    # the compaction logic could drift from bench.py unnoticed)
+    cold = {
+        f"a_very_long_query_name_number_{i:03d}": 123.4567 for i in range(200)
+    }
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": 99999.9999,
         "unit": "sec",
+        "queries": cold,
+        "queries_warm": cold,
         "value_warm": 99999.9999,
-        "n_queries": len(cold),
         "sf": 1000.0,
-        "queries": slowest,
-        "queries_note": f"8 slowest cold of {len(cold)}; full dicts in full_json",
-        "full_json": "/root/repo/BENCH_full.json",
         "n_errors": 100,
-        "anchor_drift_median": 1.2345,
+        "anchor_drift": {"median": 1.2345},
     }
-    line = json.dumps(compact)
-    if len(line) > 1800:
-        compact.pop("queries", None)
-        line = json.dumps(compact)
+    long_path = "/very/deep/" + "sub/" * 40 + "BENCH_full.json"
+    line = bench.build_compact(out, long_path)
     assert len(line) <= 1800
-
-    # and the real bench.py still contains the cap + fallback
-    src = open("bench.py").read()
-    assert "1800" in src and "slowest" in src
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 200
+    assert parsed["anchor_drift_median"] == 1.2345
+    # the 8-slowest dict survives compaction at realistic path lengths
+    realistic = bench.build_compact(out, "/root/repo/BENCH_full.json")
+    assert len(json.loads(realistic)["queries"]) == 8
