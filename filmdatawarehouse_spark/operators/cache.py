@@ -35,6 +35,21 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _MANAGED: list[DataFrame] = []
+_GENERATION = 0
+
+
+def cache_generation() -> int:
+    """Monotone counter bumped by every ``release_managed()``.
+
+    Memoized providers that hand out a shared persisted frame (e.g. the
+    PPJoin pair frame used by both `text_prefix_filter_pairs` and
+    `graph_bfs_hops`) key their memo on this: after a release their cached
+    handle still *works* but is no longer persisted, so silently reusing
+    it would demote every downstream consumer to recompute-per-branch.
+    A generation mismatch tells the provider to rebuild + re-persist.
+    """
+    with _LOCK:
+        return _GENERATION
 
 
 def managed_persist(df: DataFrame) -> DataFrame:
@@ -47,8 +62,10 @@ def managed_persist(df: DataFrame) -> DataFrame:
 
 def release_managed() -> int:
     """Unpersist every registered frame; returns how many were released."""
+    global _GENERATION
     with _LOCK:
         frames, _MANAGED[:] = list(_MANAGED), []
+        _GENERATION += 1
     n = 0
     for df in frames:
         try:

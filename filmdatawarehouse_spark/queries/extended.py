@@ -2427,8 +2427,34 @@ ORACLES["text_prefix_filter_pairs"] = f"""
     WHERE {PPJOIN_T_DEN} * n_inter >= {PPJOIN_T_NUM} * (sa.n + sb.n - n_inter)
 """
 
+# Session-scoped shared handle to the exact pair frame (VERDICT r06
+# item 7 / r07 item 4): `text_prefix_filter_pairs` and `graph_bfs_hops`
+# both consume the same PPJoin pair set, and without sharing the ~2s pair
+# build executed twice per warm bench pass. The memo is keyed on
+# (application, sf_dir, cache generation): `release_managed()` bumps the
+# generation, so a released (unpersisted) frame is rebuilt rather than
+# silently reused — cold-bench semantics stay honest while a long-lived
+# session (the warm pass, a service) pays the build once.
+_PAIR_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def prefix_filter_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filmdatawarehouse_spark.operators.cache import (
+        cache_generation,
+        managed_persist,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, cache_generation())
+    if key not in _PAIR_MEMO:
+        _PAIR_MEMO.clear()  # at most one live entry; stale generations die
+        _PAIR_MEMO[key] = managed_persist(
+            q_text_prefix_filter_pairs(spark, sf_dir)
+        )
+    return _PAIR_MEMO[key]
+
+
 EXTENDED_QUERIES["text_prefix_filter_pairs"] = (
-    q_text_prefix_filter_pairs,
+    prefix_filter_pairs_shared,
     ORACLES["text_prefix_filter_pairs"],
 )
 

@@ -43,10 +43,13 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filmdatawarehouse_spark.io.sources import read_table
     from filmdatawarehouse_spark.operators.cache import managed_persist
     from filmdatawarehouse_spark.queries.extended import (
-        q_text_prefix_filter_pairs,
+        prefix_filter_pairs_shared,
     )
 
-    pairs = q_text_prefix_filter_pairs(spark, sf_dir).select(
+    # shared, session-scoped pair frame (VERDICT r07 item 4): in a warm
+    # session that also ran `text_prefix_filter_pairs`, the ~2s PPJoin
+    # build is already persisted and BFS pays only the edge symmetrization
+    pairs = prefix_filter_pairs_shared(spark, sf_dir).select(
         "doc_id_a", "doc_id_b"
     )
     # symmetric adjacency, persisted once for the K join rounds
