@@ -24,66 +24,87 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 
-# The round the NEXT CORRECTNESS_r{N}.json will carry. Bumped at each
-# round's window rotation; pins the staleness ledger (QUERIES.md "last
-# driver row" column + tests/test_registry.py staleness guard) to the
-# round files that exist at rotation time, so the guard stays green even
-# after the driver drops this round's new CORRECTNESS file mid-round.
-CURRENT_ROUND = 7
+# The block between the ROTATION-MANAGED markers is rewritten by
+# ``python tools/rotate_window.py`` at each round start (VERDICT r07
+# item 7: the rotation is one gated command, not hand-edits — r06 shipped
+# a stale QUERIES.md and r07 shipped phantom window names by hand-editing
+# this file). The tool bumps the round, recomputes the stalest-first
+# window from the CORRECTNESS ledger, validates every name against the
+# live registry, regenerates QUERIES.md, and runs the registry +
+# plan-hygiene guards before anything is written.
+#
+# CURRENT_ROUND: the round the NEXT CORRECTNESS_r{N}.json will carry.
+# Pins the staleness ledger (QUERIES.md "last driver row" column +
+# tests/test_registry.py staleness guard) to the round files that exist
+# at rotation time, so the guard stays green even after the driver drops
+# this round's new CORRECTNESS file mid-round.
+#
+# DRIVER_PRIORITY: the external driver certifies only the FIRST 50
+# registry entries; this tuple IS that window.
+#
+# WINDOW_DEFERRED: names registered this round whose FIRST driver window
+# slot is explicitly pushed to the next rotation because the staleness
+# backlog fills all 50 slots (only never-certified names are deferrable —
+# a certified-stale entry can never yield its slot; enforced by
+# tests/test_registry.py::test_window_deferrals_are_sound). Deferred
+# entries are still oracle-verified locally on every pytest run.
+#
+# Forward math (r08): 35 entries carry r05 rows — 3 rounds stale at r08,
+# the hard deadline — plus 17 new round-8 queries = 52 candidates for 50
+# slots; 2 new entries defer to r09. NOTE the window is now SATURATED:
+# 150 registered queries / 50-slot window / 3-round staleness bound is
+# exactly at capacity, so every future round's window is fully determined
+# by the ledger and any NEW query forces a deferral. Growing the surface
+# past 150 needs a wider driver window or a longer staleness bound.
+# --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
+CURRENT_ROUND = 8
 
-# First-50 window for the external driver, highest certification value first
-# (round-7 rotation per VERDICT r06 item 3):
-#  1. the 33 queries whose latest driver rows are r04 — 2 rounds stale,
-#     the maximum the staleness guard tolerates; they MUST certify this
-#     round (the 14 simplest parity entries plus the 19 that yielded
-#     their r06 slots to round-6 additions)
-#  2. new round-7 queries (driver-never-seen; registered as they land)
-# Everything certified green in r05/r06 moves to the tail and queues for
-# the r08 window; every entry is still verified locally on every pytest
-# run by tests/test_parity_queries.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. r04-stale entries (hard deadline: this round)
-    "scan_project",
-    "clean_dropna_dedup",
-    "filter_pushdown",
-    "dim_date_generate",
-    "derive_date_id",
-    "derive_month_key",
-    "join_inner_equi",
-    "fact_daily_orders",
-    "fact_monthly_totals",
-    "monthly_revenue",
-    "top10_parts",
-    "filtered_daily_series",
-    "sql_passthrough",
-    "unpivot_part",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_word_freq",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_user_totals",
-    "events_gaps",
-    "events_json_props",
-    "events_locf_fill",
-    "events_hourly_gapfill",
-    "latest_order_per_customer",
-    "grouping_sets_orders",
-    "range_join_events",
-    "join_bigbig_bucketed",
-    "skew_salted_group_count",
-    "skew_salted_join",
-    "profile_orders",
-    # -- 2. new round-7 queries: driver-never-seen
+    # -- r05-certified (staleness deadline)
+    "text_heavy_hitters",
+    "text_sparse_cosine_pairs",
+    "text_containment_pairs",
+    "text_unigram_logprob",
+    "dedup_edit_distance",
+    "dedup_triangles",
+    "sketch_accuracy",
+    "corpus_split",
+    "text_pmi_bigrams",
+    "multimodal_frame_meta",
+    "multimodal_byte_stats",
+    "multimodal_byte_stats_native",
+    "multimodal_payload_meta",
+    "window_topn_per_group",
+    "rollup_order_stats",
+    "set_ops_customers",
+    "count_distinct",
+    "scd2_point_in_time",
+    "scd2_customer_dim",
+    "pivot_orders",
+    "cube_order_stats",
+    "anti_join_customers",
+    "semi_join_suppliers",
+    "percentile_order_value",
+    "above_customer_avg",
+    "window_value_family",
+    "events_time_rollup",
+    "bloom_prefilter_join",
+    "events_cohort_retention",
+    "events_rolling_actives",
+    "events_wow_growth",
+    "events_sessions_capped",
+    "dq_checks",
+    "docs_mad_outliers",
+    "basket_part_pairs",
+    # -- driver-never-seen (new this round)
+    "skew_profile_custkey_approx",
+    "docs_mad_outliers_approx",
+    "events_distinct_users_approx",
     "revenue_forecast_q6",
     "returned_items_topk",
-    "promo_revenue_monthly",
     "large_volume_customers",
     "disjunctive_revenue",
     "orders_exists_late_lines",
-    "priority_lines_by_status",
     "part_min_price_per_type",
     "customers_anti_orders",
     "orders_rollup_totals",
@@ -91,14 +112,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_topk_per_lang",
     "split_contamination_rate",
     "acctbal_histogram",
-    "skew_profile_custkey_approx",
-    "docs_mad_outliers_approx",
-    "events_distinct_users_approx",
-    # the 50 r05-certified entries + the 50 r06-certified entries hold
-    # their rows and queue for the r08 window (r05 set first — it will be
-    # 2 rounds stale by then, hitting the same hard deadline the r04 set
-    # hits this round)
 )
+
+WINDOW_DEFERRED: tuple[str, ...] = (
+    # new this round, first window slot deferred to r09 (the staleness backlog fills the window);
+    # locally oracle-verified every pytest run in the meantime
+    "promo_revenue_monthly",
+    "priority_lines_by_status",
+)
+# --- END ROTATION-MANAGED ---
 
 
 # Every registered query without a DuckDB oracle must carry an entry here

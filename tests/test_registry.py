@@ -56,16 +56,59 @@ def test_staleness_bounded_by_window_rotation():
     finally:
         sys.path.pop(0)
 
+    from filmdatawarehouse_spark.queries.registry import WINDOW_DEFERRED
+
     ledger = last_certified(CURRENT_ROUND - 1)
     reg = all_queries()
     window = set(list(reg)[:50])
     overdue = [
         n
         for n in reg
-        if ledger.get(n, 0) <= CURRENT_ROUND - 3 and n not in window
+        if ledger.get(n, 0) <= CURRENT_ROUND - 3
+        and n not in window
+        # a NEVER-certified query may explicitly defer its first window
+        # slot when the staleness backlog fills all 50 (registry
+        # WINDOW_DEFERRED); a certified-stale one can never yield its slot
+        and not (n in WINDOW_DEFERRED and n not in ledger)
     ]
     assert not overdue, (
         f"queries >2 rounds stale with no window slot this round: {overdue}"
+    )
+
+
+def test_window_deferrals_are_sound():
+    """WINDOW_DEFERRED is a narrow escape hatch, not a parking lot: every
+    deferred name must exist in the registry (a typo here would silently
+    drop a query from certification — the r07 phantom-name failure mode),
+    must NOT also hold a window slot, and must be driver-never-seen (a
+    query with a prior CORRECTNESS row defers by staleness math, not by
+    fiat)."""
+    import os
+    import sys
+
+    from filmdatawarehouse_spark.queries.registry import (
+        CURRENT_ROUND,
+        DRIVER_PRIORITY,
+        WINDOW_DEFERRED,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from gen_query_inventory import last_certified
+    finally:
+        sys.path.pop(0)
+
+    reg = all_queries()
+    unknown = [n for n in WINDOW_DEFERRED if n not in reg]
+    assert not unknown, f"WINDOW_DEFERRED names not registered: {unknown}"
+    overlap = set(WINDOW_DEFERRED) & set(DRIVER_PRIORITY)
+    assert not overlap, f"deferred AND windowed: {sorted(overlap)}"
+    ledger = last_certified(CURRENT_ROUND - 1)
+    seen = [n for n in WINDOW_DEFERRED if n in ledger]
+    assert not seen, (
+        f"WINDOW_DEFERRED entries with prior driver rows (not deferrable): "
+        f"{seen}"
     )
 
 
