@@ -75,6 +75,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = seeds.select(
         "doc_id", F.lit(0).cast("int").alias("hops")
     ).localCheckpoint(eager=True)
+    reached = dists.count()
     for _k in range(1, BFS_MAX_HOPS + 1):
         expanded = (
             dists.join(edges, dists.doc_id == edges.src)
@@ -84,6 +85,17 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").cast("int").alias("hops"))
         )
         dists = expanded.localCheckpoint(eager=True)
+        # fixed-point early exit (measured r08, SCALING.md): in
+        # level-synchronous BFS a node's hop label is final at first
+        # discovery, so an unchanged reached-count proves no label can
+        # change either — further rounds are provably identity. The
+        # count is a cheap job over the just-checkpointed blocks; at
+        # sf0.1 the seed set reaches its closure in ONE round and this
+        # saves the other three (result bit-identical, same oracle).
+        now = dists.count()
+        if now == reached:
+            break
+        reached = now
     return dists
 
 
