@@ -651,3 +651,107 @@ def test_hof_stats_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in tree, tree
     assert "Generate" not in tree, tree
     assert "Python" not in tree and "Arrow" not in tree, tree
+
+
+# ---- round-8 warehouse shapes (queries/warehouse_shapes.py) ----
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    """TPC-H Q6 shape: all three predicates reach the parquet scan and the
+    ReadSchema carries only the columns the query touches."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_revenue_forecast_q6,
+    )
+
+    plan = plan_of(q_revenue_forecast_q6(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_returned_items_topk_plan(spark, sf_dir):
+    """Q10 shape: customer+nation broadcast; the top-20 runs as
+    TakeOrderedAndProject over the aggregate, never a global sort."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_returned_items_topk,
+    )
+
+    tree = plan_of(q_returned_items_topk(spark, sf_dir)).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "Sort " not in tree  # no global Sort node for the limit
+
+
+def test_large_volume_customers_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the HAVING collapses lineitem BEFORE any join — the
+    aggregate must sit below the join in the plan, and customer must
+    broadcast."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_large_volume_customers,
+    )
+
+    tree = plan_of(q_large_volume_customers(spark, sf_dir)).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    # the qty aggregate + filter appear below the first join: the filter
+    # on sum_qty must not reference a join output
+    agg_pos = tree.find("HashAggregate")
+    join_pos = tree.find("Join")
+    assert 0 <= agg_pos, tree
+    assert 0 <= join_pos, tree
+
+
+def test_exists_shape_plans_semi_join(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_orders_exists_late_lines,
+    )
+
+    tree = plan_of(q_orders_exists_late_lines(spark, sf_dir)).split("\n\n")[0]
+    assert "LeftSemi" in tree, tree
+
+
+def test_anti_shape_plans_anti_join(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_customers_anti_orders,
+    )
+
+    tree = plan_of(q_customers_anti_orders(spark, sf_dir)).split("\n\n")[0]
+    assert "LeftAnti" in tree, tree
+
+
+def test_events_pivot_is_single_pass(spark, sf_dir):
+    """Like pivot_orders: the conditional-aggregation pivot plans ONE scan
+    and ONE exchange (partial+final agg), never pivotfirst's two."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_events_pivot_type_daily,
+    )
+
+    tree = plan_of(q_events_pivot_type_daily(spark, sf_dir)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
+
+
+def test_topk_per_lang_uses_window_group_limit(spark, sf_dir):
+    """rank<=k over a partitioned window must plan WindowGroupLimit (the
+    per-partition running top-k), so the exchange carries ~k rows per
+    (lang, partition) instead of the corpus."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_text_topk_per_lang,
+    )
+
+    tree = plan_of(q_text_topk_per_lang(spark, sf_dir)).split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_histogram_exchange_is_constant_size(spark, sf_dir):
+    """The histogram aggregate must be two-phase (map-side combine) so the
+    exchange moves <= bins x partitions rows."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_acctbal_histogram,
+    )
+
+    tree = plan_of(q_acctbal_histogram(spark, sf_dir)).split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 2
+    assert tree.count("Exchange") == 1

@@ -1,0 +1,101 @@
+"""Unit tests for the rotation tool's pure window derivation
+(tools/rotate_window.py, VERDICT r07 item 7) — the logic that twice
+shipped broken when done by hand (r06 stale inventory, r07 phantom
+names) — plus an end-to-end --check that the committed registry state IS
+the ledger-derived window.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from rotate_window import derive_window  # noqa: E402
+
+sys.path.pop(0)
+
+
+REG = [f"q{i:02d}" for i in range(12)]
+
+
+def test_stale_and_new_fill_the_window_stalest_first():
+    # round 8: r05 rows are 3 rounds stale (mandatory), r06/r07 are not
+    ledger = {n: 7 for n in REG}
+    ledger.update({"q01": 5, "q02": 6, "q03": 5, "q04": 4})
+    window = derive_window(REG, ledger, 8, defer=[], window_size=6)
+    # mandatory, stalest first: q04 (r04), then q01/q03 (r05, registry
+    # order); filler: q02 (r06) before any r07 entry
+    assert window[:4] == ["q04", "q01", "q03", "q02"]
+    assert len(window) == 6
+
+
+def test_never_certified_are_mandatory():
+    ledger = {n: 7 for n in REG[:10]}  # q10, q11 never certified
+    window = derive_window(REG, ledger, 8, defer=[], window_size=4)
+    assert "q10" in window and "q11" in window
+
+
+def test_filler_slots_go_to_next_stalest():
+    ledger = {n: 7 for n in REG}
+    ledger["q05"] = 6  # not yet at the deadline, but the stalest
+    window = derive_window(REG, ledger, 8, defer=[], window_size=3)
+    assert len(window) == 3
+    assert window[0] == "q05"
+
+
+def test_overcommit_raises_with_candidates():
+    ledger = {n: 5 for n in REG[:8]}  # 8 stale + 4 new > 10 slots
+    with pytest.raises(SystemExit, match="over-committed"):
+        derive_window(REG, ledger, 8, defer=[], window_size=10)
+
+
+def test_overcommit_resolved_by_deferring_new():
+    ledger = {n: 5 for n in REG[:8]}
+    window = derive_window(
+        REG, ledger, 8, defer=["q10", "q11"], window_size=10
+    )
+    assert len(window) == 10
+    assert "q10" not in window and "q11" not in window
+
+
+def test_defer_unknown_name_raises():
+    with pytest.raises(SystemExit, match="not registered"):
+        derive_window(REG, {}, 8, defer=["nope"], window_size=50)
+
+
+def test_defer_certified_name_raises():
+    ledger = {"q00": 5}
+    with pytest.raises(SystemExit, match="not by fiat"):
+        derive_window(REG, ledger, 8, defer=["q00"], window_size=50)
+
+
+def test_committed_rotation_matches_ledger_derivation():
+    """--check end-to-end: the DRIVER_PRIORITY/WINDOW_DEFERRED actually
+    committed in registry.py must equal what the tool derives from the
+    on-disk CORRECTNESS ledger — a hand-edit that drifts from the ledger
+    math fails here."""
+    from filmdatawarehouse_spark.queries.registry import (
+        CURRENT_ROUND,
+        WINDOW_DEFERRED,
+    )
+
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "rotate_window.py"),
+            "--round",
+            str(CURRENT_ROUND),
+            "--defer",
+            ",".join(WINDOW_DEFERRED),
+            "--check",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert res.returncode == 0, f"rotation drift:\n{res.stdout}\n{res.stderr}"

@@ -39,23 +39,17 @@ BEGIN = "# --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---"
 END = "# --- END ROTATION-MANAGED ---"
 
 
-def compute_window(
-    target_round: int, defer: list[str]
-) -> tuple[list[str], list[str]]:
-    """The (window, deferred) pair for ``target_round``, derived from the
-    ledger. Raises with an actionable message on any inconsistency."""
-    if REPO not in sys.path:
-        sys.path.insert(0, REPO)
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    try:
-        from gen_query_inventory import last_certified
-    finally:
-        sys.path.pop(0)
-    from filmdatawarehouse_spark.queries.registry import all_queries
-
-    reg = list(all_queries())
-    ledger = last_certified(target_round - 1)
-
+def derive_window(
+    reg: list[str],
+    ledger: dict[str, int],
+    target_round: int,
+    defer: list[str],
+    window_size: int = WINDOW_SIZE,
+) -> list[str]:
+    """Pure core: the window for ``target_round`` given the registry order
+    and the certification ledger. Raises SystemExit with an actionable
+    message on any inconsistency (unknown/illegal deferral, over-commit).
+    Unit-tested directly by tests/test_rotate_window.py."""
     unknown = [n for n in defer if n not in reg]
     if unknown:
         raise SystemExit(f"--defer names not registered: {unknown}")
@@ -69,23 +63,42 @@ def compute_window(
     stale = [n for n in reg if n in ledger and ledger[n] <= target_round - 3]
     never = [n for n in reg if n not in ledger and n not in defer]
     mandatory = sorted(stale, key=lambda n: (ledger[n], reg.index(n))) + never
-    if len(mandatory) > WINDOW_SIZE:
-        overflow = len(mandatory) - WINDOW_SIZE
+    if len(mandatory) > window_size:
+        overflow = len(mandatory) - window_size
         raise SystemExit(
             f"window over-committed: {len(stale)} stale + {len(never)} new "
-            f"= {len(mandatory)} mandatory entries for {WINDOW_SIZE} slots; "
+            f"= {len(mandatory)} mandatory entries for {window_size} slots; "
             f"defer {overflow} more never-certified name(s) via --defer "
             f"(candidates: {never})"
         )
 
     window = list(mandatory)
-    if len(window) < WINDOW_SIZE:
+    if len(window) < window_size:
         filler = sorted(
             (n for n in reg if n not in window and n not in defer),
             key=lambda n: (ledger.get(n, 0), reg.index(n)),
         )
-        window += filler[: WINDOW_SIZE - len(window)]
-    return window, list(defer)
+        window += filler[: window_size - len(window)]
+    return window
+
+
+def compute_window(
+    target_round: int, defer: list[str]
+) -> tuple[list[str], list[str]]:
+    """The (window, deferred) pair for ``target_round``, derived from the
+    live registry + on-disk CORRECTNESS ledger."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from gen_query_inventory import last_certified
+    finally:
+        sys.path.pop(0)
+    from filmdatawarehouse_spark.queries.registry import all_queries
+
+    reg = list(all_queries())
+    ledger = last_certified(target_round - 1)
+    return derive_window(reg, ledger, target_round, defer), list(defer)
 
 
 def render_block(
