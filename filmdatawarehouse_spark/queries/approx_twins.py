@@ -78,8 +78,14 @@ def q_skew_profile_custkey_approx(
     can actually run — the sketch is mergeable map-side state, nothing
     buffers a group.
     """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
     o = read_table(spark, sf_dir, "orders").select("o_custkey")
-    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: the key-sized counts frame feeds the stats aggregate AND
+    # the rank-gate aggregate (same discipline as the exact twin)
+    counts = managed_persist(
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
@@ -143,17 +149,31 @@ def q_docs_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group — vs the exact twin, which ships each source's full value
     vector to one task twice.
     """
-    d = read_table(spark, sf_dir, "documents").select("source", "n_chars")
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    # persisted: the 2-column projection feeds s1 AND the deviation
+    # frame; the deviation frame feeds s2, the mad-rank pass, and would
+    # otherwise re-derive its join subtree per consumer (plan-audited
+    # r08: 7 document scans without these two persists, 1 with)
+    d = managed_persist(
+        read_table(spark, sf_dir, "documents").select("source", "n_chars")
+    )
     s1 = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr("percentile(n_chars, 0.5)").alias("med_e"),
         F.percentile_approx("n_chars", 0.5, PCTL_ACCURACY).alias("med_a"),
     )
-    dev = d.join(F.broadcast(s1), "source").withColumn(
-        "adev_e", F.abs(F.col("n_chars").cast("double") - F.col("med_e"))
-    ).withColumn(
-        "adev_a",
-        F.abs(F.col("n_chars").cast("double") - F.col("med_a").cast("double")),
+    dev = managed_persist(
+        d.join(F.broadcast(s1), "source")
+        .withColumn(
+            "adev_e", F.abs(F.col("n_chars").cast("double") - F.col("med_e"))
+        )
+        .withColumn(
+            "adev_a",
+            F.abs(
+                F.col("n_chars").cast("double") - F.col("med_a").cast("double")
+            ),
+        )
     )
     s2 = dev.groupBy("source").agg(
         F.expr("percentile(adev_e, 0.5)").alias("mad_e"),
