@@ -755,3 +755,36 @@ def test_histogram_exchange_is_constant_size(spark, sf_dir):
     tree = plan_of(q_acctbal_histogram(spark, sf_dir)).split("\n\n")[0]
     assert tree.count("HashAggregate") >= 2
     assert tree.count("Exchange") == 1
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    """Q14 shape: part is dim-sized and must broadcast; the CASE folds
+    into ONE aggregate pass (no second scan for the numerator)."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_promo_revenue_monthly,
+    )
+
+    tree = plan_of(q_promo_revenue_monthly(spark, sf_dir)).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("Scan parquet") == 2  # lineitem + part, once each
+
+
+def test_priority_lines_aggregate_is_two_phase(spark, sf_dir):
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_priority_lines_by_status,
+    )
+
+    tree = plan_of(q_priority_lines_by_status(spark, sf_dir)).split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 2  # map-side combine
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_contamination_joins_are_semi(spark, sf_dir):
+    """The eval-vs-train fingerprint probe must be LEFT SEMI — a hot
+    fingerprint (duplicated boilerplate) must not multiply eval rows."""
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        q_split_contamination_rate,
+    )
+
+    tree = plan_of(q_split_contamination_rate(spark, sf_dir)).split("\n\n")[0]
+    assert "LeftSemi" in tree, tree
