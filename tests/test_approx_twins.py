@@ -116,3 +116,40 @@ def test_spark_sketch_meets_its_own_guarantee(spark):
 
 def test_eps_matches_accuracy():
     assert PCTL_EPS == pytest.approx(1.0 / PCTL_ACCURACY)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=60
+    ),
+    p=st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_real_sketch_always_passes_rank_gate(spark, values, p):
+    """Property: for ANY multiset (ties, skew, singletons) and any
+    registered quantile, Spark's approx_percentile at the registered
+    accuracy must satisfy the duplicate-safe rank gate — i.e. the gate's
+    window genuinely contains the sketch's guarantee and the certified
+    flags can never flap on data shape."""
+    df = spark.createDataFrame([(v,) for v in values], "v long").coalesce(1)
+    stats = df.agg(
+        F.percentile_approx("v", p, PCTL_ACCURACY).alias("va"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gates = df.crossJoin(F.broadcast(stats)).agg(
+        F.sum((F.col("v") <= F.col("va")).cast("bigint")).alias("le"),
+        F.sum((F.col("v") < F.col("va")).cast("bigint")).alias("lt"),
+        F.max("n").alias("n"),
+    )
+    row = gates.select(
+        _rank_ok(F.col("le"), F.col("lt"), F.col("n"), p).alias("ok")
+    ).first()
+    assert row["ok"] == 1, (sorted(values), p)
