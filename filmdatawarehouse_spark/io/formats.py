@@ -44,6 +44,106 @@ def read_source(
     return reader.load(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV/JSON ingest split into (clean, quarantine).
+
+    At pipeline scale malformed rows are a WHEN, not an IF, and the two
+    easy modes are both wrong: FAILFAST turns one bad row into a dead
+    load; DROPMALFORMED silently loses data (and Spark drops rows with
+    no record of how many). PERMISSIVE + ``columnNameOfCorruptRecord``
+    keeps the raw text of every unparseable row; this helper returns the
+    parsed rows (corrupt column stripped) and the quarantine frame — the
+    PARTIALLY-parsed row (fields that did decode survive, a type-error
+    row keeps its good columns) plus the raw line as ``raw_record`` —
+    for a dead-letter sink.
+
+    Both frames are lazy projections of ONE read — Catalyst shares the
+    scan if both are consumed in one job, and at 100 TB the quarantine
+    filter pushes nothing extra (same scan, opposite null test).
+
+    Implementation is a plain TEXT scan + ``from_json``/``from_csv``
+    expressions rather than the format reader's own corrupt-column
+    capture: the scan-level corrupt column carries a Spark restriction
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — even
+    ``clean.count()`` trips it, because the count references only the
+    filter's corrupt column against the raw scan) that every downstream
+    consumer would have to know about. Expression-level parsing has no
+    such restriction, keeps the raw line for free, and is the same
+    one-pass scan. CSV quarantine reads are HEADERLESS by contract —
+    large-scale CSV shards are headerless by convention, and a header
+    line is indistinguishable from a malformed row at expression level.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError("quarantine reads support csv/json only")
+    declared = (
+        T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    if CORRUPT_COL in declared.fieldNames():
+        raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
+    with_corrupt = T.StructType(
+        declared.fields + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    from pyspark.sql import functions as F
+
+    parse_opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        **options,
+    }
+    raw = spark.read.text(path)
+    if fmt == "json":
+        rec = F.from_json(F.col("value"), with_corrupt, parse_opts)
+    else:
+        rec = F.from_csv(
+            F.col("value"), with_corrupt.simpleString(), parse_opts
+        )
+    parsed = raw.select(F.col("value"), rec.alias("_rec"))
+    clean = (
+        parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNull())
+        .select("_rec.*")
+        .drop(CORRUPT_COL)
+    )
+    # the PARTIALLY-parsed fields survive alongside the raw line: a
+    # type-error row keeps its good columns in the dead-letter record
+    quarantine = (
+        parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNotNull())
+        .select(F.col("value").alias("raw_record"), F.col("_rec.*"))
+        .drop(CORRUPT_COL)
+    )
+    return clean, quarantine
+
+
+def read_merged_schema(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options: str
+) -> DataFrame:
+    """Schema-evolution read-back: union the schemas of every file under
+    ``path`` (``mergeSchema``), NULL-backfilling columns that older
+    partitions predate — the read side of a fact table that gained a
+    column mid-history. Parquet/ORC only (self-describing footers).
+
+    100 TB note: schema merging reads every file FOOTER up front (not the
+    data); on very wide histories pin the expected schema explicitly and
+    skip the merge pass instead.
+    """
+    if fmt not in ("parquet", "orc"):
+        raise ValueError("mergeSchema applies to parquet/orc")
+    return (
+        spark.read.format(fmt)
+        .option("mergeSchema", "true")
+        .options(**options)
+        .load(path)
+    )
+
+
 def write_source(
     df: DataFrame,
     path: str,

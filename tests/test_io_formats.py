@@ -363,3 +363,74 @@ def test_zorder_key_bit_interleave_exact(spark):
             x |= ((r.z >> (2 * i)) & 1) << i
             y |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_json_quarantine_splits_bad_rows(spark, tmp_path):
+    """Planted malformed JSON lines must land in quarantine with their
+    raw text; clean rows parse fully; nothing is silently dropped."""
+    from filmdatawarehouse_spark.io.formats import read_with_quarantine
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NOT_AN_INT", "v": "c"}\n'
+    )
+    clean, quarantine = read_with_quarantine(
+        spark, str(p), "json", "id int, v string"
+    )
+    got = sorted((r.id, r.v) for r in clean.collect())
+    assert got == [(1, "a"), (2, "b")]
+    bad = sorted(r.raw_record for r in quarantine.collect())
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_AN_INT" in b for b in bad)
+    # conservation: every input line is accounted for
+    assert clean.count() + quarantine.count() == 4
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    from filmdatawarehouse_spark.io.formats import read_with_quarantine
+
+    p = tmp_path / "in.csv"
+    # headerless by the quarantine contract (see formats.py)
+    p.write_text("1,a\nNOT_AN_INT,b\n2,c\n")
+    clean, quarantine = read_with_quarantine(
+        spark, str(p), "csv", "id int, v string"
+    )
+    assert sorted((r.id, r.v) for r in clean.collect()) == [(1, "a"), (2, "c")]
+    assert quarantine.count() == 1
+    assert "NOT_AN_INT" in quarantine.first().raw_record
+
+
+def test_quarantine_rejects_reserved_column_and_parquet(spark, tmp_path):
+    import pytest as _pytest
+
+    from filmdatawarehouse_spark.io.formats import read_with_quarantine
+
+    with _pytest.raises(ValueError, match="csv/json"):
+        read_with_quarantine(spark, str(tmp_path), "parquet", "id int")
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_with_quarantine(
+            spark, str(tmp_path), "json", "id int, _corrupt_record string"
+        )
+
+
+def test_merged_schema_backfills_old_partitions(spark, tmp_path):
+    """A fact that gained a column mid-history: mergeSchema unions the
+    file schemas and NULL-backfills the old files' missing column."""
+    from filmdatawarehouse_spark.io.formats import read_merged_schema
+
+    base = str(tmp_path / "fact")
+    spark.createDataFrame([(1, "x")], "id int, a string").write.parquet(
+        base + "/load=1"
+    )
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "id int, a string, score double"
+    ).write.parquet(base + "/load=2")
+    df = read_merged_schema(spark, base)
+    assert set(df.columns) >= {"id", "a", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None  # backfilled
+    assert rows[2].score == 9.5
