@@ -660,3 +660,52 @@ def test_streaming_mg_candidates_cross_batch_state(spark, tmp_path):
     assert "hot" in final, final
     # est is an undercount, never an overcount
     assert 0 < final["hot"] <= 30
+
+
+def test_streaming_quarantine_ingest(spark, tmp_path):
+    """The dead-letter quarantine design (io/formats.read_with_quarantine)
+    must be streaming-compatible by construction: the same text-scan +
+    from_json expression shape over readStream splits a JSON feed into
+    clean and quarantined rows with nothing dropped — the property the
+    scan-level corrupt-column capture cannot offer (it is restricted even
+    in batch)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from filmdatawarehouse_spark.io.formats import CORRUPT_COL
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "batch1.json").write_text(
+        '{"id": 1, "v": "a"}\n{broken}\n{"id": 2, "v": "b"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField(CORRUPT_COL, T.StringType()),
+        ]
+    )
+    raw = spark.readStream.format("text").load(str(d))
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_rec"),
+    )
+    clean = parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNull()).select(
+        "_rec.id", "_rec.v"
+    )
+    quarantine = parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias("raw_record")
+    )
+    run_stream_to_memory(clean, "q_clean", output_mode="append")
+    run_stream_to_memory(quarantine, "q_bad", output_mode="append")
+    got = sorted(
+        (r.id, r.v) for r in spark.sql("SELECT * FROM q_clean").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    bad = [r.raw_record for r in spark.sql("SELECT * FROM q_bad").collect()]
+    assert bad == ["{broken}"]
