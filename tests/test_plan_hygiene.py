@@ -695,12 +695,12 @@ def test_large_volume_customers_aggregates_before_join(spark, sf_dir):
 
     tree = plan_of(q_large_volume_customers(spark, sf_dir)).split("\n\n")[0]
     assert "BroadcastHashJoin" in tree
-    # the qty aggregate + filter appear below the first join: the filter
-    # on sum_qty must not reference a join output
+    # the qty aggregate (and its HAVING filter) must sit BELOW the join —
+    # in the preorder-formatted tree, parents print before children, so
+    # the aggregate's line must come after the first join's line
     agg_pos = tree.find("HashAggregate")
     join_pos = tree.find("Join")
-    assert 0 <= agg_pos, tree
-    assert 0 <= join_pos, tree
+    assert 0 <= join_pos < agg_pos, tree
 
 
 def test_exists_shape_plans_semi_join(spark, sf_dir):
