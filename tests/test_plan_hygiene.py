@@ -788,3 +788,21 @@ def test_contamination_joins_are_semi(spark, sf_dir):
 
     tree = plan_of(q_split_contamination_rate(spark, sf_dir)).split("\n\n")[0]
     assert "LeftSemi" in tree, tree
+
+
+def test_sketch_only_distinct_is_single_exchange(spark, sf_dir):
+    """The production form events_distinct_users_approx certifies — HLL
+    alone, no exact twin — must plan ONE partial+final aggregate pair
+    around ONE exchange that carries only fixed-size sketch buffers per
+    (type, partition), never a (type, user) pre-shuffle. This is the plan
+    the certified swap buys at 100 TB."""
+    from filmdatawarehouse_spark.io.sources import read_table
+    from filmdatawarehouse_spark.queries.approx_twins import DISTINCT_RSD
+
+    e = read_table(spark, sf_dir, "events")
+    sketch_only = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=DISTINCT_RSD).alias("n_users")
+    )
+    tree = plan_of(sketch_only).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree  # partial + final
