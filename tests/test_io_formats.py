@@ -434,3 +434,21 @@ def test_merged_schema_backfills_old_partitions(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None  # backfilled
     assert rows[2].score == 9.5
+
+
+def test_write_source_partitioned_layout(spark, sf_dir, tmp_path):
+    """write_source(partition_by=...) must produce hive-style directory
+    partitions that read back complete and partition-prune on filter."""
+    import glob
+    import os
+
+    from filmdatawarehouse_spark.io.formats import read_source, write_source
+
+    n = read_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "nation_part")
+    write_source(n, dst, fmt="parquet", partition_by=["n_regionkey"])
+    assert glob.glob(os.path.join(dst, "n_regionkey=*"))
+    back = read_source(spark, dst, fmt="parquet")
+    assert back.count() == n.count()
+    one = back.filter(F.col("n_regionkey") == 0)
+    assert one.count() == n.filter(F.col("n_regionkey") == 0).count()
