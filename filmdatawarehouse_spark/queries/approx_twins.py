@@ -108,8 +108,8 @@ def q_skew_profile_custkey_approx(
     return stats.crossJoin(gates).select(
         F.col("n_keys").cast("bigint").alias("n_keys"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round("p50_e", 12).alias("p50_group"),
-        F.round("p99_e", 12).alias("p99_group"),
+        F.round("p50_e", 9).alias("p50_group"),
+        F.round("p99_e", 9).alias("p99_group"),
         _rank_ok(F.col("le_p50"), F.col("lt_p50"), n, 0.5).alias("p50_ok"),
         _rank_ok(F.col("le_p99"), F.col("lt_p99"), n, 0.99).alias("p99_ok"),
     )
@@ -121,8 +121,8 @@ ORACLES["skew_profile_custkey_approx"] = """
     )
     SELECT COUNT(*)::BIGINT AS n_keys,
            SUM(cnt)::BIGINT AS n_rows,
-           round(quantile_cont(cnt, 0.5), 12) AS p50_group,
-           round(quantile_cont(cnt, 0.99), 12) AS p99_group,
+           round(quantile_cont(cnt, 0.5), 9) AS p50_group,
+           round(quantile_cont(cnt, 0.99), 9) AS p99_group,
            1 AS p50_ok,
            1 AS p99_ok
     FROM counts

@@ -305,7 +305,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("logp").cast("decimal(28,18)")).cast("double")
                 / F.count(F.lit(1)),
-                12,
+                9,
             ).alias("mean_logprob"),
         )
     )
@@ -1966,7 +1966,7 @@ ORACLES: dict[str, str] = {
                COUNT(*)::BIGINT AS n_tokens,
                round(
                  CAST(SUM(CAST(logp AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*),
-                 12) AS mean_logprob
+                 9) AS mean_logprob
         FROM w JOIN logp USING (word)
         GROUP BY doc_id
     """,
@@ -2488,12 +2488,12 @@ def q_text_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
-        F.round(total_len.cast("double") / n.cast("double"), 12).alias(
+        F.round(total_len.cast("double") / n.cast("double"), 9).alias(
             "mean_word_len"
         ),
         F.array_max(lens).cast("int").alias("max_word_len"),
         n_long.cast("bigint").alias("n_long_words"),
-        F.round(n_long.cast("double") / n.cast("double"), 12).alias(
+        F.round(n_long.cast("double") / n.cast("double"), 9).alias(
             "long_ratio"
         ),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
@@ -2507,13 +2507,13 @@ ORACLES["text_hof_stats"] = f"""
     SELECT doc_id,
            len(ws)::BIGINT AS n_tokens,
            round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
-                 / len(ws), 12) AS mean_word_len,
+                 / len(ws), 9) AS mean_word_len,
            list_max(list_transform(ws, x -> length(x)))::INT
              AS max_word_len,
            len(list_filter(ws, x -> length(x) >= {LONG_WORD_LEN}))::BIGINT
              AS n_long_words,
            round(len(list_filter(ws, x -> length(x) >= {LONG_WORD_LEN}))::DOUBLE
-                 / len(ws), 12) AS long_ratio,
+                 / len(ws), 9) AS long_ratio,
            len(list_distinct(ws))::BIGINT AS n_distinct
     FROM w
 """

@@ -956,6 +956,7 @@ ORACLES["customer_rfm"] = f"""
 
 
 ABC_A, ABC_B = "0.800000000000", "0.950000000000"
+ABC_A_PPB, ABC_B_PPB = 800_000_000, 950_000_000  # integer ppb thresholds
 
 
 def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,11 +969,15 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     -plan smell; tests/test_plan_hygiene.py pins the absence of a
     1-partition WindowExec).
 
-    Determinism: ranking order is (revenue DESC, partkey) — total;
-    revenue and cumulative sums are DECIMAL-exact; the share divides two
-    exactly-representable-as-double values and rounds to the 1e-12 grid
-    (the established cross-engine contract); class thresholds compare
-    against the rounded share.
+    Determinism (hardened r08 after an sf0.1 sweep caught a 1-in-20k
+    flip): ranking order is (revenue DESC, partkey) — total; revenue and
+    cumulative sums are DECIMAL-exact; the share is INTEGER parts-per-
+    billion — exact decimal unit counts put through one integral
+    division (`div` / `//`, exact in both engines) — never a
+    round(double, 12), whose half-way boundary a 20k-row corpus lands on
+    with last-ulp probability. ``cum_share`` = ppb/1e9 is then an exact
+    function of an exact integer, and the ABC thresholds compare ppb as
+    integers. Zero boundary risk at any scale.
     """
     from filmdatawarehouse_spark.operators.cache import managed_persist
     from filmdatawarehouse_spark.operators.prefix import global_running_sum
@@ -997,16 +1002,22 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("rev").desc(), F.col("l_partkey")],
         "cum_rev",
     )
-    share = F.round(
-        F.col("cum_rev").cast("double") / F.col("tot").cast("double"), 12
+    # exact integer ppb: scale-4 unit counts are exactly integral, the
+    # integral division truncates identically in both engines
+    ppb = F.expr(
+        "CAST((CAST(cum_rev * 10000 AS DECIMAL(38,0)) * 1000000000)"
+        " div CAST(tot * 10000 AS DECIMAL(38,0)) AS BIGINT)"
     )
     return (
         cum.crossJoin(F.broadcast(total))
-        .withColumn("cum_share", share)
+        .withColumn("_ppb", ppb)
+        .withColumn(
+            "cum_share", F.col("_ppb").cast("double") / F.lit(1e9)
+        )
         .withColumn(
             "abc_class",
-            F.when(F.col("cum_share") <= F.lit(float(ABC_A)), "A")
-            .when(F.col("cum_share") <= F.lit(float(ABC_B)), "B")
+            F.when(F.col("_ppb") <= F.lit(ABC_A_PPB), "A")
+            .when(F.col("_ppb") <= F.lit(ABC_B_PPB), "B")
             .otherwise("C"),
         )
         .select(
@@ -1031,17 +1042,19 @@ ORACLES["orders_abc_pareto"] = f"""
                             ROWS UNBOUNDED PRECEDING) AS cum_rev,
              SUM(rev) OVER () AS tot
       FROM per_part
+    ), p AS (
+      SELECT l_partkey, rev,
+             (CAST(cum_rev * 10000 AS HUGEINT) * 1000000000)
+               // CAST(tot * 10000 AS HUGEINT) AS ppb
+      FROM cum
     )
     SELECT l_partkey,
            CAST(rev AS DOUBLE) AS revenue,
-           round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
-             AS cum_share,
-           CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
-                     <= {ABC_A} THEN 'A'
-                WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 12)
-                     <= {ABC_B} THEN 'B'
+           CAST(ppb AS DOUBLE) / 1000000000.0 AS cum_share,
+           CASE WHEN ppb <= {ABC_A_PPB} THEN 'A'
+                WHEN ppb <= {ABC_B_PPB} THEN 'B'
                 ELSE 'C' END AS abc_class
-    FROM cum
+    FROM p
 """
 
 
@@ -1262,8 +1275,8 @@ def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 12
         ).alias("share"),
         F.col("n_keys").cast("bigint").alias("n_keys"),
-        F.round("p50_group", 12).alias("p50_group"),
-        F.round("p99_group", 12).alias("p99_group"),
+        F.round("p50_group", 9).alias("p50_group"),
+        F.round("p99_group", 9).alias("p99_group"),
     )
 
 
@@ -1273,8 +1286,8 @@ ORACLES["skew_profile_custkey"] = f"""
     ), stats AS (
       SELECT COUNT(*)::BIGINT AS n_keys,
              SUM(cnt)::BIGINT AS n_rows,
-             round(quantile_cont(cnt, 0.5), 12) AS p50_group,
-             round(quantile_cont(cnt, 0.99), 12) AS p99_group
+             round(quantile_cont(cnt, 0.5), 9) AS p50_group,
+             round(quantile_cont(cnt, 0.99), 9) AS p99_group
       FROM counts
     )
     SELECT o_custkey, cnt,
