@@ -49,13 +49,13 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # tests/test_registry.py::test_window_deferrals_are_sound). Deferred
 # entries are still oracle-verified locally on every pytest run.
 #
-# Forward math (r08): 35 entries carry r05 rows — 3 rounds stale at r08,
-# the hard deadline — plus 17 new round-8 queries = 52 candidates for 50
-# slots; 2 new entries defer to r09. NOTE the window is now SATURATED:
-# 150 registered queries / 50-slot window / 3-round staleness bound is
-# exactly at capacity, so every future round's window is fully determined
-# by the ledger and any NEW query forces a deferral. Growing the surface
-# past 150 needs a wider driver window or a longer staleness bound.
+# Forward math (r09): the r09 window is fully ledger-determined — 48
+# r06-certified entries at the staleness deadline + the 2 r08 deferrals.
+# The r08 saturation (150 registered / 50 slots / 3-round bound = exact
+# steady-state capacity) is resolved by the RETIRED mechanism below:
+# active = registered - retired must stay <= window_size x 3, and the
+# rotation tool reports the headroom (capacity - active) so growth is
+# planned, not discovered at an over-committed rotation.
 # --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
 CURRENT_ROUND = 9
 
@@ -132,6 +132,54 @@ ROWS_ONLY_NOTES: dict[str, str] = {
         "`similarity_ann_recall`, whose hash-gated oracle pins "
         "recall@5 >= 0.9 of this exact path vs exact top-k over the same "
         "query set (the same pattern as `dedup_embedding_ann_recall`)."
+    ),
+}
+
+
+# Retirement (VERDICT r08 item 1): 150 registered queries / 50-slot driver
+# window / 3-round staleness bound is exactly at steady-state capacity
+# (window_size x 3 = 150), so without retirement no NEW query could ever
+# earn a driver row. A RETIRED entry stays registered and locally
+# oracle-verified on every pytest run (tests/test_parity_queries.py), but
+# leaves the driver-certification rotation: tools/rotate_window.py excludes
+# it from the staleness ledger math and the staleness guard exempts it.
+#
+# Retirement is only legal when (enforced by
+# tests/test_registry.py::test_retired_queries_are_sound):
+#   - the entry has at least one prior green driver row (retiring a
+#     never-certified query would be deleting it from certification);
+#   - RETIRED_NOTES names a strictly-stronger ACTIVE sibling (backquoted)
+#     whose green driver rows certify the same capability;
+#   - the name holds no window slot and no deferral.
+RETIRED: tuple[str, ...] = (
+    "multimodal_byte_stats",
+    "dedup_clusters",
+    "window_topn_per_group",
+)
+
+RETIRED_NOTES: dict[str, str] = {
+    "multimodal_byte_stats": (
+        "Certified by `multimodal_byte_stats_native` (green r08): the "
+        "JVM-native production twin computes the identical per-asset "
+        "byte statistics on the same 1e-9 grid against the same oracle "
+        "shape, and is the form a 100 TB run would use. The retired "
+        "Arrow-UDF variant stays registered as the Pandas-UDF plumbing "
+        "exhibit and is still oracle-compared locally every pytest run."
+    ),
+    "dedup_clusters": (
+        "Certified by `dedup_clusters_star` (green r07): large-star/"
+        "small-star contraction produces the SAME connected components "
+        "against the IDENTICAL recursive-transitive-closure oracle, in "
+        "O(log n) BSP rounds instead of O(diameter) — the strictly "
+        "stronger scale path. The min-label BSP variant stays registered "
+        "and locally verified as the simpler reference implementation."
+    ),
+    "window_topn_per_group": (
+        "Certified by `text_topk_per_lang` (green r08): the same "
+        "rank-window + WindowGroupLimit capability, plan-tested, over a "
+        "corpus-sized shape rather than the 25-nation customer dim — a "
+        "strict superset of what this narrow top-3-per-nation query "
+        "exercised. Stays registered and locally verified."
     ),
 }
 

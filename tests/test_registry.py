@@ -61,7 +61,10 @@ def test_staleness_bounded_by_window_rotation():
     finally:
         sys.path.pop(0)
 
-    from filmdatawarehouse_spark.queries.registry import WINDOW_DEFERRED
+    from filmdatawarehouse_spark.queries.registry import (
+        RETIRED,
+        WINDOW_DEFERRED,
+    )
 
     ledger = last_certified(CURRENT_ROUND - 1)
     reg = all_queries()
@@ -75,6 +78,9 @@ def test_staleness_bounded_by_window_rotation():
         # slot when the staleness backlog fills all 50 (registry
         # WINDOW_DEFERRED); a certified-stale one can never yield its slot
         and not (n in WINDOW_DEFERRED and n not in ledger)
+        # RETIRED entries leave the rotation: certified by an active
+        # sibling (test_retired_queries_are_sound), verified locally only
+        and n not in RETIRED
     ]
     assert not overdue, (
         f"queries >2 rounds stale with no window slot this round: {overdue}"
@@ -114,6 +120,77 @@ def test_window_deferrals_are_sound():
     assert not seen, (
         f"WINDOW_DEFERRED entries with prior driver rows (not deferrable): "
         f"{seen}"
+    )
+
+
+def test_retired_queries_are_sound():
+    """Retirement is the only way the certified surface can grow past the
+    150-entry steady-state capacity (50-slot window x 3-round staleness
+    bound), so it must be impossible to abuse: every RETIRED name must be
+    registered, must have at least one prior green driver row (retiring a
+    never-certified query would just delete it from certification), must
+    hold no window slot and no deferral, and must carry a RETIRED_NOTES
+    entry naming — backquoted — an ACTIVE registered sibling whose driver
+    rows certify the same capability. Also pins the headroom math: active
+    entries must fit the steady-state capacity with room to grow."""
+    import os
+    import re
+    import sys
+
+    from filmdatawarehouse_spark.queries.registry import (
+        CURRENT_ROUND,
+        DRIVER_PRIORITY,
+        RETIRED,
+        RETIRED_NOTES,
+        WINDOW_DEFERRED,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from gen_query_inventory import last_certified
+    finally:
+        sys.path.pop(0)
+
+    reg = all_queries()
+    assert set(RETIRED) == set(RETIRED_NOTES), (
+        f"RETIRED and RETIRED_NOTES out of sync: "
+        f"{set(RETIRED) ^ set(RETIRED_NOTES)}"
+    )
+    unknown = [n for n in RETIRED if n not in reg]
+    assert not unknown, f"RETIRED names not registered: {unknown}"
+    windowed = set(RETIRED) & set(DRIVER_PRIORITY)
+    assert not windowed, f"retired AND windowed: {sorted(windowed)}"
+    deferred = set(RETIRED) & set(WINDOW_DEFERRED)
+    assert not deferred, f"retired AND deferred: {sorted(deferred)}"
+
+    ledger = last_certified(CURRENT_ROUND - 1)
+    never = [n for n in RETIRED if n not in ledger]
+    assert not never, (
+        f"RETIRED entries without any prior green driver row (that is "
+        f"deletion, not retirement): {never}"
+    )
+
+    active = set(reg) - set(RETIRED)
+    for name, note in RETIRED_NOTES.items():
+        assert len(note) > 60, f"note for {name} too thin to justify retirement"
+        survivors = [
+            t for t in re.findall(r"`([a-z0-9_]+)`", note) if t in active
+        ]
+        assert survivors, (
+            f"RETIRED_NOTES[{name}] names no active registered survivor "
+            f"(backquote the certifying sibling)"
+        )
+
+    # headroom: each active entry needs a window slot at most every 3
+    # rounds, so steady-state capacity is 50 x 3 = 150. Retirement exists
+    # to keep this strictly positive; if it hits 0 the surface is frozen.
+    capacity = 50 * 3
+    headroom = capacity - (len(reg) - len(RETIRED))
+    assert headroom > 0, (
+        f"certification window saturated again (active={len(reg) - len(RETIRED)}, "
+        f"capacity={capacity}): retire more entries or widen the window "
+        f"before registering new queries"
     )
 
 

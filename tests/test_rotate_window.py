@@ -74,6 +74,40 @@ def test_defer_certified_name_raises():
         derive_window(REG, ledger, 8, defer=["q00"], window_size=50)
 
 
+def test_retired_excluded_from_mandatory_and_filler():
+    # q01 is 3 rounds stale (mandatory if active) and q05 is the stalest
+    # filler candidate — retiring both must keep them out of the window
+    # without tripping the over-commit check they would otherwise force.
+    ledger = {n: 7 for n in REG}
+    ledger.update({"q01": 5, "q02": 5, "q05": 6})
+    window = derive_window(
+        REG, ledger, 8, defer=[], window_size=2, retired=("q01", "q05")
+    )
+    assert window[0] == "q02"  # the remaining stale entry
+    assert "q01" not in window and "q05" not in window
+    assert len(window) == 2
+
+
+def test_retired_never_certified_raises():
+    ledger = {n: 7 for n in REG if n != "q03"}
+    with pytest.raises(SystemExit, match="never-certified"):
+        derive_window(REG, ledger, 8, defer=[], window_size=6,
+                      retired=("q03",))
+
+
+def test_retired_unknown_name_raises():
+    with pytest.raises(SystemExit, match="not registered"):
+        derive_window(REG, {"q00": 7}, 8, defer=[], window_size=6,
+                      retired=("nope",))
+
+
+def test_retired_and_deferred_overlap_raises():
+    ledger = {"q00": 7}
+    with pytest.raises(SystemExit, match="both retired and deferred"):
+        derive_window(REG, ledger, 8, defer=["q00"], window_size=6,
+                      retired=("q00",))
+
+
 def test_committed_rotation_matches_ledger_derivation():
     """--check end-to-end: the DRIVER_PRIORITY/WINDOW_DEFERRED actually
     committed in registry.py must equal what the tool derives from the

@@ -45,6 +45,8 @@ def render() -> str:
         sys.path.insert(0, REPO)
     from filmdatawarehouse_spark.queries.registry import (
         CURRENT_ROUND,
+        RETIRED,
+        RETIRED_NOTES,
         ROWS_ONLY_NOTES,
         all_queries,
     )
@@ -59,14 +61,18 @@ def render() -> str:
         "(`python tools/gen_query_inventory.py`; drift-guarded by",
         "`tests/test_registry.py::test_query_inventory_in_sync`).",
         "",
-        f"{len(reg)} registered queries; "
+        f"{len(reg)} registered queries ({len(reg) - len(RETIRED)} active, "
+        f"{len(RETIRED)} retired); "
         f"{sum(1 for _, (_f, s) in reg.items() if s)} with DuckDB oracles",
         "(the rest are rows-only by design). The first 50 form the external",
         "driver's certification window for this round. `last driver row` is",
         f"the latest green CORRECTNESS round as of rotation (r{CURRENT_ROUND});",
         "`—` = awaiting first driver row (this round's window covers it).",
-        "No query may be staler than 2 rounds without a window slot",
-        "(`tests/test_registry.py::test_staleness_bounded_by_window_rotation`).",
+        "No ACTIVE query may be staler than 2 rounds without a window slot",
+        "(`tests/test_registry.py::test_staleness_bounded_by_window_rotation`);",
+        "`retired` entries leave the rotation — each is certified by a",
+        "strictly-stronger active sibling (see Retired queries below) and is",
+        "still oracle-verified locally on every pytest run.",
         "",
         "| # | query | oracle | window | last driver row | source |",
         "|---|-------|--------|--------|-----------------|--------|",
@@ -75,12 +81,30 @@ def render() -> str:
         code = inspect.unwrap(fn).__code__
         path = code.co_filename.split(REPO + "/")[-1]
         last = f"r{ledger[name]:02d}" if name in ledger else "—"
+        slot = "retired" if name in RETIRED else ("✓" if name in window else "")
         lines.append(
             f"| {i} | `{name}` | {'sql' if sql else 'rows-only'} | "
-            f"{'✓' if name in window else ''} | {last} | "
+            f"{slot} | {last} | "
             f"`{path}:{code.co_firstlineno}` |"
         )
     lines.append("")
+    if RETIRED_NOTES:
+        lines.append("## Retired queries")
+        lines.append("")
+        lines.append(
+            "Retired from driver-window rotation (still registered and"
+        )
+        lines.append(
+            "locally oracle-verified); each names the active sibling whose"
+        )
+        lines.append(
+            "green driver rows certify the capability "
+            "(enforced by `tests/test_registry.py::test_retired_queries_are_sound`):"
+        )
+        lines.append("")
+        for name in sorted(RETIRED_NOTES):
+            lines.append(f"- `{name}` — {RETIRED_NOTES[name]}")
+        lines.append("")
     if ROWS_ONLY_NOTES:
         lines.append("## Rows-only queries")
         lines.append("")

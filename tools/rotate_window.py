@@ -7,10 +7,13 @@ deterministic function of the CORRECTNESS ledger:
     python tools/rotate_window.py --round 8 --defer name1,name2
 
 1. computes the staleness ledger from CORRECTNESS_r{1..N-1}.json;
-2. builds the MANDATORY window: every entry whose latest green driver row
-   is <= N-3 (the 2-round staleness bound) plus every never-certified
-   entry not explicitly deferred — erroring out, with the overflow listed,
-   if they exceed 50 slots (only never-certified names are deferrable);
+2. builds the MANDATORY window: every ACTIVE (non-retired) entry whose
+   latest green driver row is <= N-3 — such an entry is 3 rounds stale at
+   round N, the hard deadline; the staleness guard tolerates at most 2
+   rounds without a slot — plus every never-certified active entry not
+   explicitly deferred, erroring out, with the overflow listed, if they
+   exceed 50 slots (only never-certified names are deferrable; RETIRED
+   entries leave the rotation entirely and are validated, not windowed);
 3. fills any remaining slots stalest-first;
 4. validates every window/deferral name against the live registry (the
    phantom-name failure mode dies here, before anything is written);
@@ -45,11 +48,18 @@ def derive_window(
     target_round: int,
     defer: list[str],
     window_size: int = WINDOW_SIZE,
+    retired: tuple[str, ...] = (),
 ) -> list[str]:
     """Pure core: the window for ``target_round`` given the registry order
-    and the certification ledger. Raises SystemExit with an actionable
-    message on any inconsistency (unknown/illegal deferral, over-commit).
-    Unit-tested directly by tests/test_rotate_window.py."""
+    and the certification ledger. ``retired`` names (registry.RETIRED)
+    leave the rotation: never mandatory, never filler — their capability
+    is certified by an active sibling named in registry.RETIRED_NOTES.
+    Raises SystemExit with an actionable message on any inconsistency
+    (unknown/illegal deferral or retirement, over-commit). Unit-tested
+    directly by tests/test_rotate_window.py."""
+    both = set(retired) & set(defer)
+    if both:
+        raise SystemExit(f"names both retired and deferred: {sorted(both)}")
     unknown = [n for n in defer if n not in reg]
     if unknown:
         raise SystemExit(f"--defer names not registered: {unknown}")
@@ -59,9 +69,22 @@ def derive_window(
             "--defer names already have driver rows (a certified entry "
             f"rotates by staleness math, not by fiat): {not_deferrable}"
         )
+    unknown_retired = [n for n in retired if n not in reg]
+    if unknown_retired:
+        raise SystemExit(f"RETIRED names not registered: {unknown_retired}")
+    not_retirable = [n for n in retired if n not in ledger]
+    if not_retirable:
+        raise SystemExit(
+            "RETIRED names without any prior green driver row (retiring a "
+            f"never-certified query is deletion, not retirement): "
+            f"{not_retirable}"
+        )
 
-    stale = [n for n in reg if n in ledger and ledger[n] <= target_round - 3]
-    never = [n for n in reg if n not in ledger and n not in defer]
+    active = [n for n in reg if n not in retired]
+    stale = [
+        n for n in active if n in ledger and ledger[n] <= target_round - 3
+    ]
+    never = [n for n in active if n not in ledger and n not in defer]
     mandatory = sorted(stale, key=lambda n: (ledger[n], reg.index(n))) + never
     if len(mandatory) > window_size:
         overflow = len(mandatory) - window_size
@@ -75,7 +98,7 @@ def derive_window(
     window = list(mandatory)
     if len(window) < window_size:
         filler = sorted(
-            (n for n in reg if n not in window and n not in defer),
+            (n for n in active if n not in window and n not in defer),
             key=lambda n: (ledger.get(n, 0), reg.index(n)),
         )
         window += filler[: window_size - len(window)]
@@ -94,11 +117,20 @@ def compute_window(
         from gen_query_inventory import last_certified
     finally:
         sys.path.pop(0)
-    from filmdatawarehouse_spark.queries.registry import all_queries
+    from filmdatawarehouse_spark.queries.registry import RETIRED, all_queries
 
     reg = list(all_queries())
     ledger = last_certified(target_round - 1)
-    return derive_window(reg, ledger, target_round, defer), list(defer)
+    window = derive_window(reg, ledger, target_round, defer, retired=RETIRED)
+    capacity = WINDOW_SIZE * 3  # each active entry needs a slot every 3 rounds
+    active = len(reg) - len(RETIRED)
+    print(
+        f"forward math: {len(reg)} registered - {len(RETIRED)} retired = "
+        f"{active} active; steady-state capacity {capacity} "
+        f"({WINDOW_SIZE}-slot window x 3-round staleness bound); "
+        f"headroom {capacity - active}"
+    )
+    return window, list(defer)
 
 
 def render_block(
