@@ -107,15 +107,27 @@ def read_with_quarantine(
             F.col("value"), with_corrupt.simpleString(), parse_opts
         )
     parsed = raw.select(F.col("value"), rec.alias("_rec"))
-    clean = (
-        parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNull())
-        .select("_rec.*")
-        .drop(CORRUPT_COL)
+    # A blank/whitespace-only line is DIRTY, not an all-NULL clean row:
+    # from_json turns it into a NULL struct (whose corrupt field reads as
+    # NULL — a corrupt-only test would wave it into clean as a phantom
+    # row), while from_csv turns it into a NON-null all-NULL struct with
+    # corrupt unset — two different phantom shapes, both wrong. Clean
+    # therefore requires a non-blank raw line AND a non-null parsed struct
+    # AND no corrupt capture; quarantine is the exact complement, so row
+    # conservation (clean + quarantine == input lines) holds by
+    # construction. (Spark's own CSV reader silently *drops* blank lines;
+    # the dead-letter contract preserves them with their raw text.)
+    is_clean = (
+        (F.trim(F.col("value")) != F.lit(""))
+        & F.col("_rec").isNotNull()
+        & F.col(f"_rec.{CORRUPT_COL}").isNull()
     )
+    clean = parsed.filter(is_clean).select("_rec.*").drop(CORRUPT_COL)
     # the PARTIALLY-parsed fields survive alongside the raw line: a
     # type-error row keeps its good columns in the dead-letter record
+    # (a NULL-struct row keeps only raw_record — all fields NULL)
     quarantine = (
-        parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNotNull())
+        parsed.filter(~is_clean)
         .select(F.col("value").alias("raw_record"), F.col("_rec.*"))
         .drop(CORRUPT_COL)
     )

@@ -17,6 +17,8 @@ Cross-engine determinism strategy per family:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2436,21 +2438,40 @@ ORACLES["text_prefix_filter_pairs"] = f"""
 # silently reused — cold-bench semantics stay honest while a long-lived
 # session (the warm pass, a service) pays the build once.
 _PAIR_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+_PAIR_MEMO_LOCK = threading.Lock()
 
 
 def prefix_filter_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-keyed memo of the PPJoin pair frame shared by
+    `text_prefix_filter_pairs` and `graph_bfs_hops`.
+
+    The lookup/build runs under a lock, and the cache generation is
+    re-read AFTER ``managed_persist``: a concurrent ``release_managed()``
+    between the generation read and the persist would otherwise leave a
+    just-unpersisted frame memoized under a dead key (rebuilt and
+    double-persisted on every later call until the next release —
+    ADVICE r08). On a generation mismatch the build retries under the
+    new generation; persist() is lazy (no job runs under the lock), so
+    holding the lock through the build is driver-side plan work only.
+    """
     from filmdatawarehouse_spark.operators.cache import (
         cache_generation,
         managed_persist,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir, cache_generation())
-    if key not in _PAIR_MEMO:
-        _PAIR_MEMO.clear()  # at most one live entry; stale generations die
-        _PAIR_MEMO[key] = managed_persist(
-            q_text_prefix_filter_pairs(spark, sf_dir)
-        )
-    return _PAIR_MEMO[key]
+    with _PAIR_MEMO_LOCK:
+        while True:
+            gen = cache_generation()
+            key = (spark.sparkContext.applicationId, sf_dir, gen)
+            if key in _PAIR_MEMO:
+                return _PAIR_MEMO[key]
+            _PAIR_MEMO.clear()  # at most one live entry; stale keys die
+            df = managed_persist(q_text_prefix_filter_pairs(spark, sf_dir))
+            if cache_generation() == gen:
+                _PAIR_MEMO[key] = df
+                return df
+            # release_managed() raced the persist — df may already be
+            # unpersisted; loop to rebuild under the current generation
 
 
 EXTENDED_QUERIES["text_prefix_filter_pairs"] = (

@@ -390,6 +390,44 @@ def test_json_quarantine_splits_bad_rows(spark, tmp_path):
     assert clean.count() + quarantine.count() == 4
 
 
+def test_quarantine_blank_lines_never_reach_clean(spark, tmp_path):
+    """A blank or whitespace-only line parses to a NULL struct whose
+    corrupt field reads as NULL — a corrupt-only clean filter would admit
+    it as a phantom all-NULL row (ADVICE r08). It must quarantine with
+    its raw text, and conservation must still hold."""
+    from filmdatawarehouse_spark.io.formats import read_with_quarantine
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "\n"
+        "   \n"
+        '{"id": 2, "v": "b"}\n'
+    )
+    clean, quarantine = read_with_quarantine(
+        spark, str(p), "json", "id int, v string"
+    )
+    assert sorted((r.id, r.v) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    quarantined = quarantine.collect()
+    assert sorted(r.raw_record for r in quarantined) == ["", "   "]
+    # the NULL-struct rows carry no phantom parsed fields
+    assert all(r.id is None and r.v is None for r in quarantined)
+    assert clean.count() + quarantine.count() == 4
+
+    # same contract for CSV
+    c = tmp_path / "in.csv"
+    c.write_text("1,a\n\n2,b\n")
+    clean_c, quar_c = read_with_quarantine(
+        spark, str(c), "csv", "id int, v string"
+    )
+    assert sorted((r.id, r.v) for r in clean_c.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert quar_c.count() == 1 and quar_c.first().raw_record == ""
+    assert clean_c.count() + quar_c.count() == 3
+
+
 def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     from filmdatawarehouse_spark.io.formats import read_with_quarantine
 
