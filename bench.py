@@ -154,6 +154,54 @@ HEADLINE = [
 ]
 
 
+def committed_anchor_drift(
+    warm: dict[str, float],
+    anchors: tuple[str, ...],
+    sf: float,
+    ref: str = "HEAD",
+) -> dict | None:
+    """Anchor-drift ratios vs the last COMMITTED BENCH_full.json.
+
+    Round-over-round chain (VERDICT r08 item 4): the on-disk record may
+    already have been overwritten by an earlier run this session, so the
+    on-disk vs-prev ratios only chain run-over-run; a round with three
+    bench runs left round-over-round attribution to hand-chained math.
+    This reads the record at ``ref`` via git so "drift-adjusted vs last
+    round" is a recorded number. Returns None when no comparable
+    committed record exists (fresh repo, different SF, no anchors)."""
+    import statistics
+    import subprocess
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        blob = subprocess.run(
+            ["git", "-C", repo_dir, "show", f"{ref}:BENCH_full.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if blob.returncode != 0:
+            return None
+        committed = json.loads(blob.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return None
+    if committed.get("sf") != sf:
+        return None  # cross-SF ratios are meaningless
+    cw = committed.get("queries_warm", {})
+    ratios = {
+        a: round(warm[a] / cw[a], 4)
+        for a in anchors
+        if warm.get(a) and cw.get(a)
+    }
+    if not ratios:
+        return None
+    return {
+        "ratios_warm": ratios,
+        "median": round(statistics.median(ratios.values()), 4),
+        "committed_value_warm": committed.get("value_warm"),
+    }
+
+
 def build_compact(out: dict, full_path: str) -> str:
     """The ONE fixed-size stdout line, derived from the full record.
 
@@ -311,6 +359,10 @@ def main() -> None:
             }
     except (OSError, ValueError, KeyError):
         pass
+
+    vs_committed = committed_anchor_drift(warm, anchors, sf)
+    if vs_committed:
+        out.setdefault("anchor_drift", {})["vs_committed"] = vs_committed
 
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)

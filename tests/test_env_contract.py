@@ -115,3 +115,37 @@ def test_bench_stdout_record_fits_driver_tail_capture():
     # the 8-slowest dict survives compaction at realistic path lengths
     realistic = bench.build_compact(out, "/root/repo/BENCH_full.json")
     assert len(json.loads(realistic)["queries"]) == 8
+
+
+def test_committed_anchor_drift_reads_git_not_disk():
+    """`vs_committed` (VERDICT r08 item 4) must chain drift to the last
+    COMMITTED BENCH_full.json via git — immune to however many times the
+    on-disk record was overwritten this session — and return None rather
+    than garbage for a different SF or a missing record."""
+    import importlib
+    import json as _json
+    import subprocess
+
+    bench = importlib.import_module("bench")
+    anchors = ("filter_pushdown", "top10_parts")
+
+    blob = subprocess.run(
+        ["git", "-C", "/root/repo", "show", "HEAD:BENCH_full.json"],
+        capture_output=True,
+        text=True,
+    )
+    committed = _json.loads(blob.stdout)
+    sf = committed["sf"]
+    cw = committed["queries_warm"]
+    # doubled warm times -> every ratio exactly 2.0 against the committed
+    warm = {a: 2 * cw[a] for a in anchors if a in cw}
+    got = bench.committed_anchor_drift(warm, anchors, sf)
+    assert got is not None
+    assert got["median"] == 2.0
+    assert got["committed_value_warm"] == committed["value_warm"]
+
+    assert bench.committed_anchor_drift(warm, anchors, sf + 999) is None
+    assert (
+        bench.committed_anchor_drift(warm, anchors, sf, ref="HEAD~10000")
+        is None
+    )

@@ -1,0 +1,108 @@
+"""sf0.1 cross-engine determinism sweep (VERDICT r08 item 3).
+
+The r08 ad-hoc sweep caught two REAL at-scale hash flips — round(x, 12)
+half-way boundary disagreements between Spark and DuckDB on O(1)-O(10)
+values (``orders_abc_pareto`` 1-in-20k rows, ``text_unigram_logprob``
+2-in-5000) — that the driver's own sf0.01 gate could not see: flip
+probability scales with grid/ulp(value) x row count, so the failure class
+only becomes visible at ~10x the gate SF. This tool makes that detection
+power a committed, repeatable round-start step instead of a one-off run.
+
+The determinism-RISK class is derived mechanically, not hand-listed, so a
+new risky query can never be forgotten: a registry entry is in the class
+when its builder source or its DuckDB oracle carries a rounding grid,
+rank/percentile boundary, or float-producing expression (the c00bcc7
+audit's risk markers). Over-inclusion only costs sweep minutes;
+under-inclusion costs a driver-window hash failure a round later.
+
+Usage:
+    python tools/scale_sweep.py                 # run the sweep at sf0.1
+    python tools/scale_sweep.py --list          # print the derived class
+    python tools/scale_sweep.py --sf-dir D --batch-size 30
+
+Batches are separate driver_sim subprocesses (a vanilla driver-style
+session each) so one JVM never holds the whole sweep's shuffle state;
+exit is nonzero if ANY query in any batch mismatches its oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Markers of cross-engine determinism risk (see the grid rules in
+# SCALING.md and the c00bcc7 audit): emitted rounded floats, quantile /
+# rank boundaries, correlation/stddev/log/sqrt float math, double casts
+# in arithmetic, DuckDB-side ::DOUBLE. Matched against BOTH the Spark
+# builder source and the oracle SQL.
+RISK_PATTERN = re.compile(
+    r"\bround\s*\(|percentile|ntile\s*\(|cume_dist|\blog\s*\(|\bln\s*\("
+    r"|sqrt\s*\(|corr\(|stddev|/ *F\.col|cast\(\"double\"\)|::DOUBLE",
+    re.IGNORECASE,
+)
+
+
+def risk_class() -> list[str]:
+    """Registry names in the determinism-risk class, registry order."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from filmdatawarehouse_spark.queries.registry import all_queries
+
+    names = []
+    for name, (fn, sql) in all_queries().items():
+        try:
+            src = inspect.getsource(inspect.unwrap(fn))
+        except OSError:
+            src = ""
+        if RISK_PATTERN.search(src) or (sql and RISK_PATTERN.search(sql)):
+            names.append(name)
+    return names
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--batch-size", type=int, default=30)
+    ap.add_argument(
+        "--list", action="store_true", help="print the derived class and exit"
+    )
+    args = ap.parse_args()
+
+    names = risk_class()
+    if args.list:
+        print(f"{len(names)} determinism-risk queries:")
+        for n in names:
+            print(f"  {n}")
+        return 0
+
+    print(
+        f"scale sweep: {len(names)} risk-class queries at {args.sf_dir} "
+        f"in batches of {args.batch_size}"
+    )
+    failed = False
+    for i in range(0, len(names), args.batch_size):
+        batch = names[i : i + args.batch_size]
+        print(f"-- batch {i // args.batch_size + 1}: {len(batch)} queries")
+        res = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "driver_sim.py"),
+                args.sf_dir,
+                *batch,
+            ],
+            cwd=REPO,
+        )
+        if res.returncode != 0:
+            failed = True
+    print("SWEEP " + ("FAILED" if failed else "GREEN"))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
