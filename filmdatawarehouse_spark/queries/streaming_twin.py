@@ -574,3 +574,122 @@ def stream_dedup_final_oracle() -> str:
         FULL OUTER JOIN b2
           ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
     """
+
+
+MERGE_MOD = 10
+MERGE_RESIDUE = 4  # distinct from orders_upsert_merge (residue 3, x1.10)
+
+
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final warehouse table after a REAL two-micro-batch foreachBatch run
+    of the exactly-once MERGE sink (``streaming.merge``): micro-batch 1
+    carries the orders base, micro-batch 2 a deterministic CDC delta
+    (keys % 10 == 4 get status 'U' and an exact DECIMAL x1.05 bump; the
+    same rows under negative-mirror keys -(k+1) are brand-new inserts,
+    disjoint from real keys at any SF). Survivorship is by the stored
+    ``seq`` version column, so the result is independent of micro-batch
+    arrival order — the CDC MERGE contract — and the DuckDB oracle is the
+    closed-form FULL OUTER JOIN upsert. What this certifies beyond
+    ``orders_upsert_merge`` is the SINK path itself: versioned-snapshot
+    write, atomic pointer flip, checkpointed readStream — the replay
+    idempotence of that path is pinned by tests/test_stream_merge.py.
+
+    Determinism: prices stay DECIMAL(28,4) end to end (the x1.05 bump is
+    an exact scale-2 x scale-2 product), cast to double exactly once at
+    the end — the orders_upsert_merge rule (Spark HALF_UP vs DuckDB
+    HALF_EVEN disagree if re-quantized).
+    """
+    from filmdatawarehouse_spark.streaming.merge import (
+        read_merge_table,
+        write_stream_merge_upsert,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(28,4)").alias("price"),
+        F.lit(0).cast("int").alias("seq"),
+    )
+    upd_src = o.filter(
+        F.pmod(F.col("o_orderkey"), F.lit(MERGE_MOD)) == MERGE_RESIDUE
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.05").cast("decimal(4,2)")
+        ).cast("decimal(28,4)").alias("price"),
+        F.lit(1).cast("int").alias("seq"),
+    )
+    delta = upd_src.unionAll(
+        upd_src.select(
+            (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
+            "o_orderstatus",
+            "price",
+            "seq",
+        )
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fdw_stream_merge_")
+    src = os.path.join(tmp, "src")
+    table = os.path.join(tmp, "table")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(table)
+    try:
+        # one file per micro-batch; maxFilesPerTrigger=1 splits them, and
+        # seq survivorship makes the result order-independent anyway
+        base.coalesce(1).write.mode("append").parquet(src)
+        delta.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, o_orderstatus string, "
+                "price decimal(28,4), seq int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_merge_upsert(
+            stream, table, ["o_orderkey"], ckpt, seq_col="seq"
+        )
+        q.awaitTermination()
+        final = read_merge_table(spark, table)
+        # localCheckpoint materializes to executor storage AND truncates
+        # lineage, so the plan no longer references the temp dir (safe to
+        # remove) and nothing round-trips through the Python driver
+        out = final.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("price").cast("double").alias("price"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stream_merge_upsert_oracle() -> str:
+    """Closed-form upsert: updates win over base by key, inserts appear
+    once under negative-mirror keys; DECIMAL exact until one final
+    double cast (the orders_upsert_merge determinism rule)."""
+    return f"""
+        WITH upd AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST('1.05' AS DECIMAL(4,2)) AS DECIMAL(28,4))
+                   AS price
+          FROM orders WHERE o_orderkey % {MERGE_MOD} = {MERGE_RESIDUE}
+        )
+        SELECT b.o_orderkey,
+               coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+               CAST(coalesce(u.price, b.price) AS DOUBLE) AS price
+        FROM (SELECT o_orderkey, o_orderstatus,
+                     CAST(o_totalprice AS DECIMAL(28,4)) AS price
+              FROM orders) b
+        LEFT JOIN upd u USING (o_orderkey)
+        UNION ALL
+        SELECT -(o_orderkey + 1) AS o_orderkey, o_orderstatus,
+               CAST(price AS DOUBLE) AS price
+        FROM upd
+    """

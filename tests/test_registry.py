@@ -22,7 +22,7 @@ def test_registry_names_unique_and_callable(spark):
     # import would silently shrink the registry and the driver window
     # would backfill with the wrong entries — this floor makes any
     # shrink a loud failure. Raise it when registering new queries.
-    assert len(reg) >= 150
+    assert len(reg) >= 151
     for name, (fn, _sql) in reg.items():
         assert callable(fn), name
         assert name == name.strip() and " " not in name

@@ -1,0 +1,104 @@
+"""End-to-end exactly-once contract of the streaming MERGE sink
+(streaming/merge.py): restart drains only new input, and at-least-once
+redelivery of any micro-batch — same id after the pointer flip, a new id
+after a checkpoint loss, even an OLD batch arriving late — converges to
+the same keyed table with zero duplicate rows."""
+
+from __future__ import annotations
+
+import os
+
+SCHEMA = "k long, status string, price double, seq long"
+
+
+def _rows(spark, table):
+    from filmdatawarehouse_spark.streaming.merge import read_merge_table
+
+    df = read_merge_table(spark, table)
+    return {r.k: (r.status, r.price, r.seq) for r in df.collect()}
+
+
+def test_stream_merge_upsert_exactly_once_restart_and_replay(
+    spark, tmp_path
+):
+    from filmdatawarehouse_spark.streaming.merge import (
+        current_version,
+        merge_upsert_batch,
+        write_stream_merge_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(table)
+
+    base = [(1, "A", 10.0, 0), (2, "A", 20.0, 0), (3, "B", 30.0, 0)]
+    spark.createDataFrame(base, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_stream_merge_upsert(stream, table, ["k"], ckpt, seq_col="seq")
+    q.awaitTermination()
+    assert _rows(spark, table) == {
+        1: ("A", 10.0, 0),
+        2: ("A", 20.0, 0),
+        3: ("B", 30.0, 0),
+    }
+
+    # updates + an insert land; RESTART the stream against the same
+    # checkpoint — only the new file is processed, updates win, no dupes
+    delta = [(2, "U", 22.0, 1), (4, "A", 40.0, 1)]
+    spark.createDataFrame(delta, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    q2 = write_stream_merge_upsert(stream2, table, ["k"], ckpt, seq_col="seq")
+    q2.awaitTermination()
+    after = {
+        1: ("A", 10.0, 0),
+        2: ("U", 22.0, 1),
+        3: ("B", 30.0, 0),
+        4: ("A", 40.0, 1),
+    }
+    assert _rows(spark, table) == after
+
+    # crash window 1: batch redelivered with the SAME id after the
+    # pointer flip (checkpoint commit lost) — must be a no-op
+    v = current_version(table)
+    replay = spark.createDataFrame(delta, SCHEMA)
+    merge_upsert_batch(replay, v, table, ["k"], seq_col="seq")
+    assert _rows(spark, table) == after
+
+    # crash window 2: same rows under a NEW batch id (fresh checkpoint
+    # replays history) — merge converges, still no duplicates
+    merge_upsert_batch(replay, v + 1, table, ["k"], seq_col="seq")
+    assert _rows(spark, table) == after
+
+    # out-of-order redelivery: an OLD batch arriving after a newer one
+    # must not regress rows — seq survivorship, not arrival order
+    stale = spark.createDataFrame([(2, "A", 20.0, 0)], SCHEMA)
+    merge_upsert_batch(stale, v + 2, table, ["k"], seq_col="seq")
+    assert _rows(spark, table) == after
+
+    # superseded snapshots are pruned: exactly one v-* dir remains
+    vdirs = [d for d in os.listdir(table) if d.startswith("v-")]
+    assert vdirs == [f"v-{current_version(table)}"]
+
+
+def test_merge_without_seq_is_arrival_order_last_write_wins(spark, tmp_path):
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        read_merge_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    merge_upsert_batch(
+        spark.createDataFrame([(1, "A", 1.0, 0)], SCHEMA), 0, table, ["k"]
+    )
+    merge_upsert_batch(
+        spark.createDataFrame([(1, "B", 2.0, 0)], SCHEMA), 1, table, ["k"]
+    )
+    rows = read_merge_table(spark, table).collect()
+    assert len(rows) == 1 and rows[0].status == "B"
