@@ -82,6 +82,25 @@ def read_with_quarantine(
     large-scale CSV shards are headerless by convention, and a header
     line is indistinguishable from a malformed row at expression level.
     """
+    return split_quarantine(spark.read.text(path), fmt, schema, **options)
+
+
+def split_quarantine(
+    raw: DataFrame,
+    fmt: str,
+    schema: T.StructType | str,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The (clean, quarantine) split as pure expressions over any frame
+    with a ``value: string`` column — BATCH OR STREAMING. Because the
+    split is ``from_json``/``from_csv`` + complementary filters (no
+    scan-level corrupt column, no action), the identical code path runs
+    under ``spark.read.text`` (see ``read_with_quarantine``) and
+    ``spark.readStream.text``/Kafka ``value`` frames; streaming ingest
+    composes this with the exactly-once MERGE sink for clean rows and
+    the partition-per-batch parquet sink for the dead letter
+    (tests/test_stream_merge.py::test_streaming_ingest_pipeline...).
+    """
     if fmt not in ("csv", "json"):
         raise ValueError("quarantine reads support csv/json only")
     declared = (
@@ -99,7 +118,6 @@ def read_with_quarantine(
         "columnNameOfCorruptRecord": CORRUPT_COL,
         **options,
     }
-    raw = spark.read.text(path)
     if fmt == "json":
         rec = F.from_json(F.col("value"), with_corrupt, parse_opts)
     else:

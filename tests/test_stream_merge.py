@@ -102,3 +102,84 @@ def test_merge_without_seq_is_arrival_order_last_write_wins(spark, tmp_path):
     )
     rows = read_merge_table(spark, table).collect()
     assert len(rows) == 1 and rows[0].status == "B"
+
+
+def test_streaming_ingest_pipeline_quarantine_merge_deadletter(
+    spark, tmp_path
+):
+    """Production-shaped streaming warehouse load, end to end: a dirty
+    JSON feed is split by the REAL `split_quarantine` expressions, clean
+    rows flow through the exactly-once MERGE sink (seq survivorship),
+    dead letters land in the partition-per-batch idempotent parquet sink
+    — then the feed grows and BOTH streams restart from their
+    checkpoints. Conservation (clean keys + quarantined raw lines ==
+    input lines), update-wins, and no-duplicates must all hold across
+    the restart."""
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.io.formats import split_quarantine
+    from filmdatawarehouse_spark.streaming.dedup import (
+        write_stream_idempotent_parquet,
+    )
+    from filmdatawarehouse_spark.streaming.merge import (
+        read_merge_table,
+        write_stream_merge_upsert,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    table = str(tmp_path / "table")
+    dead = str(tmp_path / "dead")
+    ck_m = str(tmp_path / "ck_merge")
+    ck_d = str(tmp_path / "ck_dead")
+    os.makedirs(table)
+
+    def run_once():
+        raw = spark.readStream.format("text").load(str(feed))
+        clean, quarantine = split_quarantine(
+            raw, "json", "k long, status string, seq long"
+        )
+        qm = write_stream_merge_upsert(
+            clean.filter(F.col("k").isNotNull()),
+            table,
+            ["k"],
+            ck_m,
+            seq_col="seq",
+        )
+        qd = write_stream_idempotent_parquet(
+            quarantine.select("raw_record"), dead, ck_d
+        )
+        qm.awaitTermination()
+        qd.awaitTermination()
+
+    (feed / "f1.json").write_text(
+        '{"k": 1, "status": "A", "seq": 0}\n'
+        "{broken line}\n"
+        '{"k": 2, "status": "A", "seq": 0}\n'
+    )
+    run_once()
+    t = read_merge_table(spark, table)
+    assert {(r.k, r.status) for r in t.collect()} == {(1, "A"), (2, "A")}
+    assert [r.raw_record for r in spark.read.parquet(dead).collect()] == [
+        "{broken line}"
+    ]
+
+    # feed grows: an update for k=2, a new key, another dead letter, a
+    # blank line; RESTART both sinks from their checkpoints
+    (feed / "f2.json").write_text(
+        '{"k": 2, "status": "U", "seq": 1}\n'
+        '{"k": 3, "status": "A", "seq": 1}\n'
+        "\n"
+        "also not json\n"
+    )
+    run_once()
+    t = read_merge_table(spark, table)
+    rows = t.collect()
+    assert len(rows) == 3  # no duplicate keys across the restart
+    assert {(r.k, r.status) for r in rows} == {
+        (1, "A"),
+        (2, "U"),
+        (3, "A"),
+    }
+    bad = sorted(r.raw_record for r in spark.read.parquet(dead).collect())
+    assert bad == ["", "also not json", "{broken line}"]

@@ -669,43 +669,25 @@ def test_streaming_quarantine_ingest(spark, tmp_path):
     clean and quarantined rows with nothing dropped — the property the
     scan-level corrupt-column capture cannot offer (it is restricted even
     in batch)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    from filmdatawarehouse_spark.io.formats import CORRUPT_COL
+    from filmdatawarehouse_spark.io.formats import split_quarantine
 
     d = tmp_path / "feed"
     d.mkdir()
     (d / "batch1.json").write_text(
-        '{"id": 1, "v": "a"}\n{broken}\n{"id": 2, "v": "b"}\n'
-    )
-    schema = T.StructType(
-        [
-            T.StructField("id", T.IntegerType()),
-            T.StructField("v", T.StringType()),
-            T.StructField(CORRUPT_COL, T.StringType()),
-        ]
+        '{"id": 1, "v": "a"}\n{broken}\n\n{"id": 2, "v": "b"}\n'
     )
     raw = spark.readStream.format("text").load(str(d))
-    parsed = raw.select(
-        F.col("value"),
-        F.from_json(
-            F.col("value"),
-            schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("_rec"),
-    )
-    clean = parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNull()).select(
-        "_rec.id", "_rec.v"
-    )
-    quarantine = parsed.filter(F.col(f"_rec.{CORRUPT_COL}").isNotNull()).select(
-        F.col("value").alias("raw_record")
-    )
+    # the PRODUCTION split function itself, not an inline re-derivation —
+    # so streaming coverage moves when the implementation moves (the
+    # blank line exercises the NULL-struct phantom fix under streaming)
+    clean, quarantine = split_quarantine(raw, "json", "id int, v string")
     run_stream_to_memory(clean, "q_clean", output_mode="append")
     run_stream_to_memory(quarantine, "q_bad", output_mode="append")
     got = sorted(
         (r.id, r.v) for r in spark.sql("SELECT * FROM q_clean").collect()
     )
     assert got == [(1, "a"), (2, "b")]
-    bad = [r.raw_record for r in spark.sql("SELECT * FROM q_bad").collect()]
-    assert bad == ["{broken}"]
+    bad = sorted(
+        r.raw_record for r in spark.sql("SELECT * FROM q_bad").collect()
+    )
+    assert bad == ["", "{broken}"]
