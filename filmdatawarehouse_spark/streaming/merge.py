@@ -68,6 +68,38 @@ def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_path, f"v-{v}"))
 
 
+def merged_frame(
+    base: DataFrame | None,
+    batch_df: DataFrame,
+    keys: list[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The MERGE plan: base ∪ batch with a priority column, ONE
+    ``groupBy(keys)`` + ``max_by(struct, (seq, prio))`` — a single
+    exchange with partial (map-side) aggregation, no join, no window
+    sort (plan-pinned by tests/test_stream_merge.py). Survivorship is
+    lexicographic (seq, prio): greatest ``seq_col`` wins, batch beats
+    base on ties; without ``seq_col``, batch always beats base.
+    Within-batch duplicates resolve in the same aggregate."""
+    cols = batch_df.columns
+    value_cols = [c for c in cols if c not in keys]
+    prio = (
+        F.struct(F.col(seq_col), F.col("_prio"))
+        if seq_col
+        else F.col("_prio")
+    )
+    src = batch_df.withColumn("_prio", F.lit(1))
+    if base is not None:
+        src = (
+            base.select(*cols).withColumn("_prio", F.lit(0)).unionByName(src)
+        )
+    return (
+        src.groupBy(*keys)
+        .agg(F.max_by(F.struct(*value_cols), prio).alias("_s"))
+        .select(*keys, "_s.*")
+    )
+
+
 def merge_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -87,31 +119,8 @@ def merge_upsert_batch(
     spark = batch_df.sparkSession
     if current_version(table_path) == batch_id:
         return  # replay after the pointer flip: already merged, no-op
-    cols = batch_df.columns
-    value_cols = [c for c in cols if c not in keys]
-    prio = (
-        F.struct(F.col(seq_col), F.col("_prio"))
-        if seq_col
-        else F.col("_prio")
-    )
-
-    def survivors(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy(*keys)
-            .agg(F.max_by(F.struct(*value_cols), prio).alias("_s"))
-            .select(*keys, "_s.*")
-        )
-
-    batch = survivors(batch_df.withColumn("_prio", F.lit(1)))
     base = read_merge_table(spark, table_path)
-    if base is None:
-        merged = batch
-    else:
-        merged = survivors(
-            base.select(*cols)
-            .withColumn("_prio", F.lit(0))
-            .unionByName(batch.select(*cols).withColumn("_prio", F.lit(1)))
-        )
+    merged = merged_frame(base, batch_df, keys, seq_col)
 
     vdir = os.path.join(table_path, f"v-{batch_id}")
     merged.write.mode("overwrite").parquet(vdir)

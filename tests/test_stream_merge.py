@@ -183,3 +183,28 @@ def test_streaming_ingest_pipeline_quarantine_merge_deadletter(
     }
     bad = sorted(r.raw_record for r in spark.read.parquet(dead).collect())
     assert bad == ["", "also not json", "{broken line}"]
+
+
+def test_merge_plan_is_single_exchange_no_join_no_sort(spark):
+    """The MERGE survivorship plan must stay the one-shuffle aggregate
+    shape: exactly one Exchange (hashpartitioning on the key), partial
+    aggregation below it, and neither a join nor a window sort anywhere
+    — the property that keeps the sink viable when the upsert target is
+    large."""
+    from filmdatawarehouse_spark.streaming.merge import merged_frame
+
+    base = spark.range(1000).selectExpr(
+        "id AS k", "'A' AS status", "CAST(id AS double) AS price",
+        "CAST(0 AS long) AS seq"
+    )
+    batch = spark.range(100).selectExpr(
+        "id AS k", "'U' AS status", "CAST(id+1 AS double) AS price",
+        "CAST(1 AS long) AS seq"
+    )
+    plan = (
+        merged_frame(base, batch, ["k"], seq_col="seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
