@@ -69,8 +69,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No eager n_docs count at build time (VERDICT r04 item 2): the
     # hot-bucket guard's count-gated census sizes itself lazily inside the
     # query; pass n_docs only when a cheap bound is already in hand.
-    d = read_table(spark, sf_dir, "documents")
-    return dd.minhash_dedup_pairs(d, threshold=JACCARD_T)
+    # Served from the shared generation-keyed memo: five queries consume
+    # this exact frame (see minhash_pairs_shared).
+    return minhash_pairs_shared(spark, sf_dir)
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +96,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one survivor per component). Iterative min-label propagation in Spark;
     recursive transitive closure in the oracle."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    pairs = minhash_pairs_shared(spark, sf_dir)
     return dd.dup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -105,7 +106,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the high-diameter-safe path, certified against the identical
     recursive-transitive-closure oracle."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    pairs = minhash_pairs_shared(spark, sf_dir)
     return dd.star_contraction_clusters(docs.select("doc_id"), pairs)
 
 
@@ -553,7 +554,7 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation.
     """
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    pairs = minhash_pairs_shared(spark, sf_dir)
     a = docs.select(
         F.col("doc_id").alias("doc_id_a"), F.col("text").alias("_ta")
     )
@@ -586,17 +587,11 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set — and hub nodes are exactly the mass-dup content the
     hot-bucket cap already excised upstream.
     """
-    from filmdatawarehouse_spark.operators.cache import managed_persist
-
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # the pair frame feeds all THREE join branches — persist it or the
-    # whole LSH candidate+verify subtree re-executes per branch (measured
-    # 5.3 s -> ~2 s cold at sf0.1)
-    e = managed_persist(
-        dd.minhash_dedup_pairs(docs, threshold=JACCARD_T).select(
-            "doc_id_a", "doc_id_b"
-        )
-    )
+    # the pair frame feeds all THREE join branches — the shared persisted
+    # frame keeps the LSH candidate+verify subtree from re-executing per
+    # branch (measured 5.3 s -> ~2 s cold at sf0.1) AND from re-building
+    # per warm consumer (r09: five queries share it)
+    e = minhash_pairs_shared(spark, sf_dir).select("doc_id_a", "doc_id_b")
     e1 = e.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
     e2 = e.select(F.col("doc_id_a").alias("b"), F.col("doc_id_b").alias("c"))
     e3 = e.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("c"))
@@ -2437,13 +2432,14 @@ ORACLES["text_prefix_filter_pairs"] = f"""
 # generation, so a released (unpersisted) frame is rebuilt rather than
 # silently reused — cold-bench semantics stay honest while a long-lived
 # session (the warm pass, a service) pays the build once.
-_PAIR_MEMO: dict[tuple[str, str, int], DataFrame] = {}
-_PAIR_MEMO_LOCK = threading.Lock()
+_SHARED_MEMO: dict[tuple[str, str, str, int], DataFrame] = {}
+_SHARED_MEMO_LOCK = threading.Lock()
 
 
-def prefix_filter_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generation-keyed memo of the PPJoin pair frame shared by
-    `text_prefix_filter_pairs` and `graph_bfs_hops`.
+def _shared_persisted(spark: SparkSession, sf_dir: str, name, build) -> DataFrame:
+    """Generation-keyed memo of a persisted frame shared across query
+    builders (one entry per ``name``; the PPJoin pair frame and the
+    MinHash pair frame live here).
 
     The lookup/build runs under a lock, and the cache generation is
     re-read AFTER ``managed_persist``: a concurrent ``release_managed()``
@@ -2459,19 +2455,48 @@ def prefix_filter_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         managed_persist,
     )
 
-    with _PAIR_MEMO_LOCK:
+    with _SHARED_MEMO_LOCK:
         while True:
             gen = cache_generation()
-            key = (spark.sparkContext.applicationId, sf_dir, gen)
-            if key in _PAIR_MEMO:
-                return _PAIR_MEMO[key]
-            _PAIR_MEMO.clear()  # at most one live entry; stale keys die
-            df = managed_persist(q_text_prefix_filter_pairs(spark, sf_dir))
+            key = (name, spark.sparkContext.applicationId, sf_dir, gen)
+            if key in _SHARED_MEMO:
+                return _SHARED_MEMO[key]
+            for k in [k for k in _SHARED_MEMO if k[0] == name]:
+                del _SHARED_MEMO[k]  # at most one live entry per name
+            df = managed_persist(build())
             if cache_generation() == gen:
-                _PAIR_MEMO[key] = df
+                _SHARED_MEMO[key] = df
                 return df
             # release_managed() raced the persist — df may already be
             # unpersisted; loop to rebuild under the current generation
+
+
+def prefix_filter_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin pair frame shared by `text_prefix_filter_pairs` and
+    `graph_bfs_hops` (r08: memoizing it took the second consumer's warm
+    cost 0.68 s -> 0.06 s)."""
+    return _shared_persisted(
+        spark, sf_dir, "ppjoin",
+        lambda: q_text_prefix_filter_pairs(spark, sf_dir),
+    )
+
+
+def minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-verified near-dup pair frame (doc_id_a, doc_id_b,
+    jaccard) shared by its FIVE raw-documents consumers —
+    `dedup_minhash_lsh`, `dedup_clusters`, `dedup_clusters_star`,
+    `dedup_edit_distance`, `dedup_triangles` — which each rebuilt the
+    full shingle->signature->band->verify subtree per warm call (the
+    same repeated-subtree shape the r08 PPJoin memo removed).
+    `pipeline_curate_documents` does NOT share it: its pair frame is
+    built over CLEANED documents, a different input."""
+    return _shared_persisted(
+        spark, sf_dir, "minhash_pairs",
+        lambda: dd.minhash_dedup_pairs(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            threshold=JACCARD_T,
+        ),
+    )
 
 
 EXTENDED_QUERIES["text_prefix_filter_pairs"] = (

@@ -14,7 +14,7 @@ def test_pair_memo_reuses_across_calls_and_rebuilds_after_release(
     from filmdatawarehouse_spark.queries import extended
 
     cache.release_managed()
-    extended._PAIR_MEMO.clear()
+    extended._SHARED_MEMO.clear()
     a = extended.prefix_filter_pairs_shared(spark, sf_dir)
     assert extended.prefix_filter_pairs_shared(spark, sf_dir) is a
     cache.release_managed()
@@ -37,7 +37,7 @@ def test_pair_memo_survives_release_racing_the_persist(
     from filmdatawarehouse_spark.queries import extended
 
     cache.release_managed()
-    extended._PAIR_MEMO.clear()
+    extended._SHARED_MEMO.clear()
     real = cache.managed_persist
     raced = {"done": False}
 
@@ -55,4 +55,21 @@ def test_pair_memo_survives_release_racing_the_persist(
     monkeypatch.setattr(cache, "managed_persist", real)
     # keyed to the LIVE generation: the next call reuses, never rebuilds
     assert extended.prefix_filter_pairs_shared(spark, sf_dir) is df
+    cache.release_managed()
+
+
+def test_shared_memo_names_are_independent(spark, sf_dir):
+    """The generalized memo (r09) holds one live frame PER name: building
+    the MinHash pair frame must not evict the PPJoin frame, and all five
+    MinHash consumers must receive the identical persisted object."""
+    from filmdatawarehouse_spark.operators import cache
+    from filmdatawarehouse_spark.queries import extended
+
+    cache.release_managed()
+    extended._SHARED_MEMO.clear()
+    pp = extended.prefix_filter_pairs_shared(spark, sf_dir)
+    mh = extended.minhash_pairs_shared(spark, sf_dir)
+    assert extended.prefix_filter_pairs_shared(spark, sf_dir) is pp
+    assert extended.minhash_pairs_shared(spark, sf_dir) is mh
+    assert mh.storageLevel.useMemory and pp.storageLevel.useMemory
     cache.release_managed()
