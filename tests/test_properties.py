@@ -277,3 +277,78 @@ def test_capped_sessions_match_bruteforce(spark, events):
             key = (u, gap_sess, sub)
             want[key] = want.get(key, 0) + 1
     assert got == {(u, g, s, n) for (u, g, s), n in want.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.integers(min_value=0, max_value=9),   # value payload
+                st.integers(min_value=0, max_value=20),  # seq
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    replay=st.booleans(),
+)
+def test_merge_sink_equals_argmax_reduction(spark, tmp_path_factory, batches, replay):
+    """streaming MERGE survivorship (streaming/merge.py) against the
+    closed-form spec for ANY batch sequence: the final table holds, per
+    key, the row with the lexicographically greatest (seq, batch-order,
+    within-batch priority) — i.e. greatest seq wins, later arrival
+    breaks seq ties. Replaying every batch a second time under fresh
+    batch ids (worst-case at-least-once redelivery) must not change the
+    table. Keys are intentionally few (0..5) to force collisions."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        read_merge_table,
+    )
+
+    table = str(tmp_path_factory.mktemp("merge_prop"))
+    schema = "k long, v long, seq long"
+    for bid, rows in enumerate(batches):
+        merge_upsert_batch(
+            spark.createDataFrame(rows, schema), bid, table, ["k"],
+            seq_col="seq",
+        )
+    if replay:
+        for bid, rows in enumerate(batches):
+            merge_upsert_batch(
+                spark.createDataFrame(rows, schema),
+                len(batches) + bid,
+                table,
+                ["k"],
+                seq_col="seq",
+            )
+
+    # spec: fold batches in order; candidate replaces survivor iff
+    # seq strictly greater, or equal seq (batch beats base / later batch
+    # beats earlier). Within a batch, ties on seq resolve arbitrarily in
+    # the engine, so the spec pins only (k -> max seq) and, where one
+    # row uniquely holds that max across the whole history, its value.
+    expect_seq: dict[int, int] = {}
+    max_holders: dict[int, set[int]] = {}
+    for rows in batches:
+        for k, v, seq in rows:
+            if k not in expect_seq or seq >= expect_seq[k]:
+                if k not in expect_seq or seq > expect_seq[k]:
+                    max_holders[k] = {v}
+                else:
+                    max_holders[k].add(v)
+                expect_seq[k] = seq
+    got = {
+        r.k: (r.seq, r.v) for r in read_merge_table(spark, table).collect()
+    }
+    assert set(got) == set(expect_seq)
+    for k, (seq, v) in got.items():
+        assert seq == expect_seq[k], (k, seq, expect_seq[k])
+        assert v in max_holders[k], (k, v, max_holders[k])

@@ -133,3 +133,56 @@ def test_committed_rotation_matches_ledger_derivation():
         cwd=REPO,
     )
     assert res.returncode == 0, f"rotation drift:\n{res.stdout}\n{res.stderr}"
+
+
+def test_derive_window_invariants_random_ledgers():
+    """Property sweep over random ledgers/retirement sets: the derived
+    window always (a) has exactly window_size entries when enough active
+    names exist, (b) contains every at-deadline active entry and every
+    never-certified non-deferred active entry, (c) never contains a
+    retired or deferred name, and (d) is a pure function of its inputs
+    (same inputs -> same window)."""
+    import random
+
+    rng = random.Random(20260814)
+    reg = [f"q{i:02d}" for i in range(30)]
+    for trial in range(200):
+        target = rng.randint(5, 12)
+        ledger = {
+            n: rng.randint(1, target - 1)
+            for n in reg
+            if rng.random() < 0.8
+        }
+        certified = [n for n in reg if n in ledger]
+        never = [n for n in reg if n not in ledger]
+        retired = tuple(
+            rng.sample(certified, k=min(len(certified), rng.randint(0, 3)))
+        )
+        defer_pool = [n for n in never]
+        defer = rng.sample(defer_pool, k=min(len(defer_pool), rng.randint(0, 2)))
+        wsize = rng.randint(8, 20)
+        try:
+            w1 = derive_window(reg, ledger, target, defer, wsize, retired)
+            w2 = derive_window(reg, ledger, target, defer, wsize, retired)
+        except SystemExit:
+            # over-commit: mandatory really must exceed the window
+            active = [n for n in reg if n not in retired]
+            stale = [
+                n for n in active
+                if n in ledger and ledger[n] <= target - 3
+            ]
+            nvr = [n for n in active if n not in ledger and n not in defer]
+            assert len(stale) + len(nvr) > wsize
+            continue
+        assert w1 == w2  # deterministic
+        assert len(w1) == min(wsize, len([n for n in reg if n not in retired and n not in defer]))
+        assert len(set(w1)) == len(w1)
+        for n in w1:
+            assert n not in retired and n not in defer
+        for n in reg:
+            if n in retired or n in defer:
+                continue
+            at_deadline = n in ledger and ledger[n] <= target - 3
+            never_seen = n not in ledger
+            if at_deadline or never_seen:
+                assert n in w1, (trial, n, ledger.get(n), target)
