@@ -304,3 +304,61 @@ def test_jdbc_merge_exactly_once_restart_and_replay(spark, tmp_path):
         driver=DERBY_DRV,
     )
     assert table_rows() == after
+
+
+def test_jdbc_merge_transaction_rolls_back_atomically(spark, tmp_path, monkeypatch):
+    """Crash INSIDE the transaction: if any statement after the DELETE
+    fails, the rollback must leave BOTH the target table and the batch
+    ledger untouched — no half-applied batch, no phantom ledger row (a
+    ledger row without the data would make the later replay a data-losing
+    no-op). Then the undoctored retry of the same batch must succeed."""
+    from filmdatawarehouse_spark.streaming import jdbc_merge
+
+    url = "jdbc:derby:memory:fdw_merge_atomic;create=true"
+
+    def table_rows(name="atomic_t"):
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", DERBY_DRV)
+            .option("dbtable", name)
+            .load()
+        )
+        return {r.k: (r.status, r.price, r.seq) for r in back.collect()}
+
+    base = spark.createDataFrame(
+        [(1, "A", 10.0, 0), (2, "A", 20.0, 0)], SCHEMA
+    )
+    jdbc_merge.merge_jdbc_batch(
+        base, 0, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV
+    )
+    before = table_rows()
+
+    # doctor the INSERT statement so the txn fails AFTER the DELETE ran
+    real_execute = jdbc_merge._execute
+
+    def sabotaged(conn, sql):
+        if sql.lstrip().upper().startswith("INSERT INTO ATOMIC_T"):
+            raise RuntimeError("injected crash inside the transaction")
+        return real_execute(conn, sql)
+
+    monkeypatch.setattr(jdbc_merge, "_execute", sabotaged)
+    delta = spark.createDataFrame([(2, "U", 22.0, 1), (3, "B", 30.0, 1)], SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        jdbc_merge.merge_jdbc_batch(
+            delta, 1, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV
+        )
+    monkeypatch.setattr(jdbc_merge, "_execute", real_execute)
+    # rollback: the DELETE that ran inside the doomed txn left no trace
+    assert table_rows() == before
+    # and the ledger did not record batch 1 — the retry applies for real
+    jdbc_merge.merge_jdbc_batch(
+        delta, 1, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV
+    )
+    assert table_rows() == {
+        1: ("A", 10.0, 0),
+        2: ("U", 22.0, 1),
+        3: ("B", 30.0, 1),
+    }

@@ -691,3 +691,50 @@ def test_streaming_quarantine_ingest(spark, tmp_path):
         r.raw_record for r in spark.sql("SELECT * FROM q_bad").collect()
     )
     assert bad == ["", "{broken}"]
+
+
+def test_stream_metrics_listener_records_batches(spark, tmp_path):
+    """The metrics listener must see every micro-batch of a real run with
+    its input row count, expose a queryable snapshot/DataFrame, and
+    record nothing as failed for a clean run."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.streaming.monitor import attach_metrics
+
+    listener = attach_metrics(spark)
+    try:
+        d = tmp_path / "src"
+        d.mkdir()
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(50)], "id long, g long"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        q = (
+            spark.readStream.schema("id long, g long")
+            .parquet(str(d))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("metrics_probe")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the listener bus is async — give it a moment to drain
+        for _ in range(50):
+            rows = [
+                r for r in listener.snapshot() if r["name"] == "metrics_probe"
+            ]
+            if rows:
+                break
+            time.sleep(0.2)
+        assert rows, "no progress events delivered"
+        assert sum(r["input_rows"] for r in rows) == 50
+        assert all(r["trigger_ms"] is not None for r in rows)
+        mdf = listener.to_df(spark).filter(F.col("name") == "metrics_probe")
+        assert mdf.agg(F.sum("input_rows")).collect()[0][0] == 50
+        assert listener.failures() == {}
+    finally:
+        spark.streams.removeListener(listener)
