@@ -352,3 +352,65 @@ def test_merge_sink_equals_argmax_reduction(spark, tmp_path_factory, batches, re
     for k, (seq, v) in got.items():
         assert seq == expect_seq[k], (k, seq, expect_seq[k])
         assert v in max_holders[k], (k, v, max_holders[k])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(
+        st.one_of(
+            # valid record
+            st.tuples(
+                st.integers(min_value=0, max_value=99),
+                st.text(
+                    alphabet="abcxyz", min_size=0, max_size=5
+                ),
+            ).map(lambda t: f'{{"id": {t[0]}, "v": "{t[1]}"}}'),
+            # garbage (never valid JSON, never blank)
+            st.text(alphabet="{}xq<>", min_size=1, max_size=8).map(
+                lambda s: "<" + s
+            ),
+            # blank / whitespace-only
+            st.sampled_from(["", " ", "   ", "\t"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quarantine_split_spec(spark, tmp_path_factory, lines):
+    """split_quarantine over ANY mix of valid / garbage / blank lines:
+    conservation (clean + quarantine == input), clean holds exactly the
+    well-formed records with their parsed values, quarantine preserves
+    every dirty raw line verbatim (multiset), and no blank line ever
+    reaches clean (the ADVICE r08 phantom-row class)."""
+    import json as _json
+    from collections import Counter
+
+    from filmdatawarehouse_spark.io.formats import split_quarantine
+
+    d = tmp_path_factory.mktemp("qprop")
+    p = d / "in.json"
+    # the text source drops a trailing newline-only record consistently;
+    # write one line per input entry
+    p.write_text("".join(line + "\n" for line in lines))
+
+    raw = spark.read.text(str(p))
+    clean, quarantine = split_quarantine(raw, "json", "id int, v string")
+    got_clean = [(r.id, r.v) for r in clean.collect()]
+    got_bad = [r.raw_record for r in quarantine.collect()]
+
+    expect_clean, expect_bad = [], []
+    for line in lines:
+        try:
+            if not line.strip():
+                raise ValueError
+            obj = _json.loads(line)
+            expect_clean.append((obj["id"], obj["v"]))
+        except ValueError:
+            expect_bad.append(line)
+    assert len(got_clean) + len(got_bad) == len(lines)
+    assert Counter(got_clean) == Counter(expect_clean)
+    assert Counter(got_bad) == Counter(expect_bad)
