@@ -135,8 +135,12 @@ def split_quarantine(
     # conservation (clean + quarantine == input lines) holds by
     # construction. (Spark's own CSV reader silently *drops* blank lines;
     # the dead-letter contract preserves them with their raw text.)
+    # rlike(\S), not trim() != '': F.trim strips only ASCII space, so a
+    # tab- or CR-only line would slip past a trim-based blank check (in
+    # the CSV single-string-column case it would then parse as a "clean"
+    # row) — whitespace-ONLY means no non-whitespace character at all
     is_clean = (
-        (F.trim(F.col("value")) != F.lit(""))
+        F.col("value").rlike(r"\S")
         & F.col("_rec").isNotNull()
         & F.col(f"_rec.{CORRUPT_COL}").isNull()
     )

@@ -2433,7 +2433,13 @@ ORACLES["text_prefix_filter_pairs"] = f"""
 # silently reused — cold-bench semantics stay honest while a long-lived
 # session (the warm pass, a service) pays the build once.
 _SHARED_MEMO: dict[tuple[str, str, str, int], DataFrame] = {}
-_SHARED_MEMO_LOCK = threading.Lock()
+_SHARED_MEMO_GUARD = threading.Lock()  # protects the per-name lock dict
+_SHARED_MEMO_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _memo_lock(name: str) -> threading.Lock:
+    with _SHARED_MEMO_GUARD:
+        return _SHARED_MEMO_LOCKS.setdefault(name, threading.Lock())
 
 
 def _shared_persisted(spark: SparkSession, sf_dir: str, name, build) -> DataFrame:
@@ -2441,21 +2447,22 @@ def _shared_persisted(spark: SparkSession, sf_dir: str, name, build) -> DataFram
     builders (one entry per ``name``; the PPJoin pair frame and the
     MinHash pair frame live here).
 
-    The lookup/build runs under a lock, and the cache generation is
-    re-read AFTER ``managed_persist``: a concurrent ``release_managed()``
-    between the generation read and the persist would otherwise leave a
-    just-unpersisted frame memoized under a dead key (rebuilt and
-    double-persisted on every later call until the next release —
-    ADVICE r08). On a generation mismatch the build retries under the
-    new generation; persist() is lazy (no job runs under the lock), so
-    holding the lock through the build is driver-side plan work only.
+    The lookup/build runs under a PER-NAME lock (building one shared
+    frame does driver-side plan work including parquet file listing, and
+    must not serialize builds of unrelated names), and the cache
+    generation is re-read AFTER ``managed_persist``: a concurrent
+    ``release_managed()`` between the generation read and the persist
+    would otherwise leave a just-unpersisted frame memoized under a dead
+    key (rebuilt and double-persisted on every later call until the next
+    release — ADVICE r08). On a generation mismatch the build retries
+    under the new generation.
     """
     from filmdatawarehouse_spark.operators.cache import (
         cache_generation,
         managed_persist,
     )
 
-    with _SHARED_MEMO_LOCK:
+    with _memo_lock(name):
         while True:
             gen = cache_generation()
             key = (name, spark.sparkContext.applicationId, sf_dir, gen)

@@ -16,23 +16,38 @@ Per ``foreachBatch(batch_df, batch_id)``:
    (replay-safe: staging is scratch, rewriting it has no effect on the
    target; data never flows through the driver);
 3. in one driver-side JDBC transaction:
-     a. skip if the ledger already holds (sink, batch_id) — the
+     a. skip if the ledger already holds (sink, run, batch_id) — the
         crash-after-commit replay window;
      b. DELETE target rows a staging row supersedes (same key AND
         staging seq >= target seq — an out-of-order redelivered OLD
         batch cannot regress a newer row);
      c. INSERT staging rows whose key no longer exists in the target;
-     d. INSERT the (sink, batch_id) ledger row; COMMIT.
+     d. INSERT the (sink, run, batch_id) ledger row; COMMIT.
 
 Crash anywhere: before the txn — nothing visible; inside — the DB rolls
 back; after commit, before the checkpoint — step (a) makes the replay a
 no-op. Set-based SQL does the merge INSIDE the database; the driver only
 orchestrates statements.
 
+The ledger key is (sink, RUN identity, batch_id), not batch_id alone:
+after a checkpoint loss the restarted stream numbers its first batch 0
+again — with old AND new rows — and a batch-id-only ledger would skip
+it as already applied, silently losing the new rows (review r09). A
+new-run redelivery therefore RE-APPLIES, which is convergent with a
+``seq_col`` (recommended); without one it is last-redelivery-wins.
+
 Tested end-to-end against the embedded Derby that ships with Spark
 (tests/test_stream_merge.py) — the same stand-in the repo's other JDBC
-paths use; only the URL scheme differs for MySQL (``io/sources.py:
-mysql_connection`` pins that dialect contract).
+paths use. PORTING HONESTY: the recipe (distributed staging + one
+transaction applying upsert + ledger) is portable to any transactional
+target, but the statements here are pinned on Derby's dialect — CREATE
+TABLE ... WITH NO DATA, the delete-alias form, double-quoted column
+identifiers, upper-case metadata folding. A MySQL port keeps the
+control flow and swaps the statement templates (and
+``io/sources.py:mysql_connection`` pins that connection contract).
+Driver-side credentials ARE honored: ``user``/``password`` in
+``jdbc_options`` reach both the Spark staging writer and this module's
+transaction connection.
 """
 
 from __future__ import annotations
@@ -42,11 +57,24 @@ from pyspark.sql import DataFrame, SparkSession
 LEDGER_TABLE = "stream_batch_ledger"
 
 
-def _connect(spark: SparkSession, url: str, driver: str | None):
+def _connect(
+    spark: SparkSession,
+    url: str,
+    driver: str | None,
+    options: dict[str, str] | None = None,
+):
+    """Driver-side JDBC connection honoring the same credential options
+    the Spark staging writer receives (user/password — a sink pointed at
+    an authenticated warehouse must not authenticate only on the
+    distributed half)."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    return jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if options and k in options:
+            props.setProperty(k, options[k])
+    return jvm.java.sql.DriverManager.getConnection(url, props)
 
 
 def _execute(conn, sql: str) -> None:
@@ -74,18 +102,21 @@ def _ensure_ledger(conn) -> None:
         _execute(
             conn,
             f"CREATE TABLE {LEDGER_TABLE} "
-            "(sink VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL, "
-            "PRIMARY KEY (sink, batch_id))",
+            "(sink VARCHAR(128) NOT NULL, run VARCHAR(64) NOT NULL, "
+            "batch_id BIGINT NOT NULL, "
+            "PRIMARY KEY (sink, run, batch_id))",
         )
 
 
-def _ledger_has(conn, sink: str, batch_id: int) -> bool:
+def _ledger_has(conn, sink: str, run_id: str, batch_id: int) -> bool:
     ps = conn.prepareStatement(
-        f"SELECT 1 FROM {LEDGER_TABLE} WHERE sink = ? AND batch_id = ?"
+        f"SELECT 1 FROM {LEDGER_TABLE} "
+        "WHERE sink = ? AND run = ? AND batch_id = ?"
     )
     try:
         ps.setString(1, sink)
-        ps.setLong(2, batch_id)
+        ps.setString(2, run_id)
+        ps.setLong(3, batch_id)
         rs = ps.executeQuery()
         try:
             return rs.next()
@@ -103,10 +134,12 @@ def merge_jdbc_batch(
     keys: list[str],
     seq_col: str | None = None,
     driver: str | None = None,
+    run_id: str = "api",
     **jdbc_options: str,
 ) -> None:
     """Idempotently apply one micro-batch to a transactional JDBC target
-    (see module docstring for the staging + single-transaction recipe)."""
+    (see module docstring for the staging + single-transaction recipe;
+    the idempotence key is (table, run_id, batch_id))."""
     from filmdatawarehouse_spark.streaming.merge import merged_frame
 
     spark = batch_df.sparkSession
@@ -124,11 +157,11 @@ def merge_jdbc_batch(
         writer = writer.option(k, v)
     writer.mode("overwrite").save()
 
-    conn = _connect(spark, url, driver)
+    conn = _connect(spark, url, driver, jdbc_options)
     try:
         conn.setAutoCommit(False)
         _ensure_ledger(conn)
-        if _ledger_has(conn, table, batch_id):
+        if _ledger_has(conn, table, run_id, batch_id):
             conn.rollback()  # crash-after-commit replay: already applied
             return
         qt, qs = table, staging
@@ -165,11 +198,13 @@ def merge_jdbc_batch(
             f"WHERE NOT EXISTS (SELECT 1 FROM {qt} t WHERE {key_match})",
         )
         ps = conn.prepareStatement(
-            f"INSERT INTO {LEDGER_TABLE} (sink, batch_id) VALUES (?, ?)"
+            f"INSERT INTO {LEDGER_TABLE} (sink, run, batch_id) "
+            "VALUES (?, ?, ?)"
         )
         try:
             ps.setString(1, table)
-            ps.setLong(2, batch_id)
+            ps.setString(2, run_id)
+            ps.setLong(3, batch_id)
             ps.executeUpdate()
         finally:
             ps.close()
@@ -189,15 +224,20 @@ def write_stream_merge_jdbc(
     checkpoint_dir: str,
     seq_col: str | None = None,
     driver: str | None = None,
+    run_id: str | None = None,
     **jdbc_options: str,
 ):
     """Start the transactional exactly-once JDBC MERGE sink (availableNow;
-    returns the started StreamingQuery)."""
+    returns the started StreamingQuery). Each start gets a fresh run
+    identity unless the caller pins one (see module docstring)."""
+    import uuid
+
+    rid = run_id or uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_jdbc_batch(
             batch_df, batch_id, url, table, keys,
-            seq_col=seq_col, driver=driver, **jdbc_options,
+            seq_col=seq_col, driver=driver, run_id=rid, **jdbc_options,
         )
 
     return (

@@ -10,27 +10,44 @@ the same table, for upsert-shaped targets (dimensions, SCD current
 tables, "latest state per key").
 
 Storage is a versioned snapshot: each batch writes the FULL merged table
-to ``<table>/v-<batch_id>/`` and then atomically flips the ``_LATEST``
-pointer file (write-temp + ``os.replace``). Every crash window converges
-under replay:
+to ``<table>/v-<run_id>-<batch_id>/`` and then atomically flips the
+``_LATEST`` pointer file (write-temp + ``os.replace``). The snapshot
+name carries a RUN identity alongside Spark's batch id because batch ids
+alone are not an idempotence key: after a checkpoint loss the restarted
+stream numbers its first micro-batch 0 again — with old AND new rows in
+it — and a batch-id-only guard would skip it as already applied,
+silently losing the new rows (review r09). Crash behavior:
 
-- crash before the version dir commits -> pointer still names the old
-  version; replay re-merges from it and overwrites the partial dir;
-- crash after the pointer flip but before the checkpoint commit ->
-  replay sees ``current_version == batch_id`` and is a no-op (this also
-  sidesteps Spark's cannot-overwrite-a-path-being-read rule);
+- crash before the snapshot dir commits -> pointer still names the old
+  snapshot; replay re-merges from it and overwrites the partial dir;
+- crash after the pointer flip but before the checkpoint commit -> the
+  SAME (run, batch) is redelivered, matches the pointer, and is a no-op
+  (this also sidesteps Spark's cannot-overwrite-a-path-being-read rule);
+- replay under a NEW run identity (fresh checkpoint, or a restart that
+  re-delivers an uncommitted batch) RE-MERGES rather than skips: with a
+  ``seq_col`` the re-merge is convergent at any delivery order (the CDC
+  version-column contract — recommended); without one it is
+  last-redelivery-wins, the inherent limit of arrival-order semantics
+  under at-least-once delivery;
 - duplicate rows can never appear: the table is keyed (one survivor per
   key by construction of the merge aggregate).
 
+Retention: the CURRENT and the PREVIOUS snapshot are kept (older ones
+are pruned), so a reader holding a lazy plan from ``read_merge_table``
+survives one concurrent commit; long-lived readers should re-resolve per
+query or materialize eagerly (``localCheckpoint``) — the certification
+twin does the latter.
+
 The merge itself is the scalable MERGE shape proven by
 ``queries/incremental.py:q_orders_upsert_merge``: union base + batch with
-a priority, one ``groupBy(keys)`` with ``max_by(struct, ...)`` — ONE
-shuffle with map-side combine, no join, no window sort.
+a priority column, one ``groupBy(keys)`` with ``max_by(struct, ...)`` —
+ONE shuffle with map-side combine, no join, no window.
 
 100 TB note: the snapshot rewrite is O(table) per micro-batch, which is
 the right cost ONLY for dimension-sized upsert targets — exactly the
 shape the reference rewrites wholesale every DAG run
-(``dags/rentalFilmDAG.py``, dims re-loaded per run). For fact-scale
+(``dags/rentalFilmDAG.py``, dims re-loaded per run; per-batch cost
+measured in SCALING.md via ``tools/merge_bench.py``). For fact-scale
 streams use the partition-overwrite sink; at true lakehouse scale the
 same ``merge_upsert_batch`` body targets a transactional format's MERGE
 instead of the snapshot swap.
@@ -40,6 +57,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,21 +69,27 @@ def _pointer_path(table_path: str) -> str:
     return os.path.join(table_path, POINTER)
 
 
-def current_version(table_path: str) -> int | None:
-    """The committed snapshot's batch id, or None before the first commit."""
+def _snapshot_name(run_id: str, batch_id: int) -> str:
+    return f"v-{run_id}-{batch_id}"
+
+
+def current_snapshot(table_path: str) -> str | None:
+    """The committed snapshot's directory name (``v-<run>-<batch>``), or
+    None before the first commit."""
     try:
         with open(_pointer_path(table_path)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+            name = f.read().strip()
+        return name or None
+    except OSError:
         return None
 
 
 def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:
     """The current committed snapshot (None before the first batch)."""
-    v = current_version(table_path)
-    if v is None:
+    snap = current_snapshot(table_path)
+    if snap is None:
         return None
-    return spark.read.parquet(os.path.join(table_path, f"v-{v}"))
+    return spark.read.parquet(os.path.join(table_path, snap))
 
 
 def merged_frame(
@@ -106,32 +130,36 @@ def merge_upsert_batch(
     table_path: str,
     keys: list[str],
     seq_col: str | None = None,
+    run_id: str = "api",
 ) -> None:
     """Idempotently MERGE one micro-batch into the snapshot table.
 
-    Survivorship per key: with ``seq_col``, the row with the greatest
-    sequence value wins (batch beats base on ties) — the final table is
-    then independent of micro-batch arrival order, the CDC version-column
-    contract. Without it, batch rows always beat base rows
-    (last-write-wins by arrival). ``seq_col`` is stored in the table so
+    ``(run_id, batch_id)`` is the idempotence key: a replay of the same
+    pair after the pointer flip is a no-op; any other delivery re-merges
+    (convergent with ``seq_col`` — see the module docstring for the
+    checkpoint-loss rationale). ``seq_col`` is stored in the table so
     later batches keep comparing against it.
     """
     spark = batch_df.sparkSession
-    if current_version(table_path) == batch_id:
+    snap = _snapshot_name(run_id, batch_id)
+    prev = current_snapshot(table_path)
+    if prev == snap:
         return  # replay after the pointer flip: already merged, no-op
     base = read_merge_table(spark, table_path)
     merged = merged_frame(base, batch_df, keys, seq_col)
 
-    vdir = os.path.join(table_path, f"v-{batch_id}")
-    merged.write.mode("overwrite").parquet(vdir)
-    tmp = _pointer_path(table_path) + f".tmp-{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(table_path, snap))
+    tmp = _pointer_path(table_path) + f".tmp-{snap}"
     with open(tmp, "w") as f:
-        f.write(str(batch_id))
+        f.write(snap)
     os.replace(tmp, _pointer_path(table_path))  # atomic commit
-    # best-effort prune of superseded snapshots (a crash here just leaves
-    # garbage for the next batch's prune — never corrupts the committed one)
+    # best-effort prune, RETAINING the previous snapshot so a reader that
+    # resolved it just before this commit can still finish its query (a
+    # crash here just leaves garbage for the next batch's prune — never
+    # corrupts the committed snapshot)
+    keep = {snap, prev}
     for d in os.listdir(table_path):
-        if d.startswith("v-") and d != f"v-{batch_id}":
+        if d.startswith("v-") and d not in keep:
             shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
 
 
@@ -141,12 +169,19 @@ def write_stream_merge_upsert(
     keys: list[str],
     checkpoint_dir: str,
     seq_col: str | None = None,
+    run_id: str | None = None,
 ):
     """Start the exactly-once MERGE sink for ``df`` (returns the started
-    StreamingQuery; availableNow so a restart drains new input and stops)."""
+    StreamingQuery; availableNow so a restart drains new input and
+    stops). Each start gets a fresh run identity unless the caller pins
+    one — see the module docstring for why batch ids alone are not an
+    idempotence key."""
+    rid = run_id or uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        merge_upsert_batch(batch_df, batch_id, table_path, keys, seq_col)
+        merge_upsert_batch(
+            batch_df, batch_id, table_path, keys, seq_col, run_id=rid
+        )
 
     return (
         df.writeStream.foreachBatch(sink)

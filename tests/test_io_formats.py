@@ -414,9 +414,11 @@ def test_quarantine_blank_lines_never_reach_clean(spark, tmp_path):
     assert all(r.id is None and r.v is None for r in quarantined)
     assert clean.count() + quarantine.count() == 4
 
-    # same contract for CSV
+    # same contract for CSV — including the tab-only line that a
+    # trim-based blank check misses (F.trim strips only ASCII space;
+    # from_csv would then parse '\t' as a clean one-field row)
     c = tmp_path / "in.csv"
-    c.write_text("1,a\n\n2,b\n")
+    c.write_text("1,a\n\n\t\n2,b\n")
     clean_c, quar_c = read_with_quarantine(
         spark, str(c), "csv", "id int, v string"
     )
@@ -424,8 +426,8 @@ def test_quarantine_blank_lines_never_reach_clean(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
-    assert quar_c.count() == 1 and quar_c.first().raw_record == ""
-    assert clean_c.count() + quar_c.count() == 3
+    assert sorted(r.raw_record for r in quar_c.collect()) == ["", "\t"]
+    assert clean_c.count() + quar_c.count() == 4
 
 
 def test_csv_quarantine_splits_bad_rows(spark, tmp_path):

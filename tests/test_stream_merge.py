@@ -22,7 +22,7 @@ def test_stream_merge_upsert_exactly_once_restart_and_replay(
     spark, tmp_path
 ):
     from filmdatawarehouse_spark.streaming.merge import (
-        current_version,
+        current_snapshot,
         merge_upsert_batch,
         write_stream_merge_upsert,
     )
@@ -63,27 +63,63 @@ def test_stream_merge_upsert_exactly_once_restart_and_replay(
     }
     assert _rows(spark, table) == after
 
-    # crash window 1: batch redelivered with the SAME id after the
-    # pointer flip (checkpoint commit lost) — must be a no-op
-    v = current_version(table)
+    # crash window 1: batch redelivered with the SAME (run, batch) after
+    # the pointer flip (checkpoint commit lost) — must be a no-op. Pin
+    # the run id by applying once through the direct API first.
     replay = spark.createDataFrame(delta, SCHEMA)
-    merge_upsert_batch(replay, v, table, ["k"], seq_col="seq")
+    merge_upsert_batch(replay, 7, table, ["k"], seq_col="seq", run_id="r1")
+    assert _rows(spark, table) == after
+    snap_before = current_snapshot(table)
+    merge_upsert_batch(replay, 7, table, ["k"], seq_col="seq", run_id="r1")
+    assert current_snapshot(table) == snap_before  # no-op: no new commit
     assert _rows(spark, table) == after
 
-    # crash window 2: same rows under a NEW batch id (fresh checkpoint
-    # replays history) — merge converges, still no duplicates
-    merge_upsert_batch(replay, v + 1, table, ["k"], seq_col="seq")
+    # crash window 2: same rows under a NEW run identity (checkpoint
+    # loss — the batch id even collides) — must RE-MERGE, not skip, and
+    # converge with no duplicates
+    merge_upsert_batch(replay, 7, table, ["k"], seq_col="seq", run_id="r2")
     assert _rows(spark, table) == after
 
     # out-of-order redelivery: an OLD batch arriving after a newer one
     # must not regress rows — seq survivorship, not arrival order
     stale = spark.createDataFrame([(2, "A", 20.0, 0)], SCHEMA)
-    merge_upsert_batch(stale, v + 2, table, ["k"], seq_col="seq")
+    merge_upsert_batch(stale, 8, table, ["k"], seq_col="seq", run_id="r2")
     assert _rows(spark, table) == after
 
-    # superseded snapshots are pruned: exactly one v-* dir remains
-    vdirs = [d for d in os.listdir(table) if d.startswith("v-")]
-    assert vdirs == [f"v-{current_version(table)}"]
+    # retention: current + previous snapshot only (a reader that just
+    # resolved the previous snapshot can still finish its query)
+    vdirs = sorted(d for d in os.listdir(table) if d.startswith("v-"))
+    assert len(vdirs) <= 2 and current_snapshot(table) in vdirs
+
+
+def test_merge_checkpoint_loss_with_colliding_batch_ids_loses_nothing(
+    spark, tmp_path
+):
+    """The review-r09 data-loss scenario, replayed exactly: a first run
+    commits batch 0; the checkpoint is lost; the restarted run's batch 0
+    now bundles old AND new rows. A batch-id-only guard would skip it —
+    the run-identity key must instead re-merge and keep the new rows."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        read_merge_table,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    old = [(1, "A", 10.0, 0)]
+    merge_upsert_batch(
+        spark.createDataFrame(old, SCHEMA), 0, table, ["k"],
+        seq_col="seq", run_id="run_a",
+    )
+    # checkpoint lost; new source file appeared; restarted stream's
+    # batch 0 replays everything
+    both = old + [(2, "B", 20.0, 1)]
+    merge_upsert_batch(
+        spark.createDataFrame(both, SCHEMA), 0, table, ["k"],
+        seq_col="seq", run_id="run_b",
+    )
+    got = {r.k: r.status for r in read_merge_table(spark, table).collect()}
+    assert got == {1: "A", 2: "B"}  # the new row survived the collision
 
 
 def test_merge_without_seq_is_arrival_order_last_write_wins(spark, tmp_path):
@@ -281,19 +317,28 @@ def test_jdbc_merge_exactly_once_restart_and_replay(spark, tmp_path):
     }
     assert table_rows() == after
 
-    # crash window 1: SAME batch id redelivered (ledger hit -> no-op,
-    # even though staging was rewritten)
+    # crash window 1: SAME (run, batch) redelivered (ledger hit -> no-op
+    # even though staging was rewritten). Pin the run id via the direct
+    # API: first application under ("r1", 7) is a real merge, the second
+    # must be skipped by the ledger.
     replay = spark.createDataFrame(delta, SCHEMA)
     merge_jdbc_batch(
-        replay, 1, DERBY_URL, "merged_t", ["k"], seq_col="seq",
-        driver=DERBY_DRV,
+        replay, 7, DERBY_URL, "merged_t", ["k"], seq_col="seq",
+        driver=DERBY_DRV, run_id="r1",
+    )
+    assert table_rows() == after
+    merge_jdbc_batch(
+        replay, 7, DERBY_URL, "merged_t", ["k"], seq_col="seq",
+        driver=DERBY_DRV, run_id="r1",
     )
     assert table_rows() == after
 
-    # crash window 2: same rows under a NEW id (fresh checkpoint replay)
+    # crash window 2 (the review-r09 collision): checkpoint lost, the
+    # restarted run's batch id COLLIDES — a new run identity must
+    # RE-APPLY (convergent), never skip
     merge_jdbc_batch(
-        replay, 99, DERBY_URL, "merged_t", ["k"], seq_col="seq",
-        driver=DERBY_DRV,
+        replay, 7, DERBY_URL, "merged_t", ["k"], seq_col="seq",
+        driver=DERBY_DRV, run_id="r2",
     )
     assert table_rows() == after
 
@@ -301,7 +346,7 @@ def test_jdbc_merge_exactly_once_restart_and_replay(spark, tmp_path):
     stale = spark.createDataFrame([(2, "A", 20.0, 0)], SCHEMA)
     merge_jdbc_batch(
         stale, 100, DERBY_URL, "merged_t", ["k"], seq_col="seq",
-        driver=DERBY_DRV,
+        driver=DERBY_DRV, run_id="r2",
     )
     assert table_rows() == after
 
