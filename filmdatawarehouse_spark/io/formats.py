@@ -138,9 +138,13 @@ def split_quarantine(
     # rlike(\S), not trim() != '': F.trim strips only ASCII space, so a
     # tab- or CR-only line would slip past a trim-based blank check (in
     # the CSV single-string-column case it would then parse as a "clean"
-    # row) — whitespace-ONLY means no non-whitespace character at all
+    # row) — whitespace-ONLY means no non-whitespace character at all.
+    # coalesce(..., False): a NULL value row (a Kafka tombstone on the
+    # `value` frames this function advertises) makes rlike NULL, and a
+    # NULL predicate fails BOTH filters — the row would vanish from
+    # clean AND quarantine, breaking conservation. NULL input is dirty.
     is_clean = (
-        F.col("value").rlike(r"\S")
+        F.coalesce(F.col("value").rlike(r"\S"), F.lit(False))
         & F.col("_rec").isNotNull()
         & F.col(f"_rec.{CORRUPT_COL}").isNull()
     )

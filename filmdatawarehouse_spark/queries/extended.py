@@ -2466,13 +2466,19 @@ def _shared_persisted(spark: SparkSession, sf_dir: str, name, build) -> DataFram
         while True:
             gen = cache_generation()
             key = (name, spark.sparkContext.applicationId, sf_dir, gen)
-            if key in _SHARED_MEMO:
-                return _SHARED_MEMO[key]
-            for k in [k for k in _SHARED_MEMO if k[0] == name]:
-                del _SHARED_MEMO[k]  # at most one live entry per name
+            # dict reads/mutations take the short global guard (holders
+            # of DIFFERENT name locks touch the same dict — an unguarded
+            # purge comprehension can see it resize mid-iteration); only
+            # the expensive build() runs outside it, under the name lock
+            with _SHARED_MEMO_GUARD:
+                if key in _SHARED_MEMO:
+                    return _SHARED_MEMO[key]
+                for k in [k for k in _SHARED_MEMO if k[0] == name]:
+                    del _SHARED_MEMO[k]  # at most one live entry per name
             df = managed_persist(build())
             if cache_generation() == gen:
-                _SHARED_MEMO[key] = df
+                with _SHARED_MEMO_GUARD:
+                    _SHARED_MEMO[key] = df
                 return df
             # release_managed() raced the persist — df may already be
             # unpersisted; loop to rebuild under the current generation

@@ -89,8 +89,17 @@ def _table_exists(conn, table: str) -> bool:
     """Spark's JDBC writer emits the TABLE name verbatim-unquoted (the
     dialect case-folds it — Derby upper-cases) but QUOTES column names
     (case-preserved). All SQL in this module mirrors that: table
-    identifiers unquoted, column identifiers double-quoted."""
-    rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+    identifiers unquoted, column identifiers double-quoted.
+
+    getTables takes LIKE patterns, so the name's underscores are escaped
+    (an unescaped MERGED_T pattern matches MERGEDAT) and the search is
+    pinned to the connection's CURRENT schema (a same-named table in
+    another user's schema must not suppress CREATE TABLE here)."""
+    md = conn.getMetaData()
+    esc = md.getSearchStringEscape()
+    pattern = table.upper().replace("_", f"{esc}_")
+    schema = conn.getSchema()
+    rs = md.getTables(None, schema, pattern, None)
     try:
         return rs.next()
     finally:
@@ -143,8 +152,25 @@ def merge_jdbc_batch(
     from filmdatawarehouse_spark.streaming.merge import merged_frame
 
     spark = batch_df.sparkSession
-    staging = f"{table}_staging"
+    # staging is per-RUN: a fixed name could be overwritten by a zombie
+    # writer (old driver after failover) between this sink's staging
+    # write and its transaction, applying the wrong rows under this
+    # batch's ledger entry; with a per-run name the zombie scribbles on
+    # its own scratch table only
+    staging = f"{table}_stg_{run_id}"
     survivors = merged_frame(None, batch_df, keys, seq_col)
+
+    # cheap ledger probe BEFORE the staging write: a crash-after-commit
+    # replay would otherwise pay a full distributed JDBC overwrite of
+    # the batch just to discover it is a no-op (autocommit connection —
+    # the ledger CREATE, if needed, commits immediately)
+    probe = _connect(spark, url, driver, jdbc_options)
+    try:
+        _ensure_ledger(probe)
+        if _ledger_has(probe, table, run_id, batch_id):
+            return  # already applied: skip the staging write too
+    finally:
+        probe.close()
 
     writer = (
         survivors.write.format("jdbc")
@@ -183,7 +209,14 @@ def merge_jdbc_batch(
                 conn,
                 f"CREATE INDEX {table}_key_idx ON {qt} ({key_cols})",
             )
-        key_match = " AND ".join(f's."{k}" = t."{k}"' for k in keys)
+        # null-safe key equality: plain = is never true for NULL keys, so
+        # a NULL-key row would dodge the DELETE and re-INSERT every batch
+        # (duplicate accumulation) — the snapshot sink's groupBy treats
+        # NULL as one group, and this must match it
+        key_match = " AND ".join(
+            f'(s."{k}" = t."{k}" OR (s."{k}" IS NULL AND t."{k}" IS NULL))'
+            for k in keys
+        )
         supersedes = (
             f' AND s."{seq_col}" >= t."{seq_col}"' if seq_col else ""
         )
@@ -209,6 +242,15 @@ def merge_jdbc_batch(
         finally:
             ps.close()
         conn.commit()
+        # best-effort scratch cleanup AFTER the commit (per-run staging
+        # tables would otherwise accumulate one per sink start); a crash
+        # here just leaves a scratch table for manual cleanup — never
+        # affects the committed data
+        try:
+            _execute(conn, f"DROP TABLE {qs}")
+            conn.commit()
+        except Exception:
+            pass
     except Exception:
         conn.rollback()
         raise

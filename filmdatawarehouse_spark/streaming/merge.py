@@ -79,9 +79,14 @@ def current_snapshot(table_path: str) -> str | None:
     try:
         with open(_pointer_path(table_path)) as f:
             name = f.read().strip()
-        return name or None
     except OSError:
         return None
+    if not name:
+        return None
+    # legacy pointer format (pre-run-identity): a bare batch id whose
+    # snapshot lives at v-<id>; resolve it so an upgraded sink can still
+    # read and merge onto a table committed by the old code
+    return name if name.startswith("v-") else f"v-{name}"
 
 
 def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:

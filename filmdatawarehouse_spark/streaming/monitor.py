@@ -19,29 +19,51 @@ listener API (pyspark.sql.streaming.listener).
 from __future__ import annotations
 
 import threading
-from collections import deque
+from collections import OrderedDict, deque
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.listener import StreamingQueryListener
 
 _MAX_BATCHES = 256  # per query; a bounded ops tail, not an event store
+_MAX_QUERIES = 64  # LRU across queries — each fresh checkpoint/start is a
+# NEW query id (the repo's own write_stream_merge_* pattern), so a
+# long-lived service would otherwise leak one deque per start forever
 
 
 class StreamMetricsListener(StreamingQueryListener):
     """Collects (query name/id, batch_id, rows, rates, durations, state
     rows) per progress event. Thread-safe: the listener bus delivers on
-    its own thread."""
+    its own thread. Memory is bounded BOTH ways: ``max_batches`` per
+    query and ``max_queries`` least-recently-active query tails."""
 
-    def __init__(self, max_batches: int = _MAX_BATCHES) -> None:
+    def __init__(
+        self,
+        max_batches: int = _MAX_BATCHES,
+        max_queries: int = _MAX_QUERIES,
+    ) -> None:
         self._lock = threading.Lock()
         self._max = max_batches
-        self._progress: dict[str, deque] = {}
-        self._terminated: dict[str, str | None] = {}
+        self._max_queries = max_queries
+        self._progress: OrderedDict[str, deque] = OrderedDict()
+        self._terminated: OrderedDict[str, str | None] = OrderedDict()
+
+    def _touch(self, qid: str) -> deque:
+        """Move/insert ``qid`` as most-recently-active; evict the oldest
+        tails past the cap. Caller holds the lock."""
+        if qid in self._progress:
+            self._progress.move_to_end(qid)
+        else:
+            self._progress[qid] = deque(maxlen=self._max)
+        while len(self._progress) > self._max_queries:
+            self._progress.popitem(last=False)
+        while len(self._terminated) > self._max_queries:
+            self._terminated.popitem(last=False)
+        return self._progress[qid]
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:
         with self._lock:
-            self._progress.setdefault(str(event.id), deque(maxlen=self._max))
+            self._touch(str(event.id))
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
@@ -58,13 +80,12 @@ class StreamMetricsListener(StreamingQueryListener):
             "state_rows": state_rows,
         }
         with self._lock:
-            self._progress.setdefault(
-                str(p.id), deque(maxlen=self._max)
-            ).append(row)
+            self._touch(str(p.id)).append(row)
 
     def onQueryTerminated(self, event) -> None:
         with self._lock:
             self._terminated[str(event.id)] = event.exception
+            self._terminated.move_to_end(str(event.id))
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - bus-dependent
         pass

@@ -492,3 +492,21 @@ def test_write_source_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.count() == n.count()
     one = back.filter(F.col("n_regionkey") == 0)
     assert one.count() == n.filter(F.col("n_regionkey") == 0).count()
+
+
+def test_quarantine_null_value_rows_conserved(spark):
+    """A NULL `value` row (a Kafka tombstone on the frames
+    split_quarantine advertises) makes rlike return NULL, and a NULL
+    predicate fails BOTH complementary filters — the row would vanish
+    from clean AND quarantine. It must quarantine instead, preserving
+    conservation."""
+    from filmdatawarehouse_spark.io.formats import split_quarantine
+
+    raw = spark.createDataFrame(
+        [('{"id": 1, "v": "a"}',), (None,), ("{bad}",)], "value string"
+    )
+    clean, quarantine = split_quarantine(raw, "json", "id int, v string")
+    assert [(r.id, r.v) for r in clean.collect()] == [(1, "a")]
+    bad = [r.raw_record for r in quarantine.collect()]
+    assert sorted(bad, key=lambda x: (x is None, x)) == ["{bad}", None]
+    assert clean.count() + quarantine.count() == 3

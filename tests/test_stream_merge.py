@@ -407,3 +407,58 @@ def test_jdbc_merge_transaction_rolls_back_atomically(spark, tmp_path, monkeypat
         2: ("U", 22.0, 1),
         3: ("B", 30.0, 1),
     }
+
+
+def test_jdbc_merge_null_keys_never_duplicate(spark, tmp_path):
+    """Plain SQL `=` is never true for NULL, so a NULL-key row would
+    dodge the DELETE and re-INSERT every batch. The null-safe key match
+    must keep exactly one NULL-key survivor — matching the snapshot
+    sink's groupBy semantics (NULL is one group)."""
+    from filmdatawarehouse_spark.streaming.jdbc_merge import merge_jdbc_batch
+
+    url = "jdbc:derby:memory:fdw_merge_nullk;create=true"
+    merge_jdbc_batch(
+        spark.createDataFrame([(None, "A", 1.0, 0), (1, "A", 1.0, 0)], SCHEMA),
+        0, url, "nk_t", ["k"], seq_col="seq", driver=DERBY_DRV, run_id="r",
+    )
+    merge_jdbc_batch(
+        spark.createDataFrame([(None, "B", 2.0, 1)], SCHEMA),
+        1, url, "nk_t", ["k"], seq_col="seq", driver=DERBY_DRV, run_id="r",
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", DERBY_DRV)
+        .option("dbtable", "nk_t")
+        .load()
+        .collect()
+    )
+    got = sorted(
+        ((r.k, r.status) for r in back),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+    )
+    assert got == [(1, "A"), (None, "B")]
+
+
+def test_snapshot_pointer_legacy_format_still_resolves(spark, tmp_path):
+    """A table committed by the pre-run-identity code (pointer holds the
+    bare batch id, snapshot at v-<id>) must stay readable and mergeable
+    after the upgrade."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        read_merge_table,
+    )
+
+    table = str(tmp_path / "legacy")
+    os.makedirs(table)
+    spark.createDataFrame([(1, "A", 1.0, 0)], SCHEMA).write.parquet(
+        os.path.join(table, "v-5")
+    )
+    with open(os.path.join(table, "_LATEST"), "w") as f:
+        f.write("5")
+    assert {r.k for r in read_merge_table(spark, table).collect()} == {1}
+    merge_upsert_batch(
+        spark.createDataFrame([(2, "B", 2.0, 1)], SCHEMA),
+        0, table, ["k"], seq_col="seq", run_id="new",
+    )
+    assert {r.k for r in read_merge_table(spark, table).collect()} == {1, 2}

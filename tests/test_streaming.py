@@ -738,3 +738,29 @@ def test_stream_metrics_listener_records_batches(spark, tmp_path):
         assert listener.failures() == {}
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_metrics_listener_bounds_query_count():
+    """Each fresh checkpoint/start is a new query id, so a long-lived
+    service would leak one tail per start without the cross-query LRU
+    cap — the oldest query tails must be evicted past max_queries."""
+    from types import SimpleNamespace
+
+    from filmdatawarehouse_spark.streaming.monitor import (
+        StreamMetricsListener,
+    )
+
+    listener = StreamMetricsListener(max_batches=4, max_queries=3)
+    for i in range(10):
+        p = SimpleNamespace(
+            id=f"q{i}", name=f"n{i}", batchId=0, numInputRows=1,
+            processedRowsPerSecond=1.0, durationMs={"triggerExecution": 1},
+            stateOperators=[],
+        )
+        listener.onQueryProgress(SimpleNamespace(progress=p))
+        listener.onQueryTerminated(
+            SimpleNamespace(id=f"q{i}", exception=None)
+        )
+    rows = listener.snapshot()
+    assert len(rows) == 3  # only the 3 most recent query tails survive
+    assert {r["query_id"] for r in rows} == {"q7", "q8", "q9"}

@@ -87,6 +87,14 @@ def time_jdbc(spark, n, tag) -> float:
             delta_frame(spark, n, i), i, url, table, ["k"], "seq", driver=drv
         )
         times.append(time.perf_counter() - t0)
+    # drop the in-memory Derby DB so earlier sizes don't stay resident in
+    # the JVM heap and skew (or OOM) the later, larger measurements
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:mergebench{tag};drop=true"
+        )
+    except Exception:
+        pass  # Derby signals a successful drop BY raising 08006
     return statistics.median(times)
 
 
