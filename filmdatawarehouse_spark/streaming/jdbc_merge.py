@@ -209,26 +209,47 @@ def merge_jdbc_batch(
                 conn,
                 f"CREATE INDEX {table}_key_idx ON {qt} ({key_cols})",
             )
-        # null-safe key equality: plain = is never true for NULL keys, so
-        # a NULL-key row would dodge the DELETE and re-INSERT every batch
-        # (duplicate accumulation) — the snapshot sink's groupBy treats
-        # NULL as one group, and this must match it
-        key_match = " AND ".join(
+        # NULL-key handling without killing the index: plain `=` is never
+        # true for NULL keys, so a NULL-key row would dodge the DELETE
+        # and re-INSERT every batch (duplicate accumulation) — but an
+        # inline null-safe `(= OR both-NULL)` disjunction is non-sargable
+        # and collapsed the indexed probe back into the O(target x
+        # staging) nested loop (measured: 0.5 s -> 13 s per 1k-row batch
+        # at a 10k-row target). So: the hot path keeps pure equality
+        # (index-friendly; NULL keys simply never match it), and a
+        # RESIDUAL null-safe pass runs restricted to rows with at least
+        # one NULL key column on both sides — normally zero rows, so its
+        # non-sargable match is harmless. Semantics equal the snapshot
+        # sink's groupBy (NULL is one group).
+        eq = " AND ".join(f's."{k}" = t."{k}"' for k in keys)
+        nsafe = " AND ".join(
             f'(s."{k}" = t."{k}" OR (s."{k}" IS NULL AND t."{k}" IS NULL))'
             for k in keys
         )
+        anynull_s = " OR ".join(f's."{k}" IS NULL' for k in keys)
+        anynull_t = " OR ".join(f't."{k}" IS NULL' for k in keys)
+        allnn_s = " AND ".join(f's."{k}" IS NOT NULL' for k in keys)
         supersedes = (
             f' AND s."{seq_col}" >= t."{seq_col}"' if seq_col else ""
         )
         _execute(
             conn,
             f"DELETE FROM {qt} t WHERE EXISTS "
-            f"(SELECT 1 FROM {qs} s WHERE {key_match}{supersedes})",
+            f"(SELECT 1 FROM {qs} s WHERE {eq}{supersedes})",
+        )
+        _execute(
+            conn,
+            f"DELETE FROM {qt} t WHERE ({anynull_t}) AND EXISTS "
+            f"(SELECT 1 FROM {qs} s WHERE ({anynull_s}) "
+            f"AND {nsafe}{supersedes})",
         )
         _execute(
             conn,
             f"INSERT INTO {qt} ({cols}) SELECT {cols} FROM {qs} s "
-            f"WHERE NOT EXISTS (SELECT 1 FROM {qt} t WHERE {key_match})",
+            f"WHERE (({allnn_s}) AND NOT EXISTS "
+            f"(SELECT 1 FROM {qt} t WHERE {eq})) "
+            f"OR (({anynull_s}) AND NOT EXISTS "
+            f"(SELECT 1 FROM {qt} t WHERE ({anynull_t}) AND {nsafe}))",
         )
         ps = conn.prepareStatement(
             f"INSERT INTO {LEDGER_TABLE} (sink, run, batch_id) "
