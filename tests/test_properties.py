@@ -414,3 +414,76 @@ def test_quarantine_split_spec(spark, tmp_path_factory, lines):
     assert len(got_clean) + len(got_bad) == len(lines)
     assert Counter(got_clean) == Counter(expect_clean)
     assert Counter(got_bad) == Counter(expect_bad)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    data=st.data(),
+)
+def test_snapshot_and_jdbc_merge_sinks_agree(
+    spark, tmp_path_factory, batches, data
+):
+    """The two exactly-once MERGE implementations — parquet snapshot
+    aggregate and SQL DELETE/INSERT over Derby — must produce the SAME
+    keyed table for any batch sequence, INCLUDING NULL keys (where the
+    SQL path's null-safe residual must match the aggregate's
+    NULL-as-one-group semantics). Seqs are made unique per key per batch
+    so ties cannot resolve differently between engines."""
+    from filmdatawarehouse_spark.streaming.jdbc_merge import merge_jdbc_batch
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        read_merge_table,
+    )
+
+    # de-dup (key, seq) within each batch so within-batch ties (which
+    # both engines resolve arbitrarily) cannot cause a spurious mismatch
+    uniq_batches = []
+    for rows in batches:
+        seen = {}
+        for k, v, seq in rows:
+            seen[(k, seq)] = (k, v, seq)
+        uniq_batches.append(list(seen.values()))
+
+    schema = "k long, v long, seq long"
+    tag = data.draw(st.integers(min_value=0, max_value=10**9))
+    table = str(tmp_path_factory.mktemp("xsink"))
+    url = f"jdbc:derby:memory:xsink{tag};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    for bid, rows in enumerate(uniq_batches):
+        df = spark.createDataFrame(rows, schema)
+        merge_upsert_batch(df, bid, table, ["k"], seq_col="seq", run_id="r")
+        merge_jdbc_batch(
+            df, bid, url, "xt", ["k"], seq_col="seq", driver=drv, run_id="r"
+        )
+
+    snap = {
+        (r.k, r.v, r.seq) for r in read_merge_table(spark, table).collect()
+    }
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", drv)
+        .option("dbtable", "xt")
+        .load()
+        .collect()
+    )
+    jdbc = {(r.k, r.v, r.seq) for r in back}
+    assert snap == jdbc
+    assert len(back) == len({r.k for r in back})  # keyed: no duplicates
