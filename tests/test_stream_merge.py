@@ -462,3 +462,128 @@ def test_snapshot_pointer_legacy_format_still_resolves(spark, tmp_path):
         0, table, ["k"], seq_col="seq", run_id="new",
     )
     assert {r.k for r in read_merge_table(spark, table).collect()} == {1, 2}
+
+
+def test_partitioned_merge_touches_only_batch_partitions(spark, tmp_path):
+    """The partition-pruned MERGE must (a) upsert correctly, (b) leave
+    UNTOUCHED partitions' files bit-identical on disk (the O(touched)
+    claim, verified by file mtimes+sizes, not just values), and (c) be
+    replay-idempotent — re-applying the same batch changes nothing."""
+    import glob
+
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    schema = "k long, day string, status string, seq long"
+
+    base = [
+        (1, "d1", "A", 0),
+        (2, "d1", "A", 0),
+        (3, "d2", "A", 0),
+        (4, "d3", "A", 0),
+    ]
+    merge_upsert_batch_partitioned(
+        spark.createDataFrame(base, schema), table, ["k"], "day",
+        seq_col="seq",
+    )
+
+    def files(day):
+        return {
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(f"{table}/day={day}/*.parquet")
+        }
+
+    d2_before, d3_before = files("d2"), files("d3")
+    delta = [(2, "d1", "U", 1), (5, "d1", "A", 1)]  # touches d1 only
+    merge_upsert_batch_partitioned(
+        spark.createDataFrame(delta, schema), table, ["k"], "day",
+        seq_col="seq",
+    )
+    got = {
+        (r.k, r.day, r.status)
+        for r in spark.read.parquet(table).collect()
+    }
+    expect = {
+        (1, "d1", "A"),
+        (2, "d1", "U"),
+        (3, "d2", "A"),
+        (4, "d3", "A"),
+        (5, "d1", "A"),
+    }
+    assert got == expect
+    # untouched partitions: same files, same mtimes, same bytes
+    assert files("d2") == d2_before and files("d3") == d3_before
+
+    # replay idempotence: same batch again -> identical table
+    merge_upsert_batch_partitioned(
+        spark.createDataFrame(delta, schema), table, ["k"], "day",
+        seq_col="seq",
+    )
+    again = {
+        (r.k, r.day, r.status)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == expect
+    assert files("d2") == d2_before  # still untouched
+
+    # an OLD redelivery cannot regress (seq survivorship)
+    stale = [(2, "d1", "A", 0)]
+    merge_upsert_batch_partitioned(
+        spark.createDataFrame(stale, schema), table, ["k"], "day",
+        seq_col="seq",
+    )
+    assert {
+        (r.k, r.status)
+        for r in spark.read.parquet(table).filter("k = 2").collect()
+    } == {(2, "U")}
+
+
+def test_partitioned_merge_streaming_restart(spark, tmp_path):
+    """The partitioned sink through a real readStream: restart from the
+    checkpoint drains only new input; no duplicates, updates win."""
+    from pyspark.sql import functions as F
+
+    from filmdatawarehouse_spark.streaming.merge import (
+        write_stream_merge_partitioned,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "k long, day string, status string, seq long"
+
+    spark.createDataFrame(
+        [(1, "d1", "A", 0), (2, "d2", "A", 0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = write_stream_merge_partitioned(
+        spark.readStream.schema(schema).parquet(src),
+        table, ["k"], "day", ckpt, seq_col="seq",
+    )
+    q.awaitTermination()
+
+    spark.createDataFrame(
+        [(2, "d2", "U", 1), (3, "d1", "A", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = write_stream_merge_partitioned(
+        spark.readStream.schema(schema).parquet(src),
+        table, ["k"], "day", ckpt, seq_col="seq",
+    )
+    q2.awaitTermination()
+
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 3
+    assert {(r.k, r.day, r.status) for r in rows} == {
+        (1, "d1", "A"),
+        (2, "d2", "U"),
+        (3, "d1", "A"),
+    }
+    # partition pruning survives on the result table
+    plan = (
+        spark.read.parquet(table)
+        .filter(F.col("day") == "d1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
