@@ -226,6 +226,13 @@ def merge_upsert_batch_partitioned(
     Pick this form when the target is too large to rewrite and
     partition-level consistency is acceptable; pick the snapshot sink
     for dimension-sized targets needing an atomic cutover.
+
+    CONTRACT — partition-stable keys: a key's partition value must never
+    change across batches (the date-keyed-fact norm). The prune reads
+    only the batch's partitions, so a key UPDATE arriving under a new
+    partition value cannot see — and therefore cannot retire — the old
+    row in the unread partition; both would remain. Keys that migrate
+    partitions need the snapshot sink (or a delete-record convention).
     """
     spark = batch_df.sparkSession
     if partition_col in keys:
@@ -240,9 +247,16 @@ def merge_upsert_batch_partitioned(
     )
     base = None
     if exists:
-        base = spark.read.parquet(table_path).filter(
-            F.col(partition_col).isin(touched)
+        # isin() never matches NULL, so a null-partition batch
+        # (__HIVE_DEFAULT_PARTITION__ on disk) needs the explicit isNull
+        # arm or its existing rows would be invisible to the merge and
+        # duplicate on every update
+        pred = F.col(partition_col).isin(
+            [v for v in touched if v is not None]
         )
+        if any(v is None for v in touched):
+            pred = pred | F.col(partition_col).isNull()
+        base = spark.read.parquet(table_path).filter(pred)
     merged = merged_frame(base, batch_df, keys, seq_col).localCheckpoint(
         eager=True
     )

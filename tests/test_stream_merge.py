@@ -587,3 +587,28 @@ def test_partitioned_merge_streaming_restart(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_partitioned_merge_null_partition_updates_not_duplicated(
+    spark, tmp_path
+):
+    """isin() never matches NULL: a null-partition batch's existing rows
+    (__HIVE_DEFAULT_PARTITION__) must still be visible to the pruned
+    base read, or every update would duplicate instead of replacing."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch_partitioned,
+    )
+
+    table = str(tmp_path / "nt")
+    schema = "k long, day string, status string, seq long"
+    merge_upsert_batch_partitioned(
+        spark.createDataFrame([(1, None, "A", 0), (2, "d1", "A", 0)], schema),
+        table, ["k"], "day", seq_col="seq",
+    )
+    merge_upsert_batch_partitioned(
+        spark.createDataFrame([(1, None, "U", 1)], schema),
+        table, ["k"], "day", seq_col="seq",
+    )
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 2
+    assert {(r.k, r.status) for r in rows} == {(1, "U"), (2, "A")}
