@@ -52,18 +52,17 @@ def write_stream_idempotent_parquet(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id", *extra)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite per WRITE, not via save/set/restore of the
+        # session conf — the session-global toggle races a concurrent
+        # sink, whose overwrite could then run 'static' and truncate the
+        # other batches' partitions
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", *extra)
+            .parquet(path)
+        )
 
     return (
         df.writeStream.foreachBatch(sink)

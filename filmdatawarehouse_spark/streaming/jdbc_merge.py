@@ -229,8 +229,19 @@ def merge_jdbc_batch(
         anynull_s = " OR ".join(f's."{k}" IS NULL' for k in keys)
         anynull_t = " OR ".join(f't."{k}" IS NULL' for k in keys)
         allnn_s = " AND ".join(f's."{k}" IS NOT NULL' for k in keys)
+        # NULL-seq alignment with the snapshot sink: max_by orders a NULL
+        # seq LOWEST, so any non-NULL (or newer-batch NULL) row replaces
+        # a NULL-seq target. Plain >= is UNKNOWN against a NULL t.seq and
+        # would freeze such rows forever; `OR t.seq IS NULL` restores the
+        # aggregate's semantics (a NULL-seq batch row still cannot
+        # replace a non-NULL target — >= is UNKNOWN there, matching
+        # max_by). Pinned by the cross-sink agreement property test,
+        # whose seq strategy includes None.
         supersedes = (
-            f' AND s."{seq_col}" >= t."{seq_col}"' if seq_col else ""
+            f' AND (s."{seq_col}" >= t."{seq_col}"'
+            f' OR t."{seq_col}" IS NULL)'
+            if seq_col
+            else ""
         )
         _execute(
             conn,

@@ -241,12 +241,16 @@ def merge_upsert_batch_partitioned(
         r[0]
         for r in batch_df.select(partition_col).distinct().collect()
     ]
-    exists = any(
-        d.startswith(f"{partition_col}=")
-        for d in (os.listdir(table_path) if os.path.isdir(table_path) else [])
-    )
+    # existence probe through SPARK, not os.path: this sink targets the
+    # large remote-fs tables (HDFS/S3) where a local isdir() check would
+    # silently report "no table", merge with base=None, and overwrite
+    # the touched partitions with batch-only rows — quiet data loss
+    try:
+        base_all = spark.read.parquet(table_path)
+    except Exception:  # path absent or empty: first batch
+        base_all = None
     base = None
-    if exists:
+    if base_all is not None:
         # isin() never matches NULL, so a null-partition batch
         # (__HIVE_DEFAULT_PARTITION__ on disk) needs the explicit isNull
         # arm or its existing rows would be invisible to the merge and
@@ -256,22 +260,20 @@ def merge_upsert_batch_partitioned(
         )
         if any(v is None for v in touched):
             pred = pred | F.col(partition_col).isNull()
-        base = spark.read.parquet(table_path).filter(pred)
+        base = base_all.filter(pred)
     merged = merged_frame(base, batch_df, keys, seq_col).localCheckpoint(
         eager=True
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # dynamic overwrite is set PER WRITE, never on the session conf: a
+    # save/set/restore of the session-global flag races a concurrent
+    # sink in the same session, whose overwrite could then run in
+    # 'static' mode and truncate every untouched partition
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(table_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_stream_merge_partitioned(

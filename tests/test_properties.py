@@ -416,6 +416,9 @@ def test_quarantine_split_spec(spark, tmp_path_factory, lines):
     assert Counter(got_bad) == Counter(expect_bad)
 
 
+_XSINK_N = 0
+
+
 @settings(
     max_examples=6,
     deadline=None,
@@ -427,7 +430,10 @@ def test_quarantine_split_spec(spark, tmp_path_factory, lines):
             st.tuples(
                 st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
                 st.integers(min_value=0, max_value=9),
-                st.integers(min_value=0, max_value=9),
+                # seq includes None: NULL-seq rows are where the SQL
+                # path's UNKNOWN three-valued logic can diverge from the
+                # aggregate's NULL-orders-lowest semantics
+                st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
             ),
             min_size=1,
             max_size=4,
@@ -435,10 +441,9 @@ def test_quarantine_split_spec(spark, tmp_path_factory, lines):
         min_size=1,
         max_size=3,
     ),
-    data=st.data(),
 )
 def test_snapshot_and_jdbc_merge_sinks_agree(
-    spark, tmp_path_factory, batches, data
+    spark, tmp_path_factory, batches
 ):
     """The two exactly-once MERGE implementations — parquet snapshot
     aggregate and SQL DELETE/INSERT over Derby — must produce the SAME
@@ -462,28 +467,46 @@ def test_snapshot_and_jdbc_merge_sinks_agree(
         uniq_batches.append(list(seen.values()))
 
     schema = "k long, v long, seq long"
-    tag = data.draw(st.integers(min_value=0, max_value=10**9))
+    # a fresh Derby DB per example via a monotonic counter (a
+    # Hypothesis-drawn tag repeats during shrinking, and a reused DB's
+    # ledger rows would skip batches and fail for the wrong reason);
+    # dropped at the end so examples don't accumulate in the JVM heap
+    global _XSINK_N
+    _XSINK_N += 1
+    tag = _XSINK_N
     table = str(tmp_path_factory.mktemp("xsink"))
     url = f"jdbc:derby:memory:xsink{tag};create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
-    for bid, rows in enumerate(uniq_batches):
-        df = spark.createDataFrame(rows, schema)
-        merge_upsert_batch(df, bid, table, ["k"], seq_col="seq", run_id="r")
-        merge_jdbc_batch(
-            df, bid, url, "xt", ["k"], seq_col="seq", driver=drv, run_id="r"
-        )
+    try:
+        for bid, rows in enumerate(uniq_batches):
+            df = spark.createDataFrame(rows, schema)
+            merge_upsert_batch(
+                df, bid, table, ["k"], seq_col="seq", run_id="r"
+            )
+            merge_jdbc_batch(
+                df, bid, url, "xt", ["k"], seq_col="seq", driver=drv,
+                run_id="r",
+            )
 
-    snap = {
-        (r.k, r.v, r.seq) for r in read_merge_table(spark, table).collect()
-    }
-    back = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("driver", drv)
-        .option("dbtable", "xt")
-        .load()
-        .collect()
-    )
-    jdbc = {(r.k, r.v, r.seq) for r in back}
-    assert snap == jdbc
-    assert len(back) == len({r.k for r in back})  # keyed: no duplicates
+        snap = {
+            (r.k, r.v, r.seq)
+            for r in read_merge_table(spark, table).collect()
+        }
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", drv)
+            .option("dbtable", "xt")
+            .load()
+            .collect()
+        )
+        jdbc = {(r.k, r.v, r.seq) for r in back}
+        assert snap == jdbc
+        assert len(back) == len({r.k for r in back})  # keyed: no dupes
+    finally:
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:memory:xsink{tag};drop=true"
+            )
+        except Exception:
+            pass  # Derby signals a successful drop BY raising
