@@ -97,6 +97,7 @@ HEADLINE = [
     "pipeline_curate_documents",
     "chunk_documents",
     "corpus_merge_priority",
+    "weighted_sample_docs",
     "dq_checks",
     "scd2_point_in_time",
     "events_cohort_retention",

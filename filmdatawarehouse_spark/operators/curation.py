@@ -141,6 +141,53 @@ def stratified_sample(
     return df.filter(_unit_hash(F.col(key_col)) < rate)
 
 
+WEIGHTED_SALT = "wsample:"
+WEIGHTED_HASH_BITS = 32
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_col: str,
+    denom: int = 1024,
+    salt: str = WEIGHTED_SALT,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: a row survives with
+    probability ``clamp(weight, 0, denom) / denom`` — the data-mixing
+    primitive that up-weights long/high-quality documents without RNG
+    state. The keep decision is EXACT integer arithmetic, no float
+    anywhere:
+
+        u * denom < clamp(w) * 2^32,   u = first 8 md5 hex digits of
+                                           (salt || key) as a 32-bit int
+
+    so the sample is reproducible across engines, partitionings, and
+    corpus growth (adding rows never flips existing decisions — unlike
+    ``df.sample``, whose output depends on partition layout). DuckDB twin
+    of the draw: ``('0x' || substr(md5('<salt>' || k::VARCHAR), 1, 8))::BIGINT``.
+
+    Bounds: u < 2^32 and denom ≤ 2^20 keep both products far inside
+    int64, so the comparison is overflow-free without decimals. Pure
+    map-side filter — zero shuffle; at 100 TB this is a scan-rate
+    operator, and the weight column prunes to exactly what the filter
+    needs.
+    """
+    if not 0 < denom <= 1 << 20:
+        raise ValueError(f"denom must be in (0, 2^20]: {denom}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.greatest(F.lit(0), F.least(w.cast("bigint"), F.lit(int(denom))))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.filter(
+        u * F.lit(int(denom)) < w * F.lit(1 << WEIGHTED_HASH_BITS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. sequence packing (concat-then-chunk)
 # ---------------------------------------------------------------------------

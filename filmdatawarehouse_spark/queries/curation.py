@@ -18,6 +18,8 @@ SAMPLE_RATES = {"purchase": 0.5, "view": 0.1, "click": 0.25}
 SAMPLE_DEFAULT = 0.05
 PACK_WINDOW = 256
 PACK_SHARDS = 16
+WSAMPLE_CAP = 256      # weight clamp: docs longer than this don't over-draw
+WSAMPLE_DENOM = 1024   # keep probability = clamp(n_tokens, 0, CAP) / DENOM
 
 Entry = tuple
 
@@ -42,6 +44,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SAMPLE_RATES,
         key_col="event_id",
         default_rate=SAMPLE_DEFAULT,
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sampling
+    (operators/curation.py:weighted_sample): keep probability
+    ``min(n_tokens, 256) / 1024``, decided by exact integer arithmetic on
+    a 32-bit md5 draw — the data-mixing primitive (weight by token count
+    / quality score) with zero float comparisons, zero shuffle, and
+    decisions stable under corpus growth. The oracle replays the identical
+    integer inequality, so the gate is raw-hash (no rounding grid)."""
+    from filmdatawarehouse_spark.operators.text import token_count_ws
+
+    d = read_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id",
+        "lang",
+        token_count_ws("text").alias("n_tokens"),
+    ).withColumn(
+        "weight",
+        F.least(F.col("n_tokens"), F.lit(WSAMPLE_CAP)).cast("bigint"),
+    )
+    return cu.weighted_sample(
+        weighted, "weight", "doc_id", denom=WSAMPLE_DENOM
     )
 
 
@@ -137,6 +163,19 @@ CURATION_ORACLES: dict[str, str] = {
                   WHEN 'view' THEN 0.1
                   ELSE {SAMPLE_DEFAULT!r} END
     """,
+    "weighted_sample_docs": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               LEAST(n_tokens, {WSAMPLE_CAP})::BIGINT AS weight
+        FROM t
+        WHERE ('0x' || substr(md5('{cu.WEIGHTED_SALT}' || doc_id::VARCHAR),
+                              1, 8))::BIGINT * {WSAMPLE_DENOM}
+              < LEAST(n_tokens, {WSAMPLE_CAP}) * {1 << cu.WEIGHTED_HASH_BITS}
+    """,
     "pack_sequences": f"""
         WITH t AS (
           SELECT doc_id,
@@ -211,6 +250,10 @@ CURATION_QUERIES: dict[str, Entry] = {
     "stratified_sample_events": (
         q_stratified_sample,
         CURATION_ORACLES["stratified_sample_events"],
+    ),
+    "weighted_sample_docs": (
+        q_weighted_sample,
+        CURATION_ORACLES["weighted_sample_docs"],
     ),
     "pack_sequences": (q_pack_sequences, CURATION_ORACLES["pack_sequences"]),
     "redact_pii_docs": (q_redact_pii, CURATION_ORACLES["redact_pii_docs"]),

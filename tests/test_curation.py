@@ -93,6 +93,54 @@ def test_stratified_sample_is_shuffle_free(spark):
 
 
 # ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_boundaries_and_growth_stable(spark):
+    rows = [(i, w) for i, w in enumerate([0, -5, 1024, 2048] + [128] * 400)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    keep = cu.weighted_sample(df, "w", key_col="k", denom=1024)
+    first = {r["k"] for r in keep.collect()}
+    # deterministic — identical re-run
+    assert {r["k"] for r in keep.collect()} == first
+    # weight <= 0 can never be drawn; weight >= denom always is
+    assert 0 not in first and 1 not in first
+    assert 2 in first and 3 in first
+    # weight 128/1024 = 12.5% keep rate on the 400-row bulk
+    bulk = [k for k in first if k >= 4]
+    assert 20 <= len(bulk) <= 85
+    # growing the corpus never flips an existing decision
+    grown = spark.createDataFrame(
+        rows + [(i, 128) for i in range(500, 900)], "k bigint, w bigint"
+    )
+    kept_grown = {
+        r["k"]
+        for r in cu.weighted_sample(grown, "w", key_col="k", denom=1024).collect()
+    }
+    assert {k for k in kept_grown if k < 500} == first
+
+
+def test_weighted_sample_is_shuffle_free_and_integer_only(spark):
+    df = spark.createDataFrame([(i, 100) for i in range(10)], "k bigint, w bigint")
+    q = cu.weighted_sample(df, "w", key_col="k")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # the keep decision is exact integer arithmetic — no float casts
+    assert "as double" not in plan.lower()
+
+
+def test_weighted_sample_rejects_bad_denom(spark):
+    df = spark.createDataFrame([(1, 1)], "k bigint, w bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cu.weighted_sample(df, "w", key_col="k", denom=0)
+    with _pytest.raises(ValueError):
+        cu.weighted_sample(df, "w", key_col="k", denom=(1 << 20) + 1)
+
+
+# ---------------------------------------------------------------------------
 # pack_documents
 # ---------------------------------------------------------------------------
 
