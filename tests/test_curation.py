@@ -130,6 +130,25 @@ def test_weighted_sample_is_shuffle_free_and_integer_only(spark):
     assert "as double" not in plan.lower()
 
 
+def test_weighted_sample_matches_python_md5_reference(spark):
+    """Third-engine check: the keep set equals a hashlib.md5 reference of
+    the exact integer inequality, independent of both Spark and DuckDB —
+    pins the draw recipe (salt, 8 hex digits, u*D < w*2^32), not just
+    cross-engine agreement."""
+    import hashlib
+
+    rows = [(k, (k * 37) % 1500 - 20) for k in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, w bigint")
+    got = {r["k"] for r in cu.weighted_sample(df, "w", key_col="k", denom=1024).collect()}
+    expect = set()
+    for k, w in rows:
+        u = int(hashlib.md5(f"{cu.WEIGHTED_SALT}{k}".encode()).hexdigest()[:8], 16)
+        wc = max(0, min(w, 1024))
+        if u * 1024 < wc * (1 << 32):
+            expect.add(k)
+    assert got == expect and 0 < len(expect) < 300
+
+
 def test_weighted_sample_rejects_bad_denom(spark):
     df = spark.createDataFrame([(1, 1)], "k bigint, w bigint")
     import pytest as _pytest

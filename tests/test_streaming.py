@@ -693,6 +693,41 @@ def test_streaming_quarantine_ingest(spark, tmp_path):
     assert bad == ["", "{broken}"]
 
 
+def test_streaming_weighted_sample_equals_batch(spark, sf_dir):
+    """weighted_sample is a stateless exact-integer filter, so the SAME
+    operator call must run unchanged over readStream and keep exactly the
+    batch keep-set — the batch=stream contract for the data-mixing
+    primitive (a streaming ingest can weight-sample at the door with no
+    state store and no re-tuning)."""
+    from filmdatawarehouse_spark.operators.curation import weighted_sample
+
+    probe = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_w = probe.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("w")
+    )
+    expected = {
+        r.doc_id
+        for r in weighted_sample(with_w, "w", key_col="doc_id").collect()
+    }
+    raw = (
+        spark.readStream.schema(probe.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    stream = weighted_sample(
+        raw.select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("w")
+        ),
+        "w",
+        key_col="doc_id",
+    )
+    run_stream_to_memory(stream, "wsample_out", output_mode="append")
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM wsample_out").collect()
+    }
+    assert got == expected and got
+
+
 def test_stream_metrics_listener_records_batches(spark, tmp_path):
     """The metrics listener must see every micro-batch of a real run with
     its input row count, expose a queryable snapshot/DataFrame, and
