@@ -38,11 +38,20 @@ def global_running_sum(
     order: list[Column],
     out_col: str,
     n_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """``df`` plus ``out_col`` = running sum of ``value`` over the GLOBAL
     total order given by ``order`` (callers must include a tiebreaker
     column so the order is total — same contract as every window query
-    here). ``value`` should be decimal-typed for exactness."""
+    here). ``value`` should be decimal-typed for exactness.
+
+    ``total_col``: optionally also emit SUM(value) OVER () — the grand
+    total is the last exclusive offset plus the last partition's sum,
+    already in hand driver-side after the offsets loop, so callers that
+    need it (Pareto/ABC share-of-total) get it for free instead of
+    running a separate aggregate job + crossJoin over the same frame
+    (exact decimal arithmetic either way; NULL iff every value is NULL,
+    matching SQL SUM)."""
     from filmdatawarehouse_spark.operators.cache import managed_persist
 
     spark = df.sparkSession
@@ -65,6 +74,7 @@ def global_running_sum(
     stats = {r["_pid"]: (r["t"], r["n_vals"]) for r in tot_df.collect()}
     running = 0
     seen_vals = 0
+    any_val = False
     offsets = []
     for pid in sorted(stats):
         t, n_vals = stats[pid]
@@ -75,6 +85,7 @@ def global_running_sum(
         offsets.append((pid, str(running), seen_vals > 0))
         if t is not None:
             running += t
+            any_val = True
         seen_vals += n_vals
     # offsets ride back in as strings -> exact sum type (str is an
     # unambiguous decimal literal; no float hop)
@@ -83,6 +94,11 @@ def global_running_sum(
     ).select(
         "_pid", F.col("_offset").cast(sum_type).alias("_offset"), "_had_prior"
     )
+    if total_col is not None:
+        total_lit = (
+            F.lit(str(running)) if any_val else F.lit(None).cast("string")
+        )
+        off = off.withColumn(total_col, total_lit.cast(sum_type))
 
     w = (
         Window.partitionBy("_pid")

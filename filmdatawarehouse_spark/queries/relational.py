@@ -995,12 +995,16 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue.cast("decimal(28,4)")).alias("rev")
         )
     )
-    total = per_part.agg(F.sum("rev").alias("tot"))
+    # tot rides out of the prefix-sum operator itself (total_col): the
+    # grand total is already exact driver-side arithmetic over the
+    # collected per-partition sums — a separate agg job + crossJoin over
+    # the same persisted frame bought nothing (r09: one fewer job per run)
     cum = global_running_sum(
         per_part,
         F.col("rev"),
         [F.col("rev").desc(), F.col("l_partkey")],
         "cum_rev",
+        total_col="tot",
     )
     # exact integer ppb: scale-4 unit counts are exactly integral, the
     # integral division truncates identically in both engines
@@ -1009,8 +1013,7 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div CAST(tot * 10000 AS DECIMAL(38,0)) AS BIGINT)"
     )
     return (
-        cum.crossJoin(F.broadcast(total))
-        .withColumn("_ppb", ppb)
+        cum.withColumn("_ppb", ppb)
         .withColumn(
             "cum_share", F.col("_ppb").cast("double") / F.lit(1e9)
         )

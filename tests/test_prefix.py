@@ -54,6 +54,30 @@ def test_global_running_sum_keeps_exact_decimal_offsets(spark):
     assert total == want
 
 
+def test_global_running_sum_total_col(spark):
+    """total_col must equal SUM(value) OVER () exactly (decimal, every
+    row the same value; NULL iff every value is NULL) — it is derived
+    driver-side from the collected partition sums, so a drift here would
+    silently skew every share-of-total consumer."""
+    rows = [(i, str((i * 37 % 100) + 0.25)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v string").select(
+        "k", F.col("v").cast("decimal(18,2)").alias("v")
+    )
+    out = global_running_sum(
+        df, F.col("v"), [F.col("k")], "cum", n_partitions=7, total_col="tot"
+    ).collect()
+    want = sum(Decimal(str((i * 37 % 100) + 0.25)) for i in range(500))
+    assert {r["tot"] for r in out} == {want}
+    # all-NULL input: SQL SUM over () is NULL
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(20)], "k int, v string"
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    out_n = global_running_sum(
+        nulls, F.col("v"), [F.col("k")], "cum", n_partitions=3, total_col="tot"
+    ).collect()
+    assert {r["tot"] for r in out_n} == {None}
+
+
 def test_prefix_filter_join_is_complete_vs_brute_force(spark, tmp_path):
     """Planted near-duplicates (Jaccard >= 0.7 on word 3-shingles) must
     ALL surface — the prefix filter is an exactness-preserving pruning,
