@@ -14,7 +14,11 @@ BENCH_full.json next to this file:
            "errors", and "anchor_drift" — the scan-bound anchor queries'
            warm ratio vs the previous committed BENCH_full.json, so
            round-over-round environment drift is recorded in the harness
-           instead of being re-derived from git each round.
+           instead of being re-derived from git each round — plus
+           "job_overhead_ms" (median trivial-job wall time before/after
+           the suite): the second drift axis the scan-bound anchors are
+           blind to, since a session with inflated per-job fixed cost
+           slows multi-job queries without moving single-job anchors.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -296,6 +300,24 @@ def main() -> None:
                     except Exception:
                         pass
 
+    def job_overhead_ms() -> float:
+        # Median wall time of a trivial 1-row job: the session's PER-JOB
+        # fixed cost (scheduler + task dispatch + GC pressure). The four
+        # scan-bound anchors are single-job queries, so sessions whose
+        # per-job overhead inflates under-report drift for multi-job
+        # queries (the collect-based prefix sum spans 3 jobs and swung
+        # 1.1s<->3.0s between same-code runs while anchors moved 10%).
+        # Recording the probe makes that drift axis attributable.
+        samples = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            spark.range(1).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return round(samples[len(samples) // 2] * 1000, 2)
+
+    overhead_pre = job_overhead_ms()
+
     cold: dict[str, float] = {}
     cold_errors: dict[str, str] = {}
     run_suite(cold, cold_errors, release_each=True)
@@ -305,6 +327,8 @@ def main() -> None:
     run_suite(warm, warm_errors, release_each=False)
     release_managed()
 
+    overhead_post = job_overhead_ms()
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(cold.values()), 4),
@@ -313,6 +337,7 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
         "sf": sf,
+        "job_overhead_ms": {"pre": overhead_pre, "post": overhead_post},
     }
     if cold_errors or warm_errors:
         out["errors"] = warm_errors
