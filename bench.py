@@ -308,6 +308,8 @@ def main() -> None:
         # queries (the collect-based prefix sum spans 3 jobs and swung
         # 1.1s<->3.0s between same-code runs while anchors moved 10%).
         # Recording the probe makes that drift axis attributable.
+        for _ in range(3):  # unmeasured: codegen/classload of this path
+            spark.range(1).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(15):
             t0 = time.perf_counter()
