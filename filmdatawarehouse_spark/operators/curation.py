@@ -171,11 +171,22 @@ def weighted_sample(
     map-side filter — zero shuffle; at 100 TB this is a scan-rate
     operator, and the weight column prunes to exactly what the filter
     needs.
+
+    NULL semantics (identical in both engines): a NULL key nulls the
+    concat → md5 → u chain (comparison UNKNOWN → dropped), and a NULL
+    weight is coalesced to 0 (→ dropped) — the coalesce matters because
+    Spark's and DuckDB's least/greatest SKIP nulls rather than propagate
+    them, so an unguarded clamp would turn a NULL weight into the full
+    ``denom`` and sample the row with probability 1. Sampling never
+    invents a decision for a row it cannot hash or weigh.
     """
     if not 0 < denom <= 1 << 20:
         raise ValueError(f"denom must be in (0, 2^20]: {denom}")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    w = F.greatest(F.lit(0), F.least(w.cast("bigint"), F.lit(int(denom))))
+    w = F.greatest(
+        F.lit(0),
+        F.least(F.coalesce(w.cast("bigint"), F.lit(0)), F.lit(int(denom))),
+    )
     u = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8

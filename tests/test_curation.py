@@ -98,14 +98,16 @@ def test_stratified_sample_is_shuffle_free(spark):
 
 
 def test_weighted_sample_boundaries_and_growth_stable(spark):
-    rows = [(i, w) for i, w in enumerate([0, -5, 1024, 2048] + [128] * 400)]
+    rows = [(i, w) for i, w in enumerate([0, -5, 1024, 2048, None] + [128] * 400)]
     df = spark.createDataFrame(rows, "k bigint, w bigint")
     keep = cu.weighted_sample(df, "w", key_col="k", denom=1024)
     first = {r["k"] for r in keep.collect()}
     # deterministic — identical re-run
     assert {r["k"] for r in keep.collect()} == first
-    # weight <= 0 can never be drawn; weight >= denom always is
-    assert 0 not in first and 1 not in first
+    # weight <= 0 can never be drawn; weight >= denom always is; NULL
+    # weight is 0, NOT full-denom (least/greatest skip nulls — unguarded,
+    # a NULL weight would sample with probability 1)
+    assert 0 not in first and 1 not in first and 4 not in first
     assert 2 in first and 3 in first
     # weight 128/1024 = 12.5% keep rate on the 400-row bulk
     bulk = [k for k in first if k >= 4]
