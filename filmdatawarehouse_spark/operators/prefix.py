@@ -54,6 +54,15 @@ def global_running_sum(
     matching SQL SUM)."""
     from filmdatawarehouse_spark.operators.cache import managed_persist
 
+    if total_col is not None and (
+        total_col in df.columns
+        or total_col in ("_pid", "_cum_in", "_offset", "_had_prior")
+    ):
+        raise ValueError(
+            f"total_col {total_col!r} collides with an input or internal "
+            f"column — the offsets join would produce ambiguous names"
+        )
+
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
