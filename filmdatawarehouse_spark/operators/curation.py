@@ -182,6 +182,8 @@ def weighted_sample(
     """
     if not 0 < denom <= 1 << 20:
         raise ValueError(f"denom must be in (0, 2^20]: {denom}")
+    # u·denom and w·2^bits must both stay inside int64: bits + 20 ≤ 62
+    assert WEIGHTED_HASH_BITS % 4 == 0 and WEIGHTED_HASH_BITS <= 40
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = F.greatest(
         F.lit(0),
@@ -189,8 +191,10 @@ def weighted_sample(
     )
     u = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-        ),
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1,
+            WEIGHTED_HASH_BITS // 4,  # hex digits — keeps the draw width
+        ),                            # coupled to the comparison scale
         16,
         10,
     ).cast("bigint")

@@ -56,11 +56,13 @@ def global_running_sum(
 
     if total_col is not None and (
         total_col in df.columns
+        or total_col == out_col
         or total_col in ("_pid", "_cum_in", "_offset", "_had_prior")
     ):
         raise ValueError(
-            f"total_col {total_col!r} collides with an input or internal "
-            f"column — the offsets join would produce ambiguous names"
+            f"total_col {total_col!r} collides with an input, output, or "
+            f"internal column — the result would silently lose the total "
+            f"or produce ambiguous names"
         )
 
     spark = df.sparkSession

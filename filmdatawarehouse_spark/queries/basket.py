@@ -14,8 +14,9 @@ once on the order key; item counts and the order total are broadcast.
 The distinct (order, part) frame is materialized once (managed_persist)
 because four plan branches consume it — unpersisted, Catalyst re-ran the
 scan + distinct shuffle per branch (7 lineitem scans / 5 distinct
-exchanges in the executed plan; r09: warm 7.9s -> 5.2s at sf0.1 from the
-single materialization). Lift is computed from exact integer counts in
+exchanges in the executed plan; r09 committed bench record: warm
+3.77s -> 2.42s at sf0.1, 0.58x drift-adjusted, from the single
+materialization). Lift is computed from exact integer counts in
 one identical double expression on both engines, so it hash-compares
 bit-for-bit.
 """

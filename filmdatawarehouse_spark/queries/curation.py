@@ -63,8 +63,13 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         token_count_ws("text").alias("n_tokens"),
     ).withColumn(
+        # coalesce BEFORE the clamp: least() skips NULLs in both engines,
+        # so a NULL-text row would otherwise weigh in at the full cap
+        # instead of 0 (the operator-level guard never sees it)
         "weight",
-        F.least(F.col("n_tokens"), F.lit(WSAMPLE_CAP)).cast("bigint"),
+        F.least(
+            F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(WSAMPLE_CAP)
+        ).cast("bigint"),
     )
     return cu.weighted_sample(
         weighted, "weight", "doc_id", denom=WSAMPLE_DENOM
@@ -170,11 +175,13 @@ CURATION_ORACLES: dict[str, str] = {
           FROM documents
         )
         SELECT doc_id, lang, n_tokens,
-               LEAST(n_tokens, {WSAMPLE_CAP})::BIGINT AS weight
+               LEAST(COALESCE(n_tokens, 0), {WSAMPLE_CAP})::BIGINT AS weight
         FROM t
         WHERE ('0x' || substr(md5('{cu.WEIGHTED_SALT}' || doc_id::VARCHAR),
-                              1, 8))::BIGINT * {WSAMPLE_DENOM}
-              < LEAST(n_tokens, {WSAMPLE_CAP}) * {1 << cu.WEIGHTED_HASH_BITS}
+                              1, {cu.WEIGHTED_HASH_BITS // 4}))::BIGINT
+                * {WSAMPLE_DENOM}
+              < LEAST(COALESCE(n_tokens, 0), {WSAMPLE_CAP})
+                * {1 << cu.WEIGHTED_HASH_BITS}
     """,
     "pack_sequences": f"""
         WITH t AS (

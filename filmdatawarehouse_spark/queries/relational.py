@@ -988,8 +988,9 @@ def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
-    # persisted: the (part-sized) aggregate feeds BOTH the grand total and
-    # the prefix-sum operator — without it the lineitem scan+agg runs twice
+    # persisted: the prefix-sum operator's repartitionByRange computes its
+    # input TWICE (a boundary-sampling job, then the exchange itself) —
+    # without the persist each pass re-runs the lineitem scan + aggregate
     per_part = managed_persist(
         li.groupBy("l_partkey").agg(
             F.sum(revenue.cast("decimal(28,4)")).alias("rev")
