@@ -108,6 +108,37 @@ def test_embedding_candidates_are_distributed(spark, sf_dir):
     assert "base.toPandas" not in src and ".collect()" not in src
 
 
+def test_similarity_topk_partial_group_limit(spark, sf_dir):
+    """The brute-force cosine top-k must push a PARTIAL WindowGroupLimit
+    below the per-query exchange: the shuffle then carries <= k rows per
+    (query, partition) instead of the full |Q| x n scored cross product —
+    at 100 TB that IS the plan (the scan side never moves; only partial
+    top-k survivors do). Also pins the broadcast of the query side."""
+    from filmdatawarehouse_spark.queries.registry import all_queries
+
+    fn, _ = all_queries()["similarity_topk"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    assert "Partial" in plan.split("WindowGroupLimit")[1] or "Partial" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_single_stage_scan(spark, sf_dir):
+    """weighted_sample_docs must stay a zero-exchange scan-plus-filter:
+    one whole-stage-codegen span over the parquet scan, three columns
+    read, no Python boundary — the shape that makes it a scan-rate
+    operator at any SF."""
+    from filmdatawarehouse_spark.queries.registry import all_queries
+
+    fn, _ = all_queries()["weighted_sample_docs"]
+    plan = plan_of(fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "doc_id" in plan and "text" in plan and "lang" in plan
+
+
 def test_exact_cosine_rescore_distributed_above_bound(spark, sf_dir):
     """The exact path's candidate localization is gated on a COUNT: above
     ``localize_max`` (forced here with 0) candidates stay distributed —
