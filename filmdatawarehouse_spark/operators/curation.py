@@ -145,6 +145,22 @@ WEIGHTED_SALT = "wsample:"
 WEIGHTED_HASH_BITS = 32
 
 
+def _check_weighted_hash_bits(bits: int) -> int:
+    """u·denom and w·2^bits must both stay inside int64 (bits + 20 ≤ 62)
+    and the draw must be a whole number of hex digits. A real raise, run
+    at import time — an assert would vanish under ``python -O`` while
+    the overflow-freedom docstring contract still claimed it held."""
+    if bits % 4 != 0 or not 0 < bits <= 40:
+        raise RuntimeError(
+            "WEIGHTED_HASH_BITS must be a positive multiple of 4 and "
+            f"≤ 40 to keep the int64 comparison overflow-free: {bits}"
+        )
+    return bits
+
+
+_check_weighted_hash_bits(WEIGHTED_HASH_BITS)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str | Column,
@@ -182,8 +198,7 @@ def weighted_sample(
     """
     if not 0 < denom <= 1 << 20:
         raise ValueError(f"denom must be in (0, 2^20]: {denom}")
-    # u·denom and w·2^bits must both stay inside int64: bits + 20 ≤ 62
-    assert WEIGHTED_HASH_BITS % 4 == 0 and WEIGHTED_HASH_BITS <= 40
+    # bits + 20 ≤ 62 overflow bound: enforced at module import (above)
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = F.greatest(
         F.lit(0),

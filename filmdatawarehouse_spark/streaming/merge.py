@@ -59,10 +59,43 @@ import os
 import shutil
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 POINTER = "_LATEST"
+
+# AnalysisException error classes that mean "the table does not exist
+# yet" (first batch): the path is absent, or present-but-empty so parquet
+# schema inference fails. Everything else is a real read failure.
+_MISSING_TABLE_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _is_missing_table_error(e: AnalysisException) -> bool:
+    """True iff the AnalysisException means the table path is absent
+    (or empty — parquet cannot infer a schema from zero files)."""
+    get = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    cond = (get() if get is not None else None) or ""
+    return any(c in cond for c in _MISSING_TABLE_CONDITIONS)
+
+
+def _read_parquet_or_none(
+    spark: SparkSession, table_path: str
+) -> DataFrame | None:
+    """``spark.read.parquet`` that maps ONLY table-absent errors to None.
+
+    Transient remote-FS failures (S3 listing timeout, permission blip,
+    corrupt footer) re-raise so the micro-batch fails and is replayed —
+    treating them as "first batch" would merge with base=None and
+    destroy existing rows in the overwritten partitions."""
+    try:
+        return spark.read.parquet(table_path)
+    except AnalysisException as e:
+        if _is_missing_table_error(e):
+            return None
+        raise
 
 
 def _pointer_path(table_path: str) -> str:
@@ -111,7 +144,21 @@ def merged_frame(
     base on ties; without ``seq_col``, batch always beats base.
     Within-batch duplicates resolve in the same aggregate."""
     cols = batch_df.columns
+    # internal-name collision guard (the total_col pattern from
+    # operators/prefix.py): withColumn would silently REPLACE a caller
+    # '_prio', breaking survivorship, and '_s' would collide with the
+    # aggregate alias — corrupt results, not an error, so reject loudly
+    for reserved in ("_prio", "_s"):
+        if reserved in cols:
+            raise ValueError(
+                f"batch_df must not contain reserved column {reserved!r}"
+            )
     value_cols = [c for c in cols if c not in keys]
+    if not value_cols:
+        raise ValueError(
+            "batch_df has no non-key columns to merge; a key-only upsert "
+            "target needs no MERGE — dedup/append instead"
+        )
     prio = (
         F.struct(F.col(seq_col), F.col("_prio"))
         if seq_col
@@ -244,11 +291,12 @@ def merge_upsert_batch_partitioned(
     # existence probe through SPARK, not os.path: this sink targets the
     # large remote-fs tables (HDFS/S3) where a local isdir() check would
     # silently report "no table", merge with base=None, and overwrite
-    # the touched partitions with batch-only rows — quiet data loss
-    try:
-        base_all = spark.read.parquet(table_path)
-    except Exception:  # path absent or empty: first batch
-        base_all = None
+    # the touched partitions with batch-only rows — quiet data loss.
+    # Only the two path-absent error classes mean "first batch"; any
+    # other failure (S3 listing timeout, permission blip, corrupt
+    # footer) must FAIL the batch for replay — swallowing it would
+    # dynamic-overwrite the touched partitions with batch-only rows
+    base_all = _read_parquet_or_none(spark, table_path)
     base = None
     if base_all is not None:
         # isin() never matches NULL, so a null-partition batch

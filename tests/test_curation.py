@@ -161,6 +161,19 @@ def test_weighted_sample_rejects_bad_denom(spark):
         cu.weighted_sample(df, "w", key_col="k", denom=(1 << 20) + 1)
 
 
+def test_weighted_hash_bits_bound_enforced_without_assert():
+    """Review r09: the bits+20≤62 overflow bound is enforced by a real
+    raise (import-time call of _check_weighted_hash_bits), not a bare
+    assert that `python -O` strips. The module constant passes; widths
+    that break hex alignment or the int64 bound raise."""
+    import pytest as _pytest
+
+    assert cu._check_weighted_hash_bits(cu.WEIGHTED_HASH_BITS) == 32
+    for bad in (30, 44, 0, -4):
+        with _pytest.raises(RuntimeError):
+            cu._check_weighted_hash_bits(bad)
+
+
 # ---------------------------------------------------------------------------
 # pack_documents
 # ---------------------------------------------------------------------------

@@ -612,3 +612,80 @@ def test_partitioned_merge_null_partition_updates_not_duplicated(
     rows = spark.read.parquet(table).collect()
     assert len(rows) == 2
     assert {(r.k, r.status) for r in rows} == {(1, "U"), (2, "A")}
+
+
+def test_base_read_probe_maps_only_path_absent_to_first_batch(
+    spark, tmp_path
+):
+    """Review r09 (medium): the base-table existence probe must treat
+    ONLY the two table-absent error classes as 'first batch'. Any other
+    read failure (the S3-timeout / permission-blip / corrupt-footer
+    class) must re-raise and fail the micro-batch for replay — mapping
+    it to base=None would dynamic-overwrite the touched partitions with
+    batch-only rows: silent data loss."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from filmdatawarehouse_spark.streaming.merge import (
+        _is_missing_table_error,
+        _read_parquet_or_none,
+    )
+
+    # absent path and empty dir are the two legitimate first-batch cases
+    assert _read_parquet_or_none(spark, str(tmp_path / "nope")) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _read_parquet_or_none(spark, str(empty)) is None
+
+    # any OTHER AnalysisException class must classify as a real failure
+    with pytest.raises(AnalysisException) as ei:
+        spark.sql("select nonexistent_column from range(1)").collect()
+    assert not _is_missing_table_error(ei.value)
+
+
+def test_merged_frame_rejects_reserved_columns_and_keyonly_batch(spark):
+    """Review r09: withColumn would silently REPLACE a caller '_prio'
+    (breaking survivorship) and '_s' collides with the struct alias;
+    a key-only batch would make F.struct() error obscurely. All three
+    must raise loudly up front."""
+    import pytest
+
+    from filmdatawarehouse_spark.streaming.merge import merged_frame
+
+    prio = spark.createDataFrame([(1, "x", 9)], "k long, v string, _prio long")
+    with pytest.raises(ValueError, match="_prio"):
+        merged_frame(None, prio, ["k"])
+    s = spark.createDataFrame([(1, "x")], "k long, _s string")
+    with pytest.raises(ValueError, match="_s"):
+        merged_frame(None, s, ["k"])
+    keyonly = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="non-key"):
+        merged_frame(None, keyonly, ["k"])
+
+
+def test_jdbc_merge_default_run_ids_do_not_collide(spark):
+    """Review r09: two INDEPENDENT direct-API callers that both omit
+    run_id must not share a ledger key — under the old shared 'api'
+    default, caller B's batch 0 was skipped because caller A had
+    already recorded (table, 'api', 0). Each defaulted call now draws a
+    fresh run identity, so both batches apply."""
+    from filmdatawarehouse_spark.streaming.jdbc_merge import merge_jdbc_batch
+
+    url = "jdbc:derby:memory:fdw_merge_ridcol;create=true"
+    merge_jdbc_batch(
+        spark.createDataFrame([(1, "A", 1.0, 0)], SCHEMA),
+        0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+    )
+    # same batch_id, different logical caller: must APPLY, not skip
+    merge_jdbc_batch(
+        spark.createDataFrame([(2, "B", 2.0, 0)], SCHEMA),
+        0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", DERBY_DRV)
+        .option("dbtable", "rid_t")
+        .load()
+    )
+    assert {r.k for r in back.collect()} == {1, 2}
