@@ -156,6 +156,8 @@ HEADLINE = [
     "skew_profile_custkey_approx",
     "docs_mad_outliers_approx",
     "events_distinct_users_approx",
+    # round-10 addition: balanced training-data mix
+    "corpus_mix_sample",
 ]
 
 

@@ -219,6 +219,102 @@ def weighted_sample(
 
 
 # ---------------------------------------------------------------------------
+# 2c. balanced data mixing (downsample every group to the smallest)
+# ---------------------------------------------------------------------------
+
+MIX_SALT = "cmix:"
+MIX_PPB = 1_000_000_000  # sampling rates in integer parts-per-billion
+
+
+def balanced_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_alias: str = "tokens_total",
+    count_alias: str = "docs_total",
+) -> DataFrame:
+    """Per-group sampling rates that balance every group's total weight
+    down to the SMALLEST group's — the uniform data-mixing policy
+    (equal token budget per language/source/domain) of LLM pre-training
+    mixes. Returns one row per group:
+    ``(group, count_alias, total_alias, rate_ppb)``.
+
+    ``rate_ppb`` is exact integer parts-per-billion —
+    ``min(PPB, (target·PPB) div total)`` with ``target = min(total)`` —
+    no float division anywhere, so the rate (and every keep decision
+    derived from it) is bit-identical across engines, partitionings,
+    and re-runs. A zero/negative-total group rates PPB (keep all;
+    nothing to downsample).
+
+    Scale shape: one ``groupBy(group)`` aggregate (map-side combine →
+    group-cardinality rows), a 1-row min broadcast back — never a
+    second pass over ``df``. int64 bound: ``target·PPB`` caps the
+    smallest group at ~9.2×10⁹ weight units; past that (a ≥10-trillion
+    -token *minimum* language) swap the one product/DIV pair to
+    decimal(38,0) — the comparison in ``balanced_mix_filter`` is
+    unaffected (u32·PPB < 2⁶² always).
+    """
+    for reserved in ("_tot", "_target"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"df must not contain reserved column {reserved!r}"
+            )
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_alias),
+        F.sum(F.col(weight_col)).cast("bigint").alias("_tot"),
+    )
+    target = totals.agg(F.min("_tot").alias("_target"))
+    rate = F.when(F.col("_tot") <= 0, F.lit(MIX_PPB).cast("bigint")).otherwise(
+        F.least(
+            F.lit(MIX_PPB).cast("bigint"),
+            F.expr(f"(_target * CAST({MIX_PPB} AS BIGINT)) DIV _tot"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(target)).select(
+        F.col(group_col),
+        F.col(count_alias),
+        F.col("_tot").alias(total_alias),
+        rate.cast("bigint").alias("rate_ppb"),
+    )
+
+
+def balanced_mix_filter(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Apply per-group ``rate_ppb`` decisions from ``balanced_mix_rates``:
+    a row survives iff ``u32(salt‖key)·PPB < rate_ppb·2³²`` — the same
+    exact-integer md5 draw as ``weighted_sample`` (decisions stable under
+    corpus growth; adding rows never flips existing ones). Both products
+    stay under 2⁶² so the comparison is overflow-free int64.
+
+    DuckDB twin of the draw:
+    ``('0x' || substr(md5('<salt>' || k::VARCHAR), 1, 8))::BIGINT``.
+
+    Scale shape: ``rates`` is group-cardinality (broadcast); the filter
+    itself is map-side — one broadcast-hash-join probe per row, no
+    shuffle of ``df``. NULL semantics: a NULL key nulls the md5 chain
+    (UNKNOWN → dropped) and a NULL group never matches the join — in
+    BOTH engines; sampling never invents a decision it cannot hash.
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate_ppb")), group_col)
+        .filter(u32 * F.lit(MIX_PPB) < F.col("rate_ppb") * F.lit(1 << 32))
+        .drop("rate_ppb")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 3. sequence packing (concat-then-chunk)
 # ---------------------------------------------------------------------------
 

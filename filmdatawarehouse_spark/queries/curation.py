@@ -107,6 +107,56 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.redact_pii(aug)
 
 
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-data mix (operators/curation.py:
+    balanced_mix_rates/_filter): every language's token budget is
+    downsampled to the SMALLEST language's total — the uniform
+    data-mixing policy of LLM pre-training — with exact integer ppb
+    rates and the md5 keep-draw, so the whole mix is bit-identical
+    across engines and re-runs. Emits one row per language: corpus
+    totals, the ppb rate, and the docs/tokens actually kept.
+
+    Scale shape: the per-doc token frame is persisted once (tokenizing
+    is the dominant cost; it feeds the totals aggregate AND the filter),
+    rates are group-cardinality and broadcast, the keep-filter is
+    map-side, and the final summary is a second group-cardinality
+    aggregate. No shuffle ever carries the corpus itself.
+    """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    d = read_table(spark, sf_dir, "documents")
+    t = managed_persist(
+        d.select(
+            "doc_id",
+            "lang",
+            F.coalesce(
+                F.size(F.split(F.col("text"), " ")).cast("bigint"), F.lit(0)
+            ).alias("n_tokens"),
+        )
+    )
+    rates = cu.balanced_mix_rates(t, "lang", "n_tokens")
+    kept = (
+        cu.balanced_mix_filter(t, rates, "lang", "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "docs_total",
+        "tokens_total",
+        "rate_ppb",
+        F.coalesce(F.col("docs_kept"), F.lit(0)).cast("bigint").alias(
+            "docs_kept"
+        ),
+        F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("bigint").alias(
+            "tokens_kept"
+        ),
+    )
+
+
 _WORDS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
@@ -182,6 +232,40 @@ CURATION_ORACLES: dict[str, str] = {
                 * {WSAMPLE_DENOM}
               < LEAST(COALESCE(n_tokens, 0), {WSAMPLE_CAP})
                 * {1 << cu.WEIGHTED_HASH_BITS}
+    """,
+    "corpus_mix_sample": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 COALESCE(len(string_split(text, ' ')), 0)::BIGINT
+                   AS n_tokens
+          FROM documents
+        ), lt AS (
+          SELECT lang, COUNT(*)::BIGINT AS docs_total,
+                 SUM(n_tokens)::BIGINT AS tokens_total
+          FROM t GROUP BY lang
+        ), tgt AS (
+          SELECT MIN(tokens_total) AS target FROM lt
+        ), r AS (
+          SELECT lang, docs_total, tokens_total,
+                 (CASE WHEN tokens_total <= 0 THEN {cu.MIX_PPB}
+                       ELSE LEAST({cu.MIX_PPB},
+                                  (tgt.target * {cu.MIX_PPB})
+                                    // tokens_total)
+                  END)::BIGINT AS rate_ppb
+          FROM lt, tgt
+        ), k AS (
+          SELECT t.lang, COUNT(*)::BIGINT AS docs_kept,
+                 SUM(n_tokens)::BIGINT AS tokens_kept
+          FROM t JOIN r USING (lang)
+          WHERE ('0x' || substr(md5('{cu.MIX_SALT}' || doc_id::VARCHAR),
+                                1, 8))::BIGINT * {cu.MIX_PPB}
+                < rate_ppb * {1 << 32}
+          GROUP BY t.lang
+        )
+        SELECT r.lang, r.docs_total, r.tokens_total, r.rate_ppb,
+               COALESCE(k.docs_kept, 0)::BIGINT AS docs_kept,
+               COALESCE(k.tokens_kept, 0)::BIGINT AS tokens_kept
+        FROM r LEFT JOIN k USING (lang)
     """,
     "pack_sequences": f"""
         WITH t AS (
@@ -261,6 +345,10 @@ CURATION_QUERIES: dict[str, Entry] = {
     "weighted_sample_docs": (
         q_weighted_sample,
         CURATION_ORACLES["weighted_sample_docs"],
+    ),
+    "corpus_mix_sample": (
+        q_corpus_mix_sample,
+        CURATION_ORACLES["corpus_mix_sample"],
     ),
     "pack_sequences": (q_pack_sequences, CURATION_ORACLES["pack_sequences"]),
     "redact_pii_docs": (q_redact_pii, CURATION_ORACLES["redact_pii_docs"]),

@@ -114,8 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- driver-never-seen (new this round)
     "weighted_sample_docs",
     "stream_merge_upsert",
-    # -- r08-certified (filler slot)
-    "text_heavy_hitters",
+    "corpus_mix_sample",
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (

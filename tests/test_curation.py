@@ -255,3 +255,90 @@ def test_redact_pii_staged_counts_no_double_count(spark):
     [row] = cu.redact_pii(docs).collect()
     assert row["n_emails"] == 1
     assert row["n_ips"] == 0
+
+
+# ---------------------------------------------------------------------------
+# balanced data mixing
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_mix_rates_are_exact_integer_ppb(spark):
+    """The smallest group rates exactly PPB (keep all); larger groups get
+    floor((target*PPB)/total) — pure int64, no float anywhere."""
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 100), ("b", 3, 50), ("c", 4, 0)],
+        "g string, k long, w long",
+    )
+    rows = {
+        r.g: (r.docs_total, r.tokens_total, r.rate_ppb)
+        for r in cu.balanced_mix_rates(df, "g", "w").collect()
+    }
+    # target = min(total) = 0 (group c) -> a and b rate 0, c keeps all
+    assert rows == {
+        "a": (2, 200, 0),
+        "b": (1, 50, 0),
+        "c": (1, 0, 1_000_000_000),
+    }
+    pos = df.filter("w > 0")
+    rows = {
+        r.g: r.rate_ppb
+        for r in cu.balanced_mix_rates(pos, "g", "w").collect()
+    }
+    assert rows == {"a": 250_000_000, "b": 1_000_000_000}
+
+
+def test_balanced_mix_filter_balances_and_is_growth_stable(spark):
+    """End-to-end: every group's kept weight lands near the smallest
+    group's total, and adding rows never flips an existing decision
+    (the md5-draw stability contract shared with weighted_sample)."""
+    rows = [("big", i, 10) for i in range(2000)] + [
+        ("small", 10_000 + i, 10) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+    rates = cu.balanced_mix_rates(df, "g", "w")
+    kept = cu.balanced_mix_filter(df, rates, "g", "k")
+    by_g = {
+        r.g: r.s
+        for r in kept.groupBy("g").agg(F.sum("w").alias("s")).collect()
+    }
+    assert by_g["small"] == 2000  # rate PPB: kept in full
+    # big downsampled to ~2000 (binomial around n*p; wide bound)
+    assert 1200 <= by_g["big"] <= 2800
+    # growth stability: doubling the big group must not flip any
+    # previously-kept key of the ORIGINAL corpus at the same rates
+    grown = spark.createDataFrame(
+        rows + [("big", 50_000 + i, 10) for i in range(2000)],
+        "g string, k long, w long",
+    )
+    kept_again = {
+        r.k
+        for r in cu.balanced_mix_filter(grown, rates, "g", "k")
+        .filter("k < 50000")
+        .collect()
+    }
+    assert kept_again == {r.k for r in kept.collect()}
+
+
+def test_balanced_mix_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1, 1)], "g string, _tot long, w long")
+    with _pytest.raises(ValueError, match="_tot"):
+        cu.balanced_mix_rates(df, "g", "w")
+
+
+def test_balanced_mix_filter_plan_is_broadcast_and_shuffle_free(spark):
+    """The keep-filter must probe a BroadcastHashJoin — the corpus side
+    is never exchanged (the property that makes the mix a scan-rate
+    operator at 100 TB)."""
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("b", 2, 3)], "g string, k long, w long"
+    )
+    rates = cu.balanced_mix_rates(df, "g", "w")
+    plan = (
+        cu.balanced_mix_filter(df, rates, "g", "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    head = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in head, plan
