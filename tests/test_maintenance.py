@@ -1,0 +1,188 @@
+"""Partition-selective small-file compaction (io/maintenance.py): the
+victim criterion is byte-justified and self-stabilizing, the rewrite
+touches ONLY victim partitions (untouched partitions stay bit-identical
+on disk), data survives exactly, and NULL partitions compact too."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io import maintenance as mt
+
+SCHEMA = "k long, v string, day string"
+
+
+def _write_fragmented(spark, path, day, n_rows, n_files):
+    (
+        spark.createDataFrame(
+            [(i, f"v{i}", day) for i in range(n_rows)], SCHEMA
+        )
+        .repartition(n_files)
+        .write.mode("append")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def _table_hash(spark, path):
+    return sorted(
+        (r.k, r.v, r.day or "")
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_list_and_stats_skip_metadata_and_group_by_partition(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 100, 5)
+    _write_fragmented(spark, path, "d2", 10, 1)
+    files = mt.list_data_files(spark, path)
+    assert all(rel.endswith(".parquet") for rel, _ in files)
+    assert all(not rel.startswith("_") for rel, _ in files)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))  # skipped, exists
+    stats = mt.partition_file_stats(spark, path, "day")
+    assert stats["d1"][0] == 5 and stats["d2"][0] == 1
+    assert stats["d1"][1] > 0
+
+
+def test_plan_selects_only_byte_unjustified_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 200, 8)   # fragmented
+    _write_fragmented(spark, path, "d2", 10, 1)    # already one file
+    plans = mt.compaction_plan(spark, path, "day", target_bytes=1 << 30)
+    assert [p.value for p in plans] == ["d1"]
+    assert plans[0].n_files == 8 and plans[0].n_out == 1
+    # a big-enough partition whose files each carry real bytes is NOT a
+    # victim: 8 files over bytes that justify >= 8 outputs
+    d1_bytes = plans[0].total_bytes
+    tiny_target = max(1, d1_bytes // 8)
+    assert (
+        mt.compaction_plan(spark, path, "day", target_bytes=tiny_target)
+        == []
+    )
+
+
+def test_compact_rewrites_victims_only_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 300, 10)
+    _write_fragmented(spark, path, "d2", 50, 1)
+    before = _table_hash(spark, path)
+    untouched_before = {
+        rel: size
+        for rel, size in mt.list_data_files(spark, path)
+        if rel.startswith("day=d2/")
+    }
+    summary = mt.compact_partitions(
+        spark, path, "day", target_bytes=1 << 30
+    )
+    assert summary["partitions"] == 1
+    assert summary["files_before"] == 10
+    # range binning: n_out=1, boundary slack +1 at most
+    assert 1 <= summary["files_after"] <= 2
+    # data identical, untouched partition files bit-identical paths+sizes
+    assert _table_hash(spark, path) == before
+    untouched_after = {
+        rel: size
+        for rel, size in mt.list_data_files(spark, path)
+        if rel.startswith("day=d2/")
+    }
+    assert untouched_after == untouched_before
+    # self-stabilizing: second run is a no-op
+    again = mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)
+    assert again == {"partitions": 0, "files_before": 0, "files_after": 0}
+
+
+def test_compact_splits_to_byte_justified_file_count(spark, tmp_path):
+    """With a small target, a fat fragmented partition compacts to
+    ceil(bytes/target) files (+1 range-boundary slack), not to 1."""
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 2000, 20)
+    [plan] = mt.compaction_plan(spark, path, "day", target_bytes=1 << 30)
+    target = max(1, plan.total_bytes // 4)  # aim for ~4 output files
+    summary = mt.compact_partitions(spark, path, "day", target_bytes=target)
+    import math
+
+    n_out = math.ceil(plan.total_bytes / target)
+    assert summary["partitions"] == 1
+    assert n_out - 1 <= summary["files_after"] <= n_out + 1
+    # compaction improves compression, so the byte-justified count can
+    # drop again — the criterion re-fires but file counts are strictly
+    # monotone down with floor 1: convergence within a few passes
+    prev = summary["files_after"]
+    for _ in range(4):
+        again = mt.compact_partitions(spark, path, "day", target_bytes=target)
+        if again["partitions"] == 0:
+            break
+        assert again["files_after"] < prev
+        prev = again["files_after"]
+    assert (
+        mt.compact_partitions(spark, path, "day", target_bytes=target)[
+            "partitions"
+        ]
+        == 0
+    )
+
+
+def test_compact_handles_null_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    (
+        spark.createDataFrame(
+            [(i, f"v{i}", None) for i in range(100)], SCHEMA
+        )
+        .repartition(6)
+        .write.mode("append")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    _write_fragmented(spark, path, "d1", 10, 1)
+    before = _table_hash(spark, path)
+    stats = mt.partition_file_stats(spark, path, "day")
+    assert stats[mt.HIVE_DEFAULT_PARTITION][0] == 6
+    summary = mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)
+    assert summary["partitions"] == 1
+    assert 1 <= summary["files_after"] <= 2
+    assert _table_hash(spark, path) == before
+
+
+def test_compact_rejects_unpartitioned_and_reserved(spark, tmp_path):
+    import pytest
+
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "a", "d")], SCHEMA).repartition(3).write.parquet(
+        flat
+    )
+    with pytest.raises(ValueError, match="compact_parquet"):
+        mt.compact_partitions(spark, flat, "day", target_bytes=1 << 30)
+    gbin = str(tmp_path / "gbin")
+    (
+        spark.createDataFrame(
+            [(i, i, "d") for i in range(100)],
+            "k long, _gbin long, day string",
+        )
+        .repartition(4)
+        .write.partitionBy("day")
+        .parquet(gbin)
+    )
+    with pytest.raises(ValueError, match="_gbin"):
+        mt.compact_partitions(spark, gbin, "day", target_bytes=1 << 30)
+    with pytest.raises(ValueError, match="target_bytes"):
+        mt.compaction_plan(spark, gbin, "day", target_bytes=0)
+
+
+def test_compact_scan_is_partition_pruned(spark, tmp_path):
+    """The victim read must prune to victim partitions at the scan — the
+    property that keeps one compaction run O(victims), not O(table)."""
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 100, 5)
+    _write_fragmented(spark, path, "d2", 100, 1)
+    df = spark.read.parquet(path)
+    pred = F.col("day").cast("string") == "d1"
+    plan = (
+        df.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    # the pruned scan reads 5 of 6 files; prove via row-level input
+    assert df.filter(pred).count() == 100
