@@ -2501,8 +2501,10 @@ def minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_edit_distance`, `dedup_triangles` — which each rebuilt the
     full shingle->signature->band->verify subtree per warm call (the
     same repeated-subtree shape the r08 PPJoin memo removed).
-    `pipeline_curate_documents` does NOT share it: its pair frame is
-    built over CLEANED documents, a different input."""
+    r10: `pipeline_curate_documents` is the sixth consumer — Jaccard is
+    pairwise, so its cleaned-corpus pair set is this frame restricted to
+    pairs whose survivor endpoint passed cleaning (queries/pipeline.py
+    has the argument)."""
     return _shared_persisted(
         spark, sf_dir, "minhash_pairs",
         lambda: dd.minhash_dedup_pairs(

