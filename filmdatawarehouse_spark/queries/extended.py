@@ -357,12 +357,12 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from filmdatawarehouse_spark.operators.cache import managed_persist
 
-    sh = _word_shingle_rows(spark, sf_dir)
-    # two persists, both load-bearing: the root shingle frame feeds the df
-    # census AND the semi-join (one explode+distinct instead of two), and
-    # kept feeds THREE consumers (sizes + both pair-join sides) — leaving
-    # either unpersisted re-executes its subtree per consumer
-    sh = managed_persist(sh)
+    # two persists, both load-bearing: the root shingle frame (shared
+    # with the PPJoin builder via the generation-keyed memo — r10) feeds
+    # the df census AND the semi-join, and kept feeds THREE consumers
+    # (sizes + both pair-join sides) — leaving either unpersisted
+    # re-executes its subtree per consumer
+    sh = shingle_rows_shared(spark, sf_dir)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2309,8 +2309,9 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persisted: feeds the df census, the rank window, and the per-doc
     # array build (three consumers of one shared shingle derivation —
-    # _word_shingle_rows binds the token array before the lambda)
-    sh = managed_persist(_word_shingle_rows(spark, sf_dir))
+    # _word_shingle_rows binds the token array before the lambda);
+    # shared with the containment query via the memo (r10)
+    sh = shingle_rows_shared(spark, sf_dir)
 
     df_census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_census, "shingle")
@@ -2491,6 +2492,17 @@ def prefix_filter_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_persisted(
         spark, sf_dir, "ppjoin",
         lambda: q_text_prefix_filter_pairs(spark, sf_dir),
+    )
+
+
+def shingle_rows_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded (doc_id, shingle) word-3-shingle frame shared by
+    `text_containment_pairs` and the PPJoin pair builder (r10): the
+    explode is the dominant build cost of both; each previously persisted
+    its own copy per call."""
+    return _shared_persisted(
+        spark, sf_dir, "shingle_rows",
+        lambda: _word_shingle_rows(spark, sf_dir),
     )
 
 
