@@ -160,6 +160,7 @@ RETIRED: tuple[str, ...] = (
     "window_topn_per_group",
     "text_word_entropy",
     "similarity_ann_ivf",
+    "rollup_order_stats",
 )
 
 RETIRED_NOTES: dict[str, str] = {
@@ -208,6 +209,18 @@ RETIRED_NOTES: dict[str, str] = {
         "row spends no window slot on a check the recall gate subsumes; "
         "the query stays registered, in the bench headline, and locally "
         "rows-verified every pytest run."
+    ),
+    "rollup_order_stats": (
+        "Certified by `cube_order_stats` (green r08): CUBE over the SAME "
+        "two keys (o_orderstatus, o_orderpriority) with the IDENTICAL "
+        "aggregates emits every grouping set ROLLUP does — {(s,p),(s),()} "
+        "⊂ {(s,p),(s),(p),()} — so the cube's hash-pinned rows are a "
+        "strict superset of this query's output on the same determinism "
+        "contract. The sibling `orders_rollup_totals` (derived time-key "
+        "axis) and `grouping_sets_orders` (grouping() disambiguation "
+        "flags, arbitrary set lists) stay active: each certifies a "
+        "capability the cube row does not. Stays registered and locally "
+        "oracle-verified every pytest run."
     ),
 }
 
