@@ -156,8 +156,9 @@ HEADLINE = [
     "skew_profile_custkey_approx",
     "docs_mad_outliers_approx",
     "events_distinct_users_approx",
-    # round-10 addition: balanced training-data mix
+    # round-10 additions: balanced training-data mix + deterministic shuffle
     "corpus_mix_sample",
+    "corpus_shuffle_shards",
 ]
 
 

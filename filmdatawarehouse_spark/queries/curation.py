@@ -157,6 +157,62 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SALT = "cshuffle:"
+SHUFFLE_SHARDS = 16
+
+
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every document gets a
+    shard and a position within it from the md5 draw alone —
+    ``shard = u₃₂ mod N``, ``pos = rank of (u₃₂, doc_id) within the
+    shard`` — so the exact training order is reproducible across
+    engines, re-runs, and partition layouts (``df.orderBy(rand())`` is
+    none of those), and appending documents never REORDERS existing ones
+    within a shard relative to each other (new rows interleave; relative
+    order of old rows is stable because their sort keys don't change).
+
+    Scale shape: one exchange on shard (N bounded partitions) + a
+    per-shard sort — the window never sees more than corpus/N rows, and
+    N scales with the corpus (shards are the output-file unit, same
+    contract as ``pack_documents``). No global sort anywhere.
+
+    Determinism: u₃₂ is exact integer; ties broken by doc_id; NULLS
+    FIRST pinned explicitly (Spark's ASC default, NOT DuckDB's — an
+    unpinned order would flip any NULL-key corpus).
+    """
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("u").asc_nulls_first(), F.col("doc_id").asc_nulls_first()
+    )
+    return (
+        d.select(
+            "doc_id",
+            u.alias("u"),
+            F.pmod(u, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
 _WORDS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
@@ -232,6 +288,21 @@ CURATION_ORACLES: dict[str, str] = {
                 * {WSAMPLE_DENOM}
               < LEAST(COALESCE(n_tokens, 0), {WSAMPLE_CAP})
                 * {1 << cu.WEIGHTED_HASH_BITS}
+    """,
+    "corpus_shuffle_shards": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('{SHUFFLE_SALT}' || doc_id::VARCHAR),
+                                 1, 8))::BIGINT AS u
+          FROM documents
+        )
+        SELECT doc_id,
+               (u % {SHUFFLE_SHARDS})::INT AS shard,
+               row_number() OVER (
+                 PARTITION BY u % {SHUFFLE_SHARDS}
+                 ORDER BY u NULLS FIRST, doc_id NULLS FIRST
+               )::BIGINT AS pos
+        FROM t
     """,
     "corpus_mix_sample": f"""
         WITH t AS (
@@ -349,6 +420,10 @@ CURATION_QUERIES: dict[str, Entry] = {
     "corpus_mix_sample": (
         q_corpus_mix_sample,
         CURATION_ORACLES["corpus_mix_sample"],
+    ),
+    "corpus_shuffle_shards": (
+        q_corpus_shuffle_shards,
+        CURATION_ORACLES["corpus_shuffle_shards"],
     ),
     "pack_sequences": (q_pack_sequences, CURATION_ORACLES["pack_sequences"]),
     "redact_pii_docs": (q_redact_pii, CURATION_ORACLES["redact_pii_docs"]),
