@@ -331,16 +331,42 @@ def write_stream_merge_partitioned(
     partition_col: str,
     checkpoint_dir: str,
     seq_col: str | None = None,
+    compact_target_bytes: int | None = None,
 ):
     """Start the partition-pruned MERGE sink (availableNow; returns the
     started StreamingQuery). No run identity needed: every delivery
     re-merges its touched partitions and convergence is the idempotence
-    mechanism (use ``seq_col`` so that holds at any delivery order)."""
+    mechanism (use ``seq_col`` so that holds at any delivery order).
+
+    ``compact_target_bytes``: the merged overwrite writes one file per
+    (task, partition) pair, so a stream of micro-batches fragments ITS
+    OWN hot partitions — this sink is the primary small-files producer
+    the maintenance module exists for. When set, each batch is followed
+    by ``io.maintenance.compact_partitions`` at that target; the victim
+    criterion is self-stabilizing, so only partitions the stream
+    actually fragmented are rewritten (normally the just-touched ones)
+    and a quiet batch compacts nothing. Compaction is idempotent and
+    carries the same per-partition crash contract as the merge itself —
+    a replay repairs both. Production alternative: leave this None and
+    run ``compact_partitions`` on a schedule; at large per-partition
+    volumes the scheduled form amortizes re-reads across many batches.
+    """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_upsert_batch_partitioned(
             batch_df, table_path, keys, partition_col, seq_col
         )
+        if compact_target_bytes is not None:
+            from filmdatawarehouse_spark.io.maintenance import (
+                compact_partitions,
+            )
+
+            compact_partitions(
+                batch_df.sparkSession,
+                table_path,
+                partition_col,
+                target_bytes=compact_target_bytes,
+            )
 
     return (
         df.writeStream.foreachBatch(sink)

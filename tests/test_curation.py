@@ -342,3 +342,27 @@ def test_balanced_mix_filter_plan_is_broadcast_and_shuffle_free(spark):
     assert "BroadcastHashJoin" in plan, plan
     head = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in head, plan
+
+
+def test_balanced_mix_filter_matches_python_md5_reference(spark):
+    """Third-engine check (the weighted_sample precedent): the keep set
+    equals a hashlib.md5 replay of the exact integer inequality,
+    independent of both Spark and DuckDB — pins the draw recipe (salt,
+    8 hex digits, u*PPB < rate*2^32), not just cross-engine agreement."""
+    import hashlib
+
+    rows = [(f"g{i % 3}", i, (i * 13) % 50 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+    rates_df = cu.balanced_mix_rates(df, "g", "w")
+    rates = {r.g: r.rate_ppb for r in rates_df.collect()}
+    got = {
+        r.k for r in cu.balanced_mix_filter(df, rates_df, "g", "k").collect()
+    }
+    expect = set()
+    for g, k, _ in rows:
+        u = int(
+            hashlib.md5(f"{cu.MIX_SALT}{k}".encode()).hexdigest()[:8], 16
+        )
+        if u * cu.MIX_PPB < rates[g] * (1 << 32):
+            expect.add(k)
+    assert got == expect and 0 < len(expect) < 400

@@ -186,3 +186,55 @@ def test_compact_scan_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     # the pruned scan reads 5 of 6 files; prove via row-level input
     assert df.filter(pred).count() == 100
+
+
+def test_streaming_merge_with_auto_compaction(spark, tmp_path):
+    """The partitioned MERGE sink is the engine's primary small-files
+    producer (one file per task x touched partition per micro-batch);
+    with compact_target_bytes set, each batch is followed by the
+    self-stabilizing compaction, so the table ends both CORRECT (same
+    keyed rows as the plain sink) and compact (files per partition near
+    the byte-justified count, not per-batch-accumulating)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from filmdatawarehouse_spark.streaming.merge import (
+        write_stream_merge_partitioned,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    schema = "k long, day string, status string, seq long"
+    base = [(i, f"d{i % 2}", "A", 0) for i in range(200)]
+    spark.createDataFrame(base, schema).repartition(8).write.mode(
+        "append"
+    ).parquet(src)
+    q = write_stream_merge_partitioned(
+        spark.readStream.schema(schema).parquet(src),
+        table, ["k"], "day", ckpt, seq_col="seq",
+        compact_target_bytes=1 << 30,
+    )
+    q.awaitTermination()
+    # second delivery: updates to one partition only
+    delta = [(i, f"d{i % 2}", "U", 1) for i in range(0, 200, 2)]
+    spark.createDataFrame(delta, schema).repartition(8).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = write_stream_merge_partitioned(
+        spark.readStream.schema(schema).parquet(src),
+        table, ["k"], "day", ckpt, seq_col="seq",
+        compact_target_bytes=1 << 30,
+    )
+    q2.awaitTermination()
+
+    rows = {r.k: (r.day, r.status, r.seq) for r in
+            spark.read.parquet(table).collect()}
+    assert len(rows) == 200
+    assert rows[0] == ("d0", "U", 1) and rows[1] == ("d1", "A", 0)
+    assert rows[2] == ("d0", "U", 1)
+    # compaction held: each partition sits at the byte-justified count
+    # (1 file here), not one file per task per batch
+    stats = mt.partition_file_stats(spark, table, "day")
+    assert all(n <= 2 for n, _ in stats.values()), stats
