@@ -8,11 +8,11 @@ dynamic overwrites land KB-sized files in the HOT partitions only; the
 cold 99 % of a 100 TB table is already compact). This module is the scale
 path:
 
-1. ``list_data_files`` — driver-side Hadoop ``FileSystem`` listing
-   (works on HDFS/S3A, not just local disk). O(files) on the driver,
-   which is a bounded contract BY PURPOSE: the file count is exactly the
-   quantity compaction exists to keep small; a planner that cannot hold
-   the file list has already lost. For pathological backlogs, list and
+1. ``partition_file_stats`` — the planner's input, O(partitions) py4j
+   round-trips via per-directory ContentSummary (JVM/namenode-side
+   aggregation; the per-FILE ``list_data_files`` walk costs ~6 ms/file
+   through py4j — measured r10 — and exists for file-level forensics
+   and tests, not planning). For pathological backlogs, plan and
    compact one partition-prefix at a time.
 2. ``compaction_plan`` — victims = partitions whose file count exceeds
    what their bytes justify at ``target_bytes``/file. Self-stabilizing:
@@ -76,16 +76,6 @@ def list_data_files(
     return out
 
 
-def _partition_of(rel_path: str, partition_col: str) -> str | None:
-    """The raw (still hive-escaped) partition VALUE encoded in a data
-    file's relative path, or None for a file at the table root."""
-    head = f"{partition_col}="
-    for seg in rel_path.split("/")[:-1]:
-        if seg.startswith(head):
-            return seg[len(head):]
-    return None
-
-
 @dataclass(frozen=True)
 class PartitionPlan:
     """One victim partition: its raw dir value (None = table root /
@@ -102,13 +92,36 @@ class PartitionPlan:
 def partition_file_stats(
     spark: SparkSession, table_path: str, partition_col: str
 ) -> dict[str | None, tuple[int, int]]:
-    """``{raw_partition_value: (n_files, total_bytes)}`` from one FS
-    listing. Key None groups files at the table root (unpartitioned)."""
+    """``{raw_partition_value: (n_files, total_bytes)}``. Key None groups
+    files at the table root (unpartitioned data).
+
+    O(partitions) py4j round-trips, NOT O(files): one ``listStatus`` on
+    the root plus one ``ContentSummary`` per partition directory (which
+    the filesystem computes JVM-side and, on HDFS, namenode-side).
+    Measured r10 on a 10,624-file table: the per-file ``listFiles`` walk
+    costs ~6 ms/file through py4j (65 s); this form plans the same
+    table in under a second. ContentSummary counts what a Spark scan
+    reads (hidden checksum/metadata files are excluded by the
+    filesystem, verified in tests)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {}
+    head = f"{partition_col}="
     stats: dict[str | None, tuple[int, int]] = {}
-    for rel, size in list_data_files(spark, table_path):
-        key = _partition_of(rel, partition_col)
-        n, b = stats.get(key, (0, 0))
-        stats[key] = (n + 1, b + size)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if st.isDirectory() and name.startswith(head):
+            cs = fs.getContentSummary(st.getPath())
+            n, b = int(cs.getFileCount()), int(cs.getLength())
+            if n:
+                stats[name[len(head):]] = (n, b)
+        elif st.isFile():
+            n, b = stats.get(None, (0, 0))
+            stats[None] = (n + 1, b + int(st.getLen()))
     return stats
 
 

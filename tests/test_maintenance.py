@@ -238,3 +238,23 @@ def test_streaming_merge_with_auto_compaction(spark, tmp_path):
     # (1 file here), not one file per task per batch
     stats = mt.partition_file_stats(spark, table, "day")
     assert all(n <= 2 for n, _ in stats.values()), stats
+
+
+def test_fast_stats_agree_with_per_file_listing(spark, tmp_path):
+    """The O(partitions) ContentSummary planner path must report exactly
+    what the per-file walk sees (hidden checksum files excluded by the
+    filesystem in both) — including the NULL partition and root files."""
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 100, 4)
+    _write_fragmented(spark, path, "d2", 10, 2)
+    spark.createDataFrame(
+        [(i, "x", None) for i in range(20)], SCHEMA
+    ).repartition(3).write.mode("append").partitionBy("day").parquet(path)
+    fast = mt.partition_file_stats(spark, path, "day")
+    slow: dict = {}
+    for rel, size in mt.list_data_files(spark, path):
+        seg = rel.split("/")[0]
+        key = seg[len("day="):] if seg.startswith("day=") else None
+        n, b = slow.get(key, (0, 0))
+        slow[key] = (n + 1, b + size)
+    assert fast == slow
