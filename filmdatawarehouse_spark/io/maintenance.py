@@ -101,8 +101,14 @@ def partition_file_stats(
     Measured r10 on a 10,624-file table: the per-file ``listFiles`` walk
     costs ~6 ms/file through py4j (65 s); this form plans the same
     table in under a second. ContentSummary counts what a Spark scan
-    reads (hidden checksum/metadata files are excluded by the
-    filesystem, verified in tests)."""
+    reads (hidden checksum/metadata files are excluded by the local
+    ChecksumFileSystem, verified in tests) — with one remote-store
+    caveat: on HDFS the summary is a raw inode walk, so a WRITE IN
+    FLIGHT (``_temporary`` staging) inflates a partition's counts until
+    it commits. Plan from the table's single writer (the streaming sink
+    calls compaction after its own write completes) or quiesce writers;
+    a transiently inflated plan costs a redundant rewrite, never
+    correctness (the rewrite reads committed data only)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -173,11 +179,27 @@ def compact_partitions(
     ``{"partitions": N, "files_before": B, "files_after": A}`` —
     files_after is re-listed from disk, not inferred.
 
-    The victim predicate matches partition VALUES as strings
-    (``cast(partition_col AS string) == decoded_dir_value``), which
-    partition-prunes (driver-side metadata evaluation) and is exact for
-    the string/int/date partition columns real tables use; binary or
-    float partition columns (a bad idea regardless) are out of contract.
+    The victim predicate matches partition values TYPED — the decoded
+    dir string is normalized through the table's inferred partition
+    dtype JVM-side (``lit(value).cast(dtype)``), the same inference the
+    scan applies — so dirs that don't round-trip as strings (a
+    zero-padded ``month=05`` read back as integer 5) still match their
+    rows and partition-prune. Victims sharing one normalized value
+    (``month=05`` + ``month=5`` — a table Spark already reads as ONE
+    value) MERGE: the typed predicate reads every colliding dir, the
+    rewrite lands in the canonical dir Spark writes for that value, and
+    the stale non-canonical dirs' files are deleted afterward — so
+    compaction HEALS the duplicate-encoding state instead of rewriting
+    one dir and silently duplicating rows (and a crash between the
+    overwrite and the cleanup is repaired by the re-run the same way).
+    A dir value that does not cast to the inferred dtype is refused.
+    Binary/float partition columns remain out of contract.
+
+    Victim partitions whose parquet files hold ZERO rows cannot be
+    rewritten by an overwrite (nothing to write) — their dead files are
+    deleted directly instead, so the plan still converges; scan output
+    is unchanged (the files contributed no rows), though an empty dir
+    no longer advertises its partition value to directory listings.
     Unpartitioned tables are rejected — whole-table rewrites belong to
     ``io.sinks.compact_parquet``.
     """
@@ -191,7 +213,6 @@ def compact_partitions(
             "directories; use io.sinks.compact_parquet for "
             "unpartitioned locations"
         )
-    files_before = sum(p.n_files for p in plans)
     if not plans:
         return {"partitions": 0, "files_before": 0, "files_after": 0}
 
@@ -202,54 +223,170 @@ def compact_partitions(
         )
     if "_gbin" in df.columns:
         raise ValueError("table must not contain reserved column '_gbin'")
-    pcol_str = F.col(partition_col).cast("string")
+    pcol_type = df.schema[partition_col].dataType
 
-    # victim predicate + per-partition dense bin ranges, both as chained
+    # normalize every dir value in the TABLE (not just victims) through
+    # the inferred partition dtype — one tiny driver-side job. Values
+    # that don't round-trip as strings ('05' under an int column) still
+    # compare typed; dirs collapsing to one typed value merge (module
+    # docstring); an uncastable dir value is refused.
+    all_stats = partition_file_stats(spark, table_path, partition_col)
+    all_raw = [r for r in all_stats if r is not None]
+    decoded = {
+        r: (None if r == HIVE_DEFAULT_PARTITION else urllib.parse.unquote(r))
+        for r in all_raw
+    }
+    norm: dict[str, tuple] = {}
+    if any(v is not None for v in decoded.values()):
+        norm_rows = [
+            (r, v) for r, v in decoded.items() if v is not None
+        ]
+        norm_df = spark.createDataFrame(
+            norm_rows, "raw string, dec string"
+        ).select(
+            "raw",
+            F.col("dec").cast(pcol_type).alias("typed"),
+            F.col("dec").cast(pcol_type).cast("string").alias("norm"),
+        )
+        norm = {r.raw: (r.typed, r.norm) for r in norm_df.collect()}
+    for r, v in decoded.items():
+        if v is not None and norm[r][0] is None:
+            raise ValueError(
+                f"partition dir value {r!r} does not cast to the "
+                f"inferred {partition_col} type {pcol_type.simpleString()}"
+            )
+
+    def _key(raw: str | None) -> str | None:
+        """Normalized partition value (None = NULL partition)."""
+        if raw is None or raw == HIVE_DEFAULT_PARTITION:
+            return None
+        return norm[raw][1]
+
+    # merge victims by normalized value: the typed predicate reads every
+    # colliding dir of the value, so sizes and n_out must pool too
+    merged: dict[str | None, dict] = {}
+    victim_keys = {_key(p.raw_value) for p in plans}
+    for raw, (n_f, n_b) in all_stats.items():
+        if raw is None:
+            continue  # non-victim files at the table root: not ours
+        key = _key(raw)
+        if key not in victim_keys:
+            continue
+        m = merged.setdefault(
+            key, {"raws": [], "files": 0, "bytes": 0}
+        )
+        m["raws"].append(raw)
+        m["files"] += n_f
+        m["bytes"] += n_b
+    for m in merged.values():
+        m["n_out"] = max(1, math.ceil(m["bytes"] / target_bytes))
+    files_before = sum(m["files"] for m in merged.values())
+
+    # victim predicate + per-value dense bin ranges, both as chained
     # expressions over the (bounded) plan — no join, the probe stays on
     # the partition column so the scan reads ONLY victim partitions
+    pcol = F.col(partition_col)
     pred = None
     offset_expr = None
     n_out_expr = None
     offset = 0
-    for p in plans:
+    for key, m in merged.items():
+        typed = None if key is None else norm[m["raws"][0]][0]
         cond = (
-            pcol_str.isNull() if p.value is None else pcol_str == p.value
+            pcol.isNull()
+            if key is None
+            else pcol == F.lit(typed).cast(pcol_type)
         )
         pred = cond if pred is None else pred | cond
         w_off = F.when(cond, F.lit(offset))
-        w_n = F.when(cond, F.lit(p.n_out))
+        w_n = F.when(cond, F.lit(m["n_out"]))
         offset_expr = w_off if offset_expr is None else offset_expr.when(
             cond, F.lit(offset)
         )
         n_out_expr = w_n if n_out_expr is None else n_out_expr.when(
-            cond, F.lit(p.n_out)
+            cond, F.lit(m["n_out"])
         )
-        offset += p.n_out
+        offset += m["n_out"]
     total_bins = offset
 
     data_cols = [c for c in df.columns if c != partition_col]
-    gbin = (
-        offset_expr
-        + F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), n_out_expr)
-    ).alias("_gbin")
+    if not data_cols:
+        # Spark cannot even WRITE such a table
+        # (ALL_PARTITION_COLUMNS_NOT_ALLOWED), so the overwrite below
+        # would fail obscurely; reject up front instead of erroring
+        # inside xxhash64()
+        raise ValueError(
+            f"{table_path} has no columns besides {partition_col!r}; "
+            "Spark cannot rewrite an all-partition-column table"
+        )
+    row_hash = F.pmod(
+        F.xxhash64(*[F.col(c) for c in data_cols]), n_out_expr
+    )
+    gbin = (offset_expr + row_hash).alias("_gbin")
     victims = df.filter(pred).select(*df.columns, gbin)
     binned = (
         victims.repartitionByRange(max(1, total_bins), F.col("_gbin"))
         .drop("_gbin")
         .localCheckpoint(eager=True)
     )
-    (
-        binned.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(table_path)
+    present = {
+        r.v
+        for r in binned.select(
+            pcol.cast("string").alias("v")
+        ).distinct().collect()
+    }
+    if present:
+        (
+            binned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(table_path)
+        )
+
+    # post-write cleanup, two dead-file classes (module docstring):
+    # zero-row victims the overwrite could not touch, and stale
+    # non-canonical dirs whose rows were rewritten under the normalized
+    # value. "Stale" is judged on DECODED values (decoded != key), never
+    # on dir-name spelling: a hive-ESCAPED dir of an unchanged value is
+    # the canonical dir itself and must not be purged.
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
     )
+
+    def _purge(raw_dir: str) -> None:
+        d = jvm.org.apache.hadoop.fs.Path(
+            table_path, f"{partition_col}={raw_dir}"
+        )
+        if not fs.exists(d):
+            return
+        for st in fs.listStatus(d):
+            if st.isFile():
+                fs.delete(st.getPath(), False)
+
+    for key, m in merged.items():
+        rewritten = key in present
+        for raw in m["raws"]:
+            if not rewritten:
+                _purge(raw)  # zero-row victim: files are dead weight
+            elif key is not None and decoded[raw] != key:
+                _purge(raw)  # value normalized away from this spelling
+
+    def _canonical_raw(key: str | None, m: dict) -> str:
+        if key is None:
+            return HIVE_DEFAULT_PARTITION
+        for raw in m["raws"]:
+            if decoded[raw] == key:
+                return raw
+        return key
+
     after = partition_file_stats(spark, table_path, partition_col)
     files_after = sum(
-        after.get(p.raw_value, (0, 0))[0] for p in plans
+        after.get(_canonical_raw(key, m), (0, 0))[0]
+        for key, m in merged.items()
     )
     return {
-        "partitions": len(plans),
+        "partitions": len(merged),
         "files_before": files_before,
         "files_after": files_after,
     }

@@ -261,7 +261,13 @@ def balanced_mix_rates(
             )
     totals = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias(count_alias),
-        F.sum(F.col(weight_col)).cast("bigint").alias("_tot"),
+        # coalesce: a group whose weights are ALL NULL sums to NULL, and
+        # an unguarded NULL total would flow through to a NULL rate_ppb
+        # whose keep-comparison is UNKNOWN for every row — silently
+        # dropping the whole group instead of the documented keep-all
+        F.coalesce(F.sum(F.col(weight_col)), F.lit(0))
+        .cast("bigint")
+        .alias("_tot"),
     )
     target = totals.agg(F.min("_tot").alias("_target"))
     rate = F.when(F.col("_tot") <= 0, F.lit(MIX_PPB).cast("bigint")).otherwise(

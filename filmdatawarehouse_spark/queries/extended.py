@@ -2513,10 +2513,11 @@ def minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_edit_distance`, `dedup_triangles` — which each rebuilt the
     full shingle->signature->band->verify subtree per warm call (the
     same repeated-subtree shape the r08 PPJoin memo removed).
-    r10: `pipeline_curate_documents` is the sixth consumer — Jaccard is
-    pairwise, so its cleaned-corpus pair set is this frame restricted to
-    pairs whose survivor endpoint passed cleaning (queries/pipeline.py
-    has the argument)."""
+    r10: `pipeline_curate_documents` is the sixth consumer, but ONLY
+    when cleaning dropped zero documents (count-guarded): LSH candidate
+    generation is corpus-dependent through the hot-bucket cap, so a
+    restriction of raw pairs is not sound in general — pipeline.py has
+    the full argument and the exact fallback."""
     return _shared_persisted(
         spark, sf_dir, "minhash_pairs",
         lambda: dd.minhash_dedup_pairs(

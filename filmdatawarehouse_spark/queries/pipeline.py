@@ -50,17 +50,18 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup removal: drop the higher doc_id of every verified pair
-    # (survivor = lowest id). Jaccard is PAIRWISE, so the pair set over
-    # cleaned docs equals the raw-corpus pair set restricted to pairs
-    # whose SURVIVOR endpoint survived cleaning (a loser whose partner
-    # was cleaned away must keep living; a loser outside the gated set is
-    # a no-op in the anti-join) — which lets this stage reuse the shared
-    # persisted MinHash pair frame instead of rebuilding the full
-    # shingle→signature→band→verify subtree over cleaned docs per call
-    # (r10: warm 3.12 s → the pair probe is one broadcast pass over the
-    # already-persisted cleaned frame). The restriction probes the TINY
-    # pair frame broadcast against persisted `docs` — the corpus is
-    # never re-shuffled.
+    # (survivor = lowest id). The shared raw-corpus MinHash pair frame is
+    # reused ONLY when cleaning provably dropped nothing (count equality
+    # — clean() can only remove rows, so equal counts ⟹ identical
+    # frames ⟹ identical pairs, hot-bucket cap included). A pairwise
+    # restriction of the raw pairs is NOT sound in general: LSH
+    # candidate generation is corpus-dependent through BUCKET_CAP — a
+    # bucket pushed hot by later-cleaned rows can drop a pair of two
+    # cleaned docs that the cleaned-corpus build finds (review r10) —
+    # so when cleaning dropped anything, the pair frame is built over
+    # the cleaned docs exactly as the oracle replays it. The raw count
+    # is a parquet-metadata read; the cleaned count materializes the
+    # persisted frame the rest of the query reuses.
     from filmdatawarehouse_spark.queries.extended import (
         JACCARD_T as SHARED_JACCARD_T,
         minhash_pairs_shared,
@@ -70,20 +71,14 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "pipeline JACCARD_T diverged from the shared pair frame's"
         )
-    pairs = minhash_pairs_shared(spark, sf_dir)
-    losers = (
-        docs.select("doc_id")
-        .join(
-            F.broadcast(
-                pairs.select(
-                    F.col("doc_id_a").alias("doc_id"), "doc_id_b"
-                )
-            ),
-            "doc_id",
-        )
-        .select(F.col("doc_id_b").alias("doc_id"))
-        .distinct()
-    )
+    raw_n = read_table(spark, sf_dir, "documents").count()
+    if docs.count() == raw_n:
+        pairs = minhash_pairs_shared(spark, sf_dir)
+    else:
+        from filmdatawarehouse_spark.operators import dedup as dd
+
+        pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    losers = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     kept = gated.join(F.broadcast(losers), "doc_id", "left_anti")
 
     return kept.groupBy("lang_pred").agg(

@@ -52,8 +52,6 @@ transaction connection.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 
 LEDGER_TABLE = "stream_batch_ledger"
@@ -145,25 +143,27 @@ def merge_jdbc_batch(
     keys: list[str],
     seq_col: str | None = None,
     driver: str | None = None,
-    run_id: str | None = None,
+    *,
+    run_id: str,
     **jdbc_options: str,
 ) -> None:
     """Idempotently apply one micro-batch to a transactional JDBC target
     (see module docstring for the staging + single-transaction recipe;
     the idempotence key is (table, run_id, batch_id)).
 
-    ``run_id`` defaults to a FRESH uuid per call: a shared fixed default
-    would (a) give independent direct-API callers the same staging table
-    ``{table}_stg_<run>`` — reintroducing the zombie-writer overwrite
-    race the per-run staging name exists to prevent — and (b) make their
-    ledger keys collide, so caller B's batch 0 would be skipped because
-    caller A already applied ITS batch 0. Pass a stable ``run_id`` only
-    to replay within one logical stream (what
-    ``write_stream_merge_jdbc`` does with its per-start uuid)."""
+    ``run_id`` is REQUIRED (keyword-only) because no default is safe:
+    the old shared ``'api'`` default gave independent callers the same
+    staging table — the zombie-writer overwrite race — and colliding
+    ledger keys (caller B's batch 0 skipped because caller A applied
+    ITS batch 0); a per-call fresh uuid instead silently LOSES replay
+    protection (a retried batch never matches the ledger and, without
+    ``seq_col``, a stale retry overwrites newer rows) while growing the
+    ledger with never-matched rows. The caller must pin a run identity
+    with the right scope: stable across retries of one logical stream
+    (what ``write_stream_merge_jdbc`` does with its per-start uuid),
+    distinct across independent writers."""
     from filmdatawarehouse_spark.streaming.merge import merged_frame
 
-    if run_id is None:
-        run_id = uuid.uuid4().hex[:12]
     spark = batch_df.sparkSession
     # staging is per-RUN: a fixed name could be overwritten by a zombie
     # writer (old driver after failover) between this sink's staging

@@ -108,3 +108,63 @@ def test_curation_v2_composition_matches_duckdb(spark, sf_dir, duck2):
         (r[0], r[1], r[2]) for r in duck2.execute(oracle).fetchall()
     }
     assert got == want
+
+
+def test_pipeline_dirty_corpus_uses_exact_cleaned_pair_build(
+    spark, tmp_path
+):
+    """Review r10: the shared raw-corpus MinHash pair frame is reused
+    only when cleaning drops nothing — LSH candidates are
+    corpus-dependent through the hot-bucket cap, so on a DIRTY corpus
+    the pipeline must rebuild pairs over cleaned docs exactly as the
+    DuckDB oracle replays them. Pin that with a corpus where cleaning
+    removes rows (NULL lang) that participate in near-dup pairs."""
+    import duckdb
+
+    from filmdatawarehouse_spark.queries.pipeline import (
+        curate_documents,
+        curate_documents_oracle,
+    )
+
+    real = [
+        r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        .select("text")
+        .limit(20)
+        .collect()
+    ]
+    rows = []
+    for i in range(40):
+        # pairs (2i, 2i+1) share one REAL text -> jaccard 1.0; real text
+        # passes the quality gate (synthetic token soup does not)
+        text = real[i // 2]
+        lang = None if i % 7 == 0 else "en"  # every 7th row cleaned away
+        rows.append((i, text, lang, "s", len(text)))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        tuple(r)
+        for r in curate_documents(spark, sf)
+        .selectExpr(
+            "lang_pred", "n_docs", "total_tokens", "round(avg_quality, 9)"
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"SELECT lang_pred, n_docs, total_tokens, "
+            f"round(avg_quality, 9) FROM ({curate_documents_oracle()})"
+        ).fetchall()
+    }
+    assert got == want and got

@@ -375,7 +375,8 @@ def test_jdbc_merge_transaction_rolls_back_atomically(spark, tmp_path, monkeypat
         [(1, "A", 10.0, 0), (2, "A", 20.0, 0)], SCHEMA
     )
     jdbc_merge.merge_jdbc_batch(
-        base, 0, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV
+        base, 0, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+        run_id="ra",
     )
     before = table_rows()
 
@@ -393,14 +394,16 @@ def test_jdbc_merge_transaction_rolls_back_atomically(spark, tmp_path, monkeypat
 
     with _pytest.raises(RuntimeError, match="injected"):
         jdbc_merge.merge_jdbc_batch(
-            delta, 1, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV
+            delta, 1, url, "atomic_t", ["k"], seq_col="seq",
+            driver=DERBY_DRV, run_id="ra",
         )
     monkeypatch.setattr(jdbc_merge, "_execute", real_execute)
     # rollback: the DELETE that ran inside the doomed txn left no trace
     assert table_rows() == before
     # and the ledger did not record batch 1 — the retry applies for real
     jdbc_merge.merge_jdbc_batch(
-        delta, 1, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV
+        delta, 1, url, "atomic_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+        run_id="ra",
     )
     assert table_rows() == {
         1: ("A", 10.0, 0),
@@ -663,23 +666,39 @@ def test_merged_frame_rejects_reserved_columns_and_keyonly_batch(spark):
         merged_frame(None, keyonly, ["k"])
 
 
-def test_jdbc_merge_default_run_ids_do_not_collide(spark):
-    """Review r09: two INDEPENDENT direct-API callers that both omit
-    run_id must not share a ledger key — under the old shared 'api'
-    default, caller B's batch 0 was skipped because caller A had
-    already recorded (table, 'api', 0). Each defaulted call now draws a
-    fresh run identity, so both batches apply."""
+def test_jdbc_merge_run_id_is_required_and_scopes_the_ledger(spark):
+    """Reviews r09+r10: no run_id DEFAULT is safe — the old shared 'api'
+    made independent callers collide on staging + ledger; a per-call
+    fresh uuid silently loses replay protection. run_id is therefore a
+    required keyword: omitting it is a TypeError, distinct run ids keep
+    independent callers' same-numbered batches from skipping each
+    other, and a stable run id preserves replay idempotence."""
+    import pytest
+
     from filmdatawarehouse_spark.streaming.jdbc_merge import merge_jdbc_batch
 
     url = "jdbc:derby:memory:fdw_merge_ridcol;create=true"
+    b1 = spark.createDataFrame([(1, "A", 1.0, 0)], SCHEMA)
+    with pytest.raises(TypeError):
+        merge_jdbc_batch(
+            b1, 0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV
+        )
     merge_jdbc_batch(
-        spark.createDataFrame([(1, "A", 1.0, 0)], SCHEMA),
-        0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+        b1, 0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+        run_id="caller_a",
     )
     # same batch_id, different logical caller: must APPLY, not skip
     merge_jdbc_batch(
         spark.createDataFrame([(2, "B", 2.0, 0)], SCHEMA),
         0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+        run_id="caller_b",
+    )
+    # stable run id: the retried batch is a ledger no-op (replay
+    # protection the fresh-uuid default would have lost)
+    merge_jdbc_batch(
+        spark.createDataFrame([(1, "STALE", 9.0, 9)], SCHEMA),
+        0, url, "rid_t", ["k"], seq_col="seq", driver=DERBY_DRV,
+        run_id="caller_a",
     )
     back = (
         spark.read.format("jdbc")
@@ -688,4 +707,4 @@ def test_jdbc_merge_default_run_ids_do_not_collide(spark):
         .option("dbtable", "rid_t")
         .load()
     )
-    assert {r.k for r in back.collect()} == {1, 2}
+    assert {r.k: r.status for r in back.collect()} == {1: "A", 2: "B"}
