@@ -510,3 +510,78 @@ def test_snapshot_and_jdbc_merge_sinks_agree(
             )
         except Exception:
             pass  # Derby signals a successful drop BY raising
+
+
+# ---------------------------------------------------------------------------
+# partition-selective compaction (io/maintenance.py)
+# ---------------------------------------------------------------------------
+
+_COMPACT_N = 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    layout=st.lists(  # per partition: (value, files as row-counts)
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.lists(
+                st.integers(min_value=1, max_value=12),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    divisor=st.integers(min_value=1, max_value=6),
+)
+def test_compaction_conserves_rows_and_converges(
+    spark, tmp_path_factory, layout, divisor
+):
+    """For ANY partition layout and target size: compaction never loses,
+    duplicates, or mutates a row; repeated runs strictly shrink file
+    counts until no victim remains (convergence, not oscillation)."""
+    from filmdatawarehouse_spark.io import maintenance as mt
+
+    global _COMPACT_N
+    _COMPACT_N += 1
+    path = str(tmp_path_factory.mktemp(f"cprop{_COMPACT_N}"))
+    schema = "k long, v string, day string"
+    next_k = 0
+    for value, files in layout:
+        for n in files:
+            rows = [
+                (next_k + i, f"v{next_k + i}", value) for i in range(n)
+            ]
+            next_k += n
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).partitionBy("day").parquet(path)
+
+    def snapshot():
+        return sorted(
+            (r.k, r.v, r.day or "~null~")
+            for r in spark.read.parquet(path).collect()
+        )
+
+    before = snapshot()
+    total_bytes = sum(s for _, s in mt.list_data_files(spark, path))
+    target = max(1, total_bytes // divisor)
+    prev_files = len(mt.list_data_files(spark, path))
+    for _ in range(6):
+        summary = mt.compact_partitions(
+            spark, path, "day", target_bytes=target
+        )
+        if summary["partitions"] == 0:
+            break
+        now_files = len(mt.list_data_files(spark, path))
+        assert now_files < prev_files  # strict progress, no oscillation
+        prev_files = now_files
+    else:
+        raise AssertionError("compaction did not converge in 6 rounds")
+    assert snapshot() == before
