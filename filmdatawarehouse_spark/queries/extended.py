@@ -363,6 +363,11 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sizes + both pair-join sides) — leaving either unpersisted
     # re-executes its subtree per consumer
     sh = shingle_rows_shared(spark, sf_dir)
+    # census stays INLINE over the cached sh (not a shared persisted
+    # frame): r10 measured that persisting it replaces the broadcast
+    # census joins with SortMergeJoin + 2 exchanges in the PPJoin
+    # builder (cached-relation stats suppress the broadcast) — the plan
+    # audit caught it; one aggregate over cached sh is the cheaper shape
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
