@@ -48,6 +48,37 @@ from pyspark.sql import functions as F
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def vacuum_compact_leftovers(spark: SparkSession, table_path: str) -> list[str]:
+    """Remove crash leftovers of ``io.sinks.compact_parquet``'s rename
+    swap: a crash in its window leaves ``<table>_compact_<token>`` (the
+    unswapped rewrite) and/or ``<table>_compact_old_<token>`` (the
+    pre-swap copy) SIBLING directories behind. Both are safe to delete
+    only while the main path exists and holds data files — the old-copy
+    dir is the documented recovery point for the one crash state where
+    the table itself is missing, so vacuuming refuses to touch anything
+    in that state. Returns the deleted paths."""
+    jvm = spark._jvm
+    main = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = main.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(main) or not list_data_files(spark, table_path):
+        raise ValueError(
+            f"{table_path} is missing or empty: a _compact_old_* sibling "
+            "may be the recovery copy — restore it, don't vacuum it"
+        )
+    qualified = fs.getFileStatus(main).getPath()
+    parent, base = qualified.getParent(), qualified.getName()
+    removed: list[str] = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if st.isDirectory() and (
+            name.startswith(f"{base}_compact_")
+            or name.startswith(f"{base}_compact_old_")
+        ):
+            fs.delete(st.getPath(), True)
+            removed.append(st.getPath().toString())
+    return sorted(removed)
+
+
 def list_data_files(
     spark: SparkSession, table_path: str
 ) -> list[tuple[str, int]]:

@@ -352,3 +352,29 @@ def test_compact_key_only_table_rejected_clearly(spark, tmp_path):
         ]
         == 2
     )
+
+
+def test_vacuum_compact_leftovers(spark, tmp_path):
+    """Crash leftovers of compact_parquet's rename swap are removed only
+    while the main table is alive; with the table missing/empty, the
+    _compact_old_* sibling is the recovery copy and vacuum refuses."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 20, 1)
+    # simulate both crash-leftover classes plus an unrelated sibling
+    os.makedirs(str(tmp_path / "t_compact_deadbeef"))
+    os.makedirs(str(tmp_path / "t_compact_old_deadbeef"))
+    os.makedirs(str(tmp_path / "t_other"))
+    removed = mt.vacuum_compact_leftovers(spark, path)
+    assert len(removed) == 2
+    assert not os.path.exists(str(tmp_path / "t_compact_deadbeef"))
+    assert not os.path.exists(str(tmp_path / "t_compact_old_deadbeef"))
+    assert os.path.exists(str(tmp_path / "t_other"))  # untouched
+    assert mt.vacuum_compact_leftovers(spark, path) == []  # idempotent
+    # recovery state: main path gone -> refuse
+    gone = str(tmp_path / "gone")
+    os.makedirs(str(tmp_path / "gone_compact_old_x"))
+    with pytest.raises(ValueError, match="recovery"):
+        mt.vacuum_compact_leftovers(spark, gone)
+    assert os.path.exists(str(tmp_path / "gone_compact_old_x"))
