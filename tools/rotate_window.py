@@ -124,11 +124,24 @@ def compute_window(
     window = derive_window(reg, ledger, target_round, defer, retired=RETIRED)
     capacity = WINDOW_SIZE * 3  # each active entry needs a slot every 3 rounds
     active = len(reg) - len(RETIRED)
+    if active > capacity:
+        raise SystemExit(
+            f"active ({active}) exceeds steady-state capacity ({capacity}): "
+            "not every entry can be re-certified within the 3-round "
+            "staleness bound — retire weaker siblings or change the window "
+            "contract first (registry.py GROWTH POLICY)"
+        )
     print(
         f"forward math: {len(reg)} registered - {len(RETIRED)} retired = "
         f"{active} active; steady-state capacity {capacity} "
         f"({WINDOW_SIZE}-slot window x 3-round staleness bound); "
         f"headroom {capacity - active}"
+        + (
+            " — RESERVED (registry.py GROWTH POLICY: new capabilities land "
+            "as operators + pytest oracles, no driver row)"
+            if capacity - active <= 2
+            else ""
+        )
     )
     return window, list(defer)
 
