@@ -38,7 +38,9 @@ quarantine tooling.
 
 from __future__ import annotations
 
+import hashlib
 import math
+import re
 import urllib.parse
 from dataclasses import dataclass
 
@@ -52,11 +54,15 @@ def vacuum_compact_leftovers(spark: SparkSession, table_path: str) -> list[str]:
     """Remove crash leftovers of ``io.sinks.compact_parquet``'s rename
     swap: a crash in its window leaves ``<table>_compact_<token>`` (the
     unswapped rewrite) and/or ``<table>_compact_old_<token>`` (the
-    pre-swap copy) SIBLING directories behind. Both are safe to delete
-    only while the main path exists and holds data files — the old-copy
-    dir is the documented recovery point for the one crash state where
-    the table itself is missing, so vacuuming refuses to touch anything
-    in that state. Returns the deleted paths."""
+    pre-swap copy) SIBLING directories behind. Only names matching the
+    EXACT leftover shape — ``<token>`` is the 8-hex uuid fragment
+    ``compact_parquet`` generates — are eligible: a bare prefix match
+    would eat a legitimate user table named e.g. ``t_compact_archive``
+    (r10 review). Both classes are safe to delete only while the main
+    path exists and holds data files — the old-copy dir is the
+    documented recovery point for the one crash state where the table
+    itself is missing, so vacuuming refuses to touch anything in that
+    state. Returns the deleted paths."""
     jvm = spark._jvm
     main = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = main.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -67,13 +73,13 @@ def vacuum_compact_leftovers(spark: SparkSession, table_path: str) -> list[str]:
         )
     qualified = fs.getFileStatus(main).getPath()
     parent, base = qualified.getParent(), qualified.getName()
+    leftover = re.compile(
+        rf"{re.escape(base)}_compact_(old_)?[0-9a-f]{{8}}"
+    )
     removed: list[str] = []
     for st in fs.listStatus(parent):
         name = st.getPath().getName()
-        if st.isDirectory() and (
-            name.startswith(f"{base}_compact_")
-            or name.startswith(f"{base}_compact_old_")
-        ):
+        if st.isDirectory() and leftover.fullmatch(name):
             fs.delete(st.getPath(), True)
             removed.append(st.getPath().toString())
     return sorted(removed)
@@ -105,6 +111,54 @@ def list_data_files(
         out.append((rel, int(st.getLen())))
     out.sort()
     return out
+
+
+def _move_partition_dir(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    src_raw: str,
+    dst_raw: str,
+) -> None:
+    """Collapse a non-canonical hive spelling into the canonical dir by
+    RENAMING its visible data files, then delete the emptied source dir.
+    Module-level (not a closure) so the crash-matrix tests can wrap it
+    to kill the job mid-heal. Renames are atomic on local/HDFS and the
+    phase is idempotent under replay: a moved file's source no longer
+    exists, and the collision fallback name is deterministic. Object
+    stores emulate rename as copy+delete — run compaction through a
+    table format there (same contract as ``io.sinks.compact_parquet``'s
+    swap)."""
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{partition_col}={src_raw}"
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(
+        table_path, f"{partition_col}={dst_raw}"
+    )
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(src):
+        return  # replay after a completed move
+    fs.mkdirs(dst)
+    for st in fs.listStatus(src):
+        name = st.getPath().getName()
+        if not st.isFile() or name.startswith(("_", ".")):
+            continue
+        target = jvm.org.apache.hadoop.fs.Path(dst, name)
+        if fs.exists(target):
+            # foreign writers can reuse file names across dirs; the
+            # fallback is deterministic so a replay lands on the same name
+            tag = hashlib.md5(src_raw.encode()).hexdigest()[:8]
+            target = jvm.org.apache.hadoop.fs.Path(
+                dst, f"healed-{tag}-{name}"
+            )
+            if fs.exists(target):
+                continue  # replay after this exact move
+        if not fs.rename(st.getPath(), target):
+            raise IOError(
+                f"rename failed healing {src} -> {dst} (file {name})"
+            )
+    fs.delete(src, True)  # only metadata/hidden files remain
 
 
 @dataclass(frozen=True)
@@ -215,16 +269,24 @@ def compact_partitions(
     dtype JVM-side (``lit(value).cast(dtype)``), the same inference the
     scan applies — so dirs that don't round-trip as strings (a
     zero-padded ``month=05`` read back as integer 5) still match their
-    rows and partition-prune. Victims sharing one normalized value
-    (``month=05`` + ``month=5`` — a table Spark already reads as ONE
-    value) MERGE: the typed predicate reads every colliding dir, the
-    rewrite lands in the canonical dir Spark writes for that value, and
-    the stale non-canonical dirs' files are deleted afterward — so
-    compaction HEALS the duplicate-encoding state instead of rewriting
-    one dir and silently duplicating rows (and a crash between the
-    overwrite and the cleanup is repaired by the re-run the same way).
-    A dir value that does not cast to the inferred dtype is refused.
-    Binary/float partition columns remain out of contract.
+    rows and partition-prune. Victim dirs whose NAME differs from
+    Spark's canonical hive-escaped spelling of their value
+    (``escapePathName``: zero-padded ``month=05`` under an int column,
+    a foreign writer's ``day=a%20b`` beside canonical ``day=a b``, a
+    raw ``day=a:b`` beside canonical ``day=a%3Ab``) are HEALED FIRST:
+    their data files are RENAMED into the canonical dir (atomic on
+    local/HDFS; idempotent under replay — a moved file's source is
+    gone) and the emptied dir deleted, before any rewrite. Staleness is
+    judged by dir name vs the escaped canonical, never by decoded
+    values — a foreign escaped spelling decodes EQUAL to the canonical
+    value and would evade a decoded-equality test (r10 review). Healing
+    precedes the overwrite because the previous order (read both dirs →
+    overwrite canonical → purge stale) permanently double-counted the
+    stale dir's rows if the job died between the overwrite and the
+    purge; with move-first, a crash at ANY point is repaired by a
+    re-run (r11 crash matrix pins this). A dir value that does not cast
+    to the inferred dtype is refused. Binary/float partition columns
+    remain out of contract.
 
     Victim partitions whose parquet files hold ZERO rows cannot be
     rewritten by an overwrite (nothing to write) — their dead files are
@@ -309,9 +371,44 @@ def compact_partitions(
         m["raws"].append(raw)
         m["files"] += n_f
         m["bytes"] += n_b
+        m["typed"] = None if key is None else norm[raw][0]
     for m in merged.values():
         m["n_out"] = max(1, math.ceil(m["bytes"] / target_bytes))
     files_before = sum(m["files"] for m in merged.values())
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    escape_path = (
+        jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName
+    )
+
+    def _canonical_raw(key: str | None) -> str:
+        """The one dir name Spark's writer produces for this value."""
+        if key is None:
+            return HIVE_DEFAULT_PARTITION
+        return escape_path(key)
+
+    # HEAL PHASE — before any rewrite (docstring): collapse every
+    # non-canonical spelling of a victim value into the canonical dir by
+    # renaming its files. Must precede the overwrite: healing by
+    # read-both-then-purge double-counts the stale dir's rows if the job
+    # dies between the overwrite and the purge.
+    healed = False
+    for key, m in merged.items():
+        canonical = _canonical_raw(key)
+        for raw in m["raws"]:
+            if raw != canonical:
+                _move_partition_dir(
+                    spark, table_path, partition_col, raw, canonical
+                )
+                healed = True
+        m["raws"] = [canonical]
+    if healed:
+        # the pre-heal DataFrame's file index is stale after the renames
+        df = spark.read.parquet(table_path)
 
     # victim predicate + per-value dense bin ranges, both as chained
     # expressions over the (bounded) plan — no join, the probe stays on
@@ -322,7 +419,7 @@ def compact_partitions(
     n_out_expr = None
     offset = 0
     for key, m in merged.items():
-        typed = None if key is None else norm[m["raws"][0]][0]
+        typed = m["typed"]
         cond = (
             pcol.isNull()
             if key is None
@@ -374,17 +471,10 @@ def compact_partitions(
             .parquet(table_path)
         )
 
-    # post-write cleanup, two dead-file classes (module docstring):
-    # zero-row victims the overwrite could not touch, and stale
-    # non-canonical dirs whose rows were rewritten under the normalized
-    # value. "Stale" is judged on DECODED values (decoded != key), never
-    # on dir-name spelling: a hive-ESCAPED dir of an unchanged value is
-    # the canonical dir itself and must not be purged.
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(table_path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-
+    # post-write cleanup, ONE dead-file class left (the heal phase above
+    # already removed non-canonical dirs): zero-row victims the dynamic
+    # overwrite could not touch — their files are dead weight deleted
+    # directly so the plan converges (module docstring).
     def _purge(raw_dir: str) -> None:
         d = jvm.org.apache.hadoop.fs.Path(
             table_path, f"{partition_col}={raw_dir}"
@@ -396,25 +486,14 @@ def compact_partitions(
                 fs.delete(st.getPath(), False)
 
     for key, m in merged.items():
-        rewritten = key in present
-        for raw in m["raws"]:
-            if not rewritten:
-                _purge(raw)  # zero-row victim: files are dead weight
-            elif key is not None and decoded[raw] != key:
-                _purge(raw)  # value normalized away from this spelling
-
-    def _canonical_raw(key: str | None, m: dict) -> str:
-        if key is None:
-            return HIVE_DEFAULT_PARTITION
-        for raw in m["raws"]:
-            if decoded[raw] == key:
-                return raw
-        return key
+        if key not in present:
+            for raw in m["raws"]:
+                _purge(raw)
 
     after = partition_file_stats(spark, table_path, partition_col)
     files_after = sum(
-        after.get(_canonical_raw(key, m), (0, 0))[0]
-        for key, m in merged.items()
+        after.get(_canonical_raw(key), (0, 0))[0]
+        for key in merged
     )
     return {
         "partitions": len(merged),

@@ -288,6 +288,76 @@ def test_compact_normalizes_and_heals_duplicate_encoded_dirs(
     assert 1 <= stats["5"][0] <= 2
 
 
+def test_compact_purges_alternate_spelling_of_same_decoded_value(
+    spark, tmp_path
+):
+    """Review r10 (ADVICE): a foreign-writer dir whose NAME is a
+    different hive spelling of the SAME decoded value — day=a%20b
+    alongside the canonical day=a b — decodes equal to the canonical
+    value, so a decoded-value staleness test never purges it while the
+    dynamic overwrite rewrites its rows into the canonical dir: the
+    table then holds the rows twice. Staleness must be judged by dir
+    name vs Spark's escapePathName(value)."""
+    path = str(tmp_path / "t")
+    schema = "k long, v string"
+    # canonical spelling (space is NOT hive-escaped) + foreign escaped
+    for sub, lo in [("day=a b", 0), ("day=a%20b", 100)]:
+        os.makedirs(f"{path}/{sub}")
+        spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(100)], schema
+        ).repartition(4).write.mode("append").parquet(f"{path}/{sub}")
+    df = spark.read.parquet(path)
+    assert df.count() == 200  # Spark reads both dirs as ONE value
+    assert {r.day for r in df.select("day").distinct().collect()} == {
+        "a b"
+    }
+    summary = mt.compact_partitions(
+        spark, path, "day", target_bytes=1 << 30
+    )
+    assert summary["partitions"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 200  # no duplication, no loss
+    stats = mt.partition_file_stats(spark, path, "day")
+    assert stats.get("a%20b", (0, 0))[0] == 0  # foreign spelling purged
+    assert 1 <= stats["a b"][0] <= 2
+    # converged: a second run finds nothing
+    assert (
+        mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)[
+            "partitions"
+        ]
+        == 0
+    )
+
+
+def test_compact_keeps_canonical_escaped_dir(spark, tmp_path):
+    """The flip side of the name-based purge: for a value Spark DOES
+    escape (':' -> %3A), the escaped dir IS the canonical spelling and
+    must survive compaction with its rows intact."""
+    path = str(tmp_path / "t")
+    schema = "k long, v string"
+    os.makedirs(f"{path}/day=a%3Ab")
+    for _ in range(3):
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], schema
+        ).coalesce(1).write.mode("append").parquet(f"{path}/day=a%3Ab")
+    df = spark.read.parquet(path)
+    assert {r.day for r in df.select("day").distinct().collect()} == {
+        "a:b"
+    }
+    summary = mt.compact_partitions(
+        spark, path, "day", target_bytes=1 << 30
+    )
+    assert summary["partitions"] == 1
+    assert summary["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 150
+    assert {r.day for r in back.select("day").distinct().collect()} == {
+        "a:b"
+    }
+    stats = mt.partition_file_stats(spark, path, "day")
+    assert stats["a%3Ab"][0] == 1  # canonical escaped dir kept
+
+
 def test_compact_zero_row_victim_converges(spark, tmp_path):
     """Review r10: a partition dir of zero-row parquet files can't be
     rewritten by an overwrite; its dead files must be deleted so the
@@ -362,15 +432,24 @@ def test_vacuum_compact_leftovers(spark, tmp_path):
 
     path = str(tmp_path / "t")
     _write_fragmented(spark, path, "d1", 20, 1)
-    # simulate both crash-leftover classes plus an unrelated sibling
+    # simulate both crash-leftover classes plus unrelated siblings —
+    # including user tables that merely SHARE the '_compact_' prefix
+    # but aren't the 8-hex uuid shape compact_parquet produces (r10
+    # review: a bare prefix match would vacuum them)
     os.makedirs(str(tmp_path / "t_compact_deadbeef"))
     os.makedirs(str(tmp_path / "t_compact_old_deadbeef"))
     os.makedirs(str(tmp_path / "t_other"))
+    os.makedirs(str(tmp_path / "t_compact_archive"))
+    os.makedirs(str(tmp_path / "t_compact_2024"))
+    os.makedirs(str(tmp_path / "t_compact_deadbeef99"))  # 10 chars
     removed = mt.vacuum_compact_leftovers(spark, path)
     assert len(removed) == 2
     assert not os.path.exists(str(tmp_path / "t_compact_deadbeef"))
     assert not os.path.exists(str(tmp_path / "t_compact_old_deadbeef"))
     assert os.path.exists(str(tmp_path / "t_other"))  # untouched
+    assert os.path.exists(str(tmp_path / "t_compact_archive"))
+    assert os.path.exists(str(tmp_path / "t_compact_2024"))
+    assert os.path.exists(str(tmp_path / "t_compact_deadbeef99"))
     assert mt.vacuum_compact_leftovers(spark, path) == []  # idempotent
     # recovery state: main path gone -> refuse
     gone = str(tmp_path / "gone")
