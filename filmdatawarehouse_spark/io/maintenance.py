@@ -116,12 +116,13 @@ def list_data_files(
 def _move_partition_dir(
     spark: SparkSession,
     table_path: str,
-    partition_col: str,
-    src_raw: str,
-    dst_raw: str,
+    src_rel: str,
+    dst_rel: str,
 ) -> None:
     """Collapse a non-canonical hive spelling into the canonical dir by
-    RENAMING its visible data files, then delete the emptied source dir.
+    RENAMING its visible data files, then delete the emptied source dir
+    (``src_rel``/``dst_rel`` are ``col=value`` subpaths relative to the
+    table root, possibly nested for multi-column partitioning).
     Module-level (not a closure) so the crash-matrix tests can wrap it
     to kill the job mid-heal. Renames are atomic on local/HDFS and the
     phase is idempotent under replay: a moved file's source no longer
@@ -130,12 +131,8 @@ def _move_partition_dir(
     table format there (same contract as ``io.sinks.compact_parquet``'s
     swap)."""
     jvm = spark._jvm
-    src = jvm.org.apache.hadoop.fs.Path(
-        table_path, f"{partition_col}={src_raw}"
-    )
-    dst = jvm.org.apache.hadoop.fs.Path(
-        table_path, f"{partition_col}={dst_raw}"
-    )
+    src = jvm.org.apache.hadoop.fs.Path(table_path, src_rel)
+    dst = jvm.org.apache.hadoop.fs.Path(table_path, dst_rel)
     fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(src):
         return  # replay after a completed move
@@ -148,7 +145,7 @@ def _move_partition_dir(
         if fs.exists(target):
             # foreign writers can reuse file names across dirs; the
             # fallback is deterministic so a replay lands on the same name
-            tag = hashlib.md5(src_raw.encode()).hexdigest()[:8]
+            tag = hashlib.md5(src_rel.encode()).hexdigest()[:8]
             target = jvm.org.apache.hadoop.fs.Path(
                 dst, f"healed-{tag}-{name}"
             )
@@ -159,6 +156,23 @@ def _move_partition_dir(
                 f"rename failed healing {src} -> {dst} (file {name})"
             )
     fs.delete(src, True)  # only metadata/hidden files remain
+    # a multi-level source may leave empty ancestor dirs (day=05/ after
+    # its last hour= child moved out); prune them up to the table root
+    root = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(table_path)
+    ).toString()
+    parent = src.getParent()
+    while parent is not None:
+        q = fs.makeQualified(parent).toString()
+        if (
+            q == root
+            or not q.startswith(root)
+            or not fs.exists(parent)
+            or len(fs.listStatus(parent)) != 0
+        ):
+            break
+        fs.delete(parent, False)
+        parent = parent.getParent()
 
 
 @dataclass(frozen=True)
@@ -167,59 +181,132 @@ class PartitionPlan:
     unpartitioned data), decoded value string (None = NULL partition),
     current file count, total bytes, and target output file count."""
 
-    raw_value: str | None
-    value: str | None
+    raw_value: str | tuple | None
+    value: str | tuple | None
     n_files: int
     total_bytes: int
     n_out: int
 
 
-def partition_file_stats(
-    spark: SparkSession, table_path: str, partition_col: str
-) -> dict[str | None, tuple[int, int]]:
-    """``{raw_partition_value: (n_files, total_bytes)}``. Key None groups
-    files at the table root (unpartitioned data).
+def _cols_of(partition_col: str | list[str]) -> tuple[list[str], bool]:
+    """(column list, caller-used-single-string-form). The single form
+    keeps the original flat-string result keys for back-compat; the
+    list form keys results by raw-value TUPLE (one element per level)."""
+    if isinstance(partition_col, str):
+        return [partition_col], True
+    cols = list(partition_col)
+    if not cols:
+        raise ValueError("partition_col must name at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate partition columns: {cols}")
+    return cols, False
 
-    O(partitions) py4j round-trips, NOT O(files): one ``listStatus`` on
-    the root plus one ``ContentSummary`` per partition directory (which
-    the filesystem computes JVM-side and, on HDFS, namenode-side).
-    Measured r10 on a 10,624-file table: the per-file ``listFiles`` walk
-    costs ~6 ms/file through py4j (65 s); this form plans the same
-    table in under a second. ContentSummary counts what a Spark scan
-    reads (hidden checksum/metadata files are excluded by the local
-    ChecksumFileSystem, verified in tests) — with one remote-store
-    caveat: on HDFS the summary is a raw inode walk, so a WRITE IN
-    FLIGHT (``_temporary`` staging) inflates a partition's counts until
-    it commits. Plan from the table's single writer (the streaming sink
-    calls compaction after its own write completes) or quiesce writers;
-    a transiently inflated plan costs a redundant rewrite, never
-    correctness (the rewrite reads committed data only)."""
+
+def _stats_tuples(
+    spark: SparkSession, table_path: str, cols: list[str]
+) -> tuple[dict[tuple | None, tuple[int, int]], bool]:
+    """Core stats walk: ``({raw_value_tuple: (n_files, total_bytes)},
+    deeper)``. Key None groups stray files above leaf depth (table-root
+    files on a single-level table). ``deeper`` is True when any LEAF
+    partition dir contains subdirectories — the table is partitioned
+    (or littered) deeper than ``cols`` covers, and a rewrite through
+    ``cols`` alone would FLATTEN the deeper level into data files,
+    silently corrupting the layout for every future scan;
+    ``compact_partitions`` refuses on it. Detected from the same
+    per-leaf ContentSummary (directoryCount > 1), zero extra calls."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
-        return {}
-    head = f"{partition_col}="
-    stats: dict[str | None, tuple[int, int]] = {}
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
-            continue
-        if st.isDirectory() and name.startswith(head):
-            cs = fs.getContentSummary(st.getPath())
-            n, b = int(cs.getFileCount()), int(cs.getLength())
-            if n:
-                stats[name[len(head):]] = (n, b)
-        elif st.isFile():
-            n, b = stats.get(None, (0, 0))
-            stats[None] = (n + 1, b + int(st.getLen()))
-    return stats
+        return {}, False
+    stats: dict[tuple | None, tuple[int, int]] = {}
+    deeper = False
+
+    def walk(d, depth: int, prefix: tuple) -> None:
+        nonlocal deeper
+        head = f"{cols[depth]}="
+        leaf = depth == len(cols) - 1
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory() and name.startswith(head):
+                raw = prefix + (name[len(head):],)
+                if not leaf:
+                    walk(st.getPath(), depth + 1, raw)
+                    continue
+                cs = fs.getContentSummary(st.getPath())
+                n, b = int(cs.getFileCount()), int(cs.getLength())
+                if int(cs.getDirectoryCount()) > 1:
+                    deeper = True
+                if n:
+                    stats[raw] = (n, b)
+            elif st.isFile():
+                n, b = stats.get(None, (0, 0))
+                stats[None] = (n + 1, b + int(st.getLen()))
+    walk(root, 0, ())
+    return stats, deeper
+
+
+def partition_file_stats(
+    spark: SparkSession, table_path: str, partition_col: str | list[str]
+) -> dict:
+    """``{raw_partition_value: (n_files, total_bytes)}`` — flat string
+    keys for a single ``partition_col``, raw-value tuples for a list
+    (multi-level hive layout). Key None groups stray files above leaf
+    depth (for a single-level table: files at the table root).
+
+    O(partitions) py4j round-trips, NOT O(files): one ``listStatus``
+    per partition DIRECTORY level plus one ``ContentSummary`` per leaf
+    (which the filesystem computes JVM-side and, on HDFS,
+    namenode-side). Measured r10 on a 10,624-file table: the per-file
+    ``listFiles`` walk costs ~6 ms/file through py4j (65 s); this form
+    plans the same table in under a second. ContentSummary counts what
+    a Spark scan reads (hidden checksum/metadata files are excluded by
+    the local ChecksumFileSystem, verified in tests) — with one
+    remote-store caveat: on HDFS the summary is a raw inode walk, so a
+    WRITE IN FLIGHT (``_temporary`` staging) inflates a partition's
+    counts until it commits. Plan from the table's single writer (the
+    streaming sink calls compaction after its own write completes) or
+    quiesce writers; a transiently inflated plan costs a redundant
+    rewrite, never correctness (the rewrite reads committed data
+    only)."""
+    cols, single = _cols_of(partition_col)
+    stats, _ = _stats_tuples(spark, table_path, cols)
+    if not single:
+        return stats
+    return {
+        (None if raw is None else raw[0]): nb for raw, nb in stats.items()
+    }
+
+
+def _victim_tuples(
+    stats: dict[tuple | None, tuple[int, int]],
+    target_bytes: int,
+    min_files: int,
+    max_partitions: int,
+) -> list[tuple]:
+    """``(raw_tuple|None, n_files, total_bytes, n_out)`` victims from a
+    stats dict, worst-fragmented first, bounded by max_partitions."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive: {target_bytes}")
+    victims = []
+    for raw, (n_files, total) in stats.items():
+        n_out = max(1, math.ceil(total / target_bytes))
+        if n_files >= min_files and n_files > n_out:
+            victims.append((raw, n_files, total, n_out))
+    victims.sort(key=lambda v: (-(v[1] - v[3]), str(v[0])))
+    return victims[:max_partitions]
+
+
+def _decode_raw(raw: str) -> str | None:
+    return None if raw == HIVE_DEFAULT_PARTITION else urllib.parse.unquote(raw)
 
 
 def compaction_plan(
     spark: SparkSession,
     table_path: str,
-    partition_col: str,
+    partition_col: str | list[str],
     target_bytes: int = 128 << 20,
     min_files: int = 2,
     max_partitions: int = 128,
@@ -229,31 +316,30 @@ def compaction_plan(
     justifies) and ``min_files - 1``. ``max_partitions`` bounds one run's
     rewrite (and the plan-expression size in ``compact_partitions``);
     re-run to drain a larger backlog — the criterion is self-stabilizing
-    so already-compacted partitions never re-enter the plan."""
-    if target_bytes <= 0:
-        raise ValueError(f"target_bytes must be positive: {target_bytes}")
-    victims = []
-    for raw, (n_files, total) in partition_file_stats(
-        spark, table_path, partition_col
-    ).items():
-        n_out = max(1, math.ceil(total / target_bytes))
-        if n_files >= min_files and n_files > n_out:
-            value = (
-                None
-                if raw is None or raw == HIVE_DEFAULT_PARTITION
-                else urllib.parse.unquote(raw)
-            )
-            victims.append(
-                PartitionPlan(raw, value, n_files, total, n_out)
-            )
-    victims.sort(key=lambda p: (-(p.n_files - p.n_out), str(p.raw_value)))
-    return victims[:max_partitions]
+    so already-compacted partitions never re-enter the plan. With a LIST
+    of partition columns, ``raw_value``/``value`` are per-level tuples
+    (each ``value`` element None for a NULL level)."""
+    cols, single = _cols_of(partition_col)
+    stats, _ = _stats_tuples(spark, table_path, cols)
+    plans = []
+    for raw, n_files, total, n_out in _victim_tuples(
+        stats, target_bytes, min_files, max_partitions
+    ):
+        if raw is None:
+            raw_out, value = None, None
+        elif single:
+            raw_out, value = raw[0], _decode_raw(raw[0])
+        else:
+            raw_out = raw
+            value = tuple(_decode_raw(el) for el in raw)
+        plans.append(PartitionPlan(raw_out, value, n_files, total, n_out))
+    return plans
 
 
 def compact_partitions(
     spark: SparkSession,
     table_path: str,
-    partition_col: str,
+    partition_col: str | list[str],
     target_bytes: int = 128 << 20,
     min_files: int = 2,
     max_partitions: int = 128,
@@ -263,6 +349,15 @@ def compact_partitions(
     the full mechanics and crash contract). Returns a summary dict:
     ``{"partitions": N, "files_before": B, "files_after": A}`` —
     files_after is re-listed from disk, not inferred.
+
+    ``partition_col`` may be a LIST for multi-level layouts
+    (``day=X/hour=Y``): victims are leaf partitions, every mechanism
+    below (typed match, heal, binning, dynamic overwrite, zero-row
+    purge) operates per-level. Passing a PREFIX of the real layout is
+    REFUSED (detected from the leaf ContentSummary's directoryCount):
+    rewriting ``day=X`` alone on a ``day/hour`` table would flatten
+    ``hour`` into the data files — readable, but every future scan
+    loses hour pruning and the table's layout is silently mixed.
 
     The victim predicate matches partition values TYPED — the decoded
     dir string is normalized through the table's inferred partition
@@ -296,82 +391,94 @@ def compact_partitions(
     Unpartitioned tables are rejected — whole-table rewrites belong to
     ``io.sinks.compact_parquet``.
     """
-    plans = compaction_plan(
-        spark, table_path, partition_col, target_bytes, min_files,
-        max_partitions,
-    )
-    if any(p.raw_value is None for p in plans):
+    cols, _ = _cols_of(partition_col)
+    all_stats, deeper = _stats_tuples(spark, table_path, cols)
+    if deeper:
         raise ValueError(
-            f"{table_path} has data files outside {partition_col}= "
-            "directories; use io.sinks.compact_parquet for "
-            "unpartitioned locations"
+            f"{table_path} has subdirectories under its "
+            f"{'/'.join(c + '=' for c in cols)} leaves: the table is "
+            f"partitioned deeper than {cols} — rewriting through these "
+            "columns alone would flatten the deeper level into data "
+            "files; pass the FULL partition column list"
         )
-    if not plans:
+    victims_t = _victim_tuples(
+        all_stats, target_bytes, min_files, max_partitions
+    )
+    if any(raw is None for raw, *_ in victims_t):
+        raise ValueError(
+            f"{table_path} has data files above its "
+            f"{'/'.join(c + '=' for c in cols)} leaf directories; use "
+            "io.sinks.compact_parquet for unpartitioned locations"
+        )
+    if not victims_t:
         return {"partitions": 0, "files_before": 0, "files_after": 0}
 
     df = spark.read.parquet(table_path)
-    if partition_col not in df.columns:
-        raise ValueError(
-            f"{partition_col!r} is not a column of {table_path}"
-        )
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"{c!r} is not a column of {table_path}")
     if "_gbin" in df.columns:
         raise ValueError("table must not contain reserved column '_gbin'")
-    pcol_type = df.schema[partition_col].dataType
+    ptypes = [df.schema[c].dataType for c in cols]
 
     # normalize every dir value in the TABLE (not just victims) through
-    # the inferred partition dtype — one tiny driver-side job. Values
-    # that don't round-trip as strings ('05' under an int column) still
-    # compare typed; dirs collapsing to one typed value merge (module
-    # docstring); an uncastable dir value is refused.
-    all_stats = partition_file_stats(spark, table_path, partition_col)
+    # the inferred partition dtype — one tiny driver-side job covering
+    # all levels. Values that don't round-trip as strings ('05' under an
+    # int column) still compare typed; dirs collapsing to one typed
+    # value merge (module docstring); an uncastable dir value is refused.
     all_raw = [r for r in all_stats if r is not None]
-    decoded = {
-        r: (None if r == HIVE_DEFAULT_PARTITION else urllib.parse.unquote(r))
-        for r in all_raw
-    }
-    norm: dict[str, tuple] = {}
-    if any(v is not None for v in decoded.values()):
-        norm_rows = [
-            (r, v) for r, v in decoded.items() if v is not None
-        ]
-        norm_df = spark.createDataFrame(
-            norm_rows, "raw string, dec string"
-        ).select(
-            "raw",
-            F.col("dec").cast(pcol_type).alias("typed"),
-            F.col("dec").cast(pcol_type).cast("string").alias("norm"),
-        )
-        norm = {r.raw: (r.typed, r.norm) for r in norm_df.collect()}
-    for r, v in decoded.items():
-        if v is not None and norm[r][0] is None:
-            raise ValueError(
-                f"partition dir value {r!r} does not cast to the "
-                f"inferred {partition_col} type {pcol_type.simpleString()}"
+    to_norm = sorted(
+        {
+            (i, _decode_raw(raw[i]))
+            for raw in all_raw
+            for i in range(len(cols))
+            if _decode_raw(raw[i]) is not None
+        }
+    )
+    norm: dict[tuple[int, str], str | None] = {}
+    if to_norm:
+        norm_col = None
+        for i, t in enumerate(ptypes):
+            c = F.col("dec").cast(t).cast("string")
+            norm_col = (
+                F.when(F.col("idx") == i, c)
+                if norm_col is None
+                else norm_col.when(F.col("idx") == i, c)
             )
+        ndf = spark.createDataFrame(
+            to_norm, "idx int, dec string"
+        ).select("idx", "dec", norm_col.alias("norm"))
+        norm = {(r.idx, r.dec): r.norm for r in ndf.collect()}
+        for (i, dec), n in norm.items():
+            if n is None:
+                raise ValueError(
+                    f"partition dir value {dec!r} does not cast to the "
+                    f"inferred {cols[i]} type {ptypes[i].simpleString()}"
+                )
 
-    def _key(raw: str | None) -> str | None:
-        """Normalized partition value (None = NULL partition)."""
-        if raw is None or raw == HIVE_DEFAULT_PARTITION:
-            return None
-        return norm[raw][1]
+    def _key(raw: tuple) -> tuple:
+        """Normalized per-level values (None element = NULL level)."""
+        return tuple(
+            None
+            if _decode_raw(el) is None
+            else norm[(i, _decode_raw(el))]
+            for i, el in enumerate(raw)
+        )
 
     # merge victims by normalized value: the typed predicate reads every
     # colliding dir of the value, so sizes and n_out must pool too
-    merged: dict[str | None, dict] = {}
-    victim_keys = {_key(p.raw_value) for p in plans}
+    merged: dict[tuple, dict] = {}
+    victim_keys = {_key(raw) for raw, *_ in victims_t}
     for raw, (n_f, n_b) in all_stats.items():
         if raw is None:
-            continue  # non-victim files at the table root: not ours
+            continue
         key = _key(raw)
         if key not in victim_keys:
             continue
-        m = merged.setdefault(
-            key, {"raws": [], "files": 0, "bytes": 0}
-        )
+        m = merged.setdefault(key, {"raws": [], "files": 0, "bytes": 0})
         m["raws"].append(raw)
         m["files"] += n_f
         m["bytes"] += n_b
-        m["typed"] = None if key is None else norm[raw][0]
     for m in merged.values():
         m["n_out"] = max(1, math.ceil(m["bytes"] / target_bytes))
     files_before = sum(m["files"] for m in merged.values())
@@ -385,11 +492,15 @@ def compact_partitions(
         .escapePathName
     )
 
-    def _canonical_raw(key: str | None) -> str:
-        """The one dir name Spark's writer produces for this value."""
-        if key is None:
-            return HIVE_DEFAULT_PARTITION
-        return escape_path(key)
+    def _canonical_raw(key: tuple) -> tuple:
+        """The one dir path Spark's writer produces for this value."""
+        return tuple(
+            HIVE_DEFAULT_PARTITION if el is None else escape_path(el)
+            for el in key
+        )
+
+    def _rel(raw: tuple) -> str:
+        return "/".join(f"{c}={el}" for c, el in zip(cols, raw))
 
     # HEAL PHASE — before any rewrite (docstring): collapse every
     # non-canonical spelling of a victim value into the canonical dir by
@@ -402,7 +513,7 @@ def compact_partitions(
         for raw in m["raws"]:
             if raw != canonical:
                 _move_partition_dir(
-                    spark, table_path, partition_col, raw, canonical
+                    spark, table_path, _rel(raw), _rel(canonical)
                 )
                 healed = True
         m["raws"] = [canonical]
@@ -412,19 +523,21 @@ def compact_partitions(
 
     # victim predicate + per-value dense bin ranges, both as chained
     # expressions over the (bounded) plan — no join, the probe stays on
-    # the partition column so the scan reads ONLY victim partitions
-    pcol = F.col(partition_col)
+    # the partition columns so the scan reads ONLY victim partitions
+    pcols = [F.col(c) for c in cols]
     pred = None
     offset_expr = None
     n_out_expr = None
     offset = 0
     for key, m in merged.items():
-        typed = m["typed"]
-        cond = (
-            pcol.isNull()
-            if key is None
-            else pcol == F.lit(typed).cast(pcol_type)
-        )
+        cond = None
+        for i, el in enumerate(key):
+            c = (
+                pcols[i].isNull()
+                if el is None
+                else pcols[i] == F.lit(el).cast(ptypes[i])
+            )
+            cond = c if cond is None else cond & c
         pred = cond if pred is None else pred | cond
         w_off = F.when(cond, F.lit(offset))
         w_n = F.when(cond, F.lit(m["n_out"]))
@@ -437,14 +550,14 @@ def compact_partitions(
         offset += m["n_out"]
     total_bins = offset
 
-    data_cols = [c for c in df.columns if c != partition_col]
+    data_cols = [c for c in df.columns if c not in cols]
     if not data_cols:
         # Spark cannot even WRITE such a table
         # (ALL_PARTITION_COLUMNS_NOT_ALLOWED), so the overwrite below
         # would fail obscurely; reject up front instead of erroring
         # inside xxhash64()
         raise ValueError(
-            f"{table_path} has no columns besides {partition_col!r}; "
+            f"{table_path} has no columns besides {cols}; "
             "Spark cannot rewrite an all-partition-column table"
         )
     row_hash = F.pmod(
@@ -458,16 +571,16 @@ def compact_partitions(
         .localCheckpoint(eager=True)
     )
     present = {
-        r.v
+        tuple(r)
         for r in binned.select(
-            pcol.cast("string").alias("v")
+            *[p.cast("string") for p in pcols]
         ).distinct().collect()
     }
     if present:
         (
             binned.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
+            .partitionBy(*cols)
             .parquet(table_path)
         )
 
@@ -475,10 +588,8 @@ def compact_partitions(
     # already removed non-canonical dirs): zero-row victims the dynamic
     # overwrite could not touch — their files are dead weight deleted
     # directly so the plan converges (module docstring).
-    def _purge(raw_dir: str) -> None:
-        d = jvm.org.apache.hadoop.fs.Path(
-            table_path, f"{partition_col}={raw_dir}"
-        )
+    def _purge(raw: tuple) -> None:
+        d = jvm.org.apache.hadoop.fs.Path(table_path, _rel(raw))
         if not fs.exists(d):
             return
         for st in fs.listStatus(d):
@@ -490,7 +601,7 @@ def compact_partitions(
             for raw in m["raws"]:
                 _purge(raw)
 
-    after = partition_file_stats(spark, table_path, partition_col)
+    after, _ = _stats_tuples(spark, table_path, cols)
     files_after = sum(
         after.get(_canonical_raw(key), (0, 0))[0]
         for key in merged

@@ -247,7 +247,7 @@ def merge_upsert_batch_partitioned(
     batch_df: DataFrame,
     table_path: str,
     keys: list[str],
-    partition_col: str,
+    partition_col: str | list[str],
     seq_col: str | None = None,
 ) -> None:
     """Partition-pruned MERGE: O(touched partitions) per batch instead of
@@ -280,13 +280,29 @@ def merge_upsert_batch_partitioned(
     partition value cannot see — and therefore cannot retire — the old
     row in the unread partition; both would remain. Keys that migrate
     partitions need the snapshot sink (or a delete-record convention).
+
+    ``partition_col`` may be a LIST for multi-level layouts
+    (``day=X/hour=Y`` facts): the batch's distinct partition TUPLES
+    prune the base read (per-tuple AND of equalities, NULL levels via
+    the explicit isNull arm) and the dynamic overwrite replaces exactly
+    those leaf partitions. The table's real layout must match the list
+    exactly — the same flatten hazard ``io.maintenance
+    .compact_partitions`` documents applies to any writer.
     """
     spark = batch_df.sparkSession
-    if partition_col in keys:
-        raise ValueError("partition_col must not be a merge key")
+    pcols = (
+        [partition_col] if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    if not pcols:
+        raise ValueError("partition_col must name at least one column")
+    overlap = set(pcols) & set(keys)
+    if overlap:
+        raise ValueError(
+            f"partition column(s) must not be merge keys: {sorted(overlap)}"
+        )
     touched = [
-        r[0]
-        for r in batch_df.select(partition_col).distinct().collect()
+        tuple(r) for r in batch_df.select(*pcols).distinct().collect()
     ]
     # existence probe through SPARK, not os.path: this sink targets the
     # large remote-fs tables (HDFS/S3) where a local isdir() check would
@@ -299,16 +315,20 @@ def merge_upsert_batch_partitioned(
     base_all = _read_parquet_or_none(spark, table_path)
     base = None
     if base_all is not None:
-        # isin() never matches NULL, so a null-partition batch
+        # equality never matches NULL, so a null-partition batch
         # (__HIVE_DEFAULT_PARTITION__ on disk) needs the explicit isNull
         # arm or its existing rows would be invisible to the merge and
         # duplicate on every update
-        pred = F.col(partition_col).isin(
-            [v for v in touched if v is not None]
-        )
-        if any(v is None for v in touched):
-            pred = pred | F.col(partition_col).isNull()
-        base = base_all.filter(pred)
+        pred = None
+        for t in touched:
+            cond = None
+            for c, v in zip(pcols, t):
+                arm = (
+                    F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
+                )
+                cond = arm if cond is None else cond & arm
+            pred = cond if pred is None else pred | cond
+        base = base_all.filter(pred) if pred is not None else None
     merged = merged_frame(base, batch_df, keys, seq_col).localCheckpoint(
         eager=True
     )
@@ -319,7 +339,7 @@ def merge_upsert_batch_partitioned(
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
+        .partitionBy(*pcols)
         .parquet(table_path)
     )
 
@@ -328,7 +348,7 @@ def write_stream_merge_partitioned(
     df: DataFrame,
     table_path: str,
     keys: list[str],
-    partition_col: str,
+    partition_col: str | list[str],
     checkpoint_dir: str,
     seq_col: str | None = None,
     compact_target_bytes: int | None = None,

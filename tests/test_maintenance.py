@@ -457,3 +457,149 @@ def test_vacuum_compact_leftovers(spark, tmp_path):
     with pytest.raises(ValueError, match="recovery"):
         mt.vacuum_compact_leftovers(spark, gone)
     assert os.path.exists(str(tmp_path / "gone_compact_old_x"))
+
+
+MC_SCHEMA = "k long, v string, day string, hour int"
+
+
+def _write_mc(spark, path, day, hour, lo, n_rows, n_files):
+    (
+        spark.createDataFrame(
+            [(lo + i, f"v{lo + i}", day, hour) for i in range(n_rows)],
+            MC_SCHEMA,
+        )
+        .repartition(n_files)
+        .write.mode("append")
+        .partitionBy("day", "hour")
+        .parquet(path)
+    )
+
+
+def test_multicol_stats_plan_and_compact(spark, tmp_path):
+    """r11: multi-level layouts (day=X/hour=Y) are first-class — stats
+    key by raw-value tuple, victims are LEAF partitions, and the rewrite
+    preserves rows, leaf pruning, and untouched leaves."""
+    path = str(tmp_path / "t")
+    _write_mc(spark, path, "d1", 0, 0, 60, 3)
+    _write_mc(spark, path, "d1", 1, 100, 60, 3)
+    _write_mc(spark, path, "d2", 0, 200, 10, 1)  # already compact
+
+    stats = mt.partition_file_stats(spark, path, ["day", "hour"])
+    assert stats[("d1", "0")][0] == 3
+    assert stats[("d1", "1")][0] == 3
+    assert stats[("d2", "0")][0] == 1
+
+    plans = mt.compaction_plan(
+        spark, path, ["day", "hour"], target_bytes=1 << 30
+    )
+    assert {p.raw_value for p in plans} == {("d1", "0"), ("d1", "1")}
+    assert all(p.value == p.raw_value for p in plans)
+
+    before_d2 = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(f"{path}/day=d2")
+        for f in fns
+    )
+    summary = mt.compact_partitions(
+        spark, path, ["day", "hour"], target_bytes=1 << 30
+    )
+    assert summary["partitions"] == 2
+    assert summary["files_after"] == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 130
+    assert {r.k for r in back.collect()} == (
+        set(range(60)) | set(range(100, 160)) | set(range(200, 210))
+    )
+    # untouched leaf is bit-identical on disk
+    after_d2 = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(f"{path}/day=d2")
+        for f in fns
+    )
+    assert before_d2 == after_d2
+    # leaf pruning survives
+    plan = (
+        spark.read.parquet(path)
+        .filter((F.col("day") == "d1") & (F.col("hour") == 1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "hour" in plan
+    # converged
+    assert (
+        mt.compact_partitions(
+            spark, path, ["day", "hour"], target_bytes=1 << 30
+        )["partitions"]
+        == 0
+    )
+
+
+def test_compact_refuses_partition_prefix_of_deeper_layout(
+    spark, tmp_path
+):
+    """r11: compacting a day/hour table through 'day' alone would
+    flatten hour into the data files — a silent layout corruption for
+    every future scan. The leaf ContentSummary's directoryCount detects
+    it for free; the rewrite must refuse."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    _write_mc(spark, path, "d1", 0, 0, 40, 4)
+    with pytest.raises(ValueError, match="deeper"):
+        mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)
+    # the full column list works on the same table
+    assert (
+        mt.compact_partitions(
+            spark, path, ["day", "hour"], target_bytes=1 << 30
+        )["partitions"]
+        == 1
+    )
+
+
+def test_multicol_heal_merges_and_prunes_empty_ancestor(spark, tmp_path):
+    """Duplicate-encoding heal at a nested level: month=05/hour=1 beside
+    canonical month=5/hour=1 under an int month merges into the
+    canonical leaf, and the emptied month=05 ANCESTOR dir is pruned."""
+    path = str(tmp_path / "t")
+    schema = "k long, v string"
+    for sub, lo in [("month=5/hour=1", 0), ("month=05/hour=1", 100)]:
+        os.makedirs(f"{path}/{sub}")
+        spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)], schema
+        ).repartition(2).write.mode("append").parquet(f"{path}/{sub}")
+    assert spark.read.parquet(path).count() == 100
+    summary = mt.compact_partitions(
+        spark, path, ["month", "hour"], target_bytes=1 << 30
+    )
+    assert summary["partitions"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert {r.k for r in back.collect()} == (
+        set(range(50)) | set(range(100, 150))
+    )
+    assert not os.path.exists(f"{path}/month=05")  # ancestor pruned
+    stats = mt.partition_file_stats(spark, path, ["month", "hour"])
+    assert stats[("5", "1")][0] == 1
+
+
+def test_multicol_null_level_compacts(spark, tmp_path):
+    """A NULL inner level (__HIVE_DEFAULT_PARTITION__ leaf) is a normal
+    victim: matched via the isNull arm, rewritten, rows preserved."""
+    path = str(tmp_path / "t")
+    for _ in range(3):
+        (
+            spark.createDataFrame(
+                [(1, "a", "d1", None), (2, "b", "d1", 7)], MC_SCHEMA
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("day", "hour")
+            .parquet(path)
+        )
+    summary = mt.compact_partitions(
+        spark, path, ["day", "hour"], target_bytes=1 << 30
+    )
+    assert summary["partitions"] == 2
+    assert summary["files_after"] == 2
+    back = spark.read.parquet(path).collect()
+    assert len(back) == 6
+    assert sum(1 for r in back if r.hour is None) == 3
