@@ -320,6 +320,104 @@ def balanced_mix_filter(
     )
 
 
+def _iroot(n: int, q: int) -> int:
+    """floor(n**(1/q)) by integer Newton — exact at any magnitude."""
+    if n < 0 or q <= 0:
+        raise ValueError(f"iroot needs n >= 0, q >= 1: {n}, {q}")
+    if n == 0:
+        return 0
+    if q == 1:
+        return n
+    x = 1 << -(-n.bit_length() // q)  # >= true root
+    while True:
+        y = ((q - 1) * x + n // x ** (q - 1)) // q
+        if y >= x:
+            return x
+        x = y
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha,
+    total_alias: str = "tokens_total",
+    count_alias: str = "docs_total",
+) -> DataFrame:
+    """Per-group keep rates for TEMPERATURE-based data mixing — the
+    mT5/mC4 family where group sampling mass ∝ total^alpha, so the
+    per-row keep rate is ``(target/total)^(1-alpha)`` with ``target =
+    min(total)`` (downsample-only; the smallest group keeps everything).
+    ``alpha = 0`` is exactly ``balanced_mix_rates`` (equal budgets) on
+    any corpus whose groups all have positive weight — with zero-weight
+    groups the two differ deliberately: here ``target`` is the smallest
+    POSITIVE total (a zero-weight group keeps all and cannot drag every
+    other group's budget to zero). ``alpha = 1`` is the natural mix
+    (keep all); ``alpha = "0.3"`` is the published mT5 setting. Output
+    shape and the ``rate_ppb`` contract match ``balanced_mix_rates``;
+    apply with ``balanced_mix_filter``.
+
+    Determinism without float pow: cross-engine ``pow(x, y)`` is NOT
+    correctly rounded, so fractional exponents on doubles are exactly
+    the grid-flip class the sweep exists to catch. Instead ``alpha`` is
+    taken as an exact rational (int, ``fractions.Fraction``, or a
+    decimal STRING like ``"0.3"``; a bare float is refused — 0.3 the
+    double is not 3/10) and each rate is one exact integer expression:
+    with ``1 - alpha = p/q``,
+
+        ``rate_ppb = iroot(PPB**q * target**p // total**p, q)``
+
+    — pure Python bigints on the collected per-group totals, off from
+    the real value by at most 1 ppb (the floor-div), identical on every
+    engine, partitioning, and re-run by construction. The totals
+    aggregate is the same map-side-combine ``groupBy`` as
+    ``balanced_mix_rates``; collecting it is a BOUNDED collect
+    (group-cardinality rows — languages/sources, not documents), the
+    same contract as broadcasting it. Zero/negative-total groups rate
+    PPB (keep all; nothing to downsample).
+    """
+    from fractions import Fraction
+
+    if isinstance(alpha, float):
+        raise ValueError(
+            "pass alpha as an exact rational (str/int/Fraction): the "
+            f"float {alpha!r} is a binary approximation and would make "
+            "the rate contract depend on float parsing"
+        )
+    a = Fraction(alpha)
+    if not 0 <= a <= 1:
+        raise ValueError(f"alpha must be in [0, 1]: {a}")
+    e = 1 - a
+    p, q = e.numerator, e.denominator
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_alias),
+        # same NULL-total guard as balanced_mix_rates
+        F.coalesce(F.sum(F.col(weight_col)), F.lit(0))
+        .cast("bigint")
+        .alias(total_alias),
+    )
+    rows = totals.collect()  # bounded: group-cardinality
+    pos = [r[total_alias] for r in rows if r[total_alias] > 0]
+    target = min(pos) if pos else 0
+    out = []
+    for r in rows:
+        tot = r[total_alias]
+        if tot <= 0 or target <= 0:
+            rate = MIX_PPB
+        else:
+            rate = min(
+                MIX_PPB, _iroot(MIX_PPB**q * target**p // tot**p, q)
+            )
+        out.append((r[group_col], r[count_alias], tot, rate))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(totals.schema.fields)
+        + [T.StructField("rate_ppb", T.LongType(), False)]
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
 # ---------------------------------------------------------------------------
 # 3. sequence packing (concat-then-chunk)
 # ---------------------------------------------------------------------------

@@ -366,3 +366,122 @@ def test_balanced_mix_filter_matches_python_md5_reference(spark):
         if u * cu.MIX_PPB < rates[g] * (1 << 32):
             expect.add(k)
     assert got == expect and 0 < len(expect) < 400
+
+
+def test_temperature_mix_rates_exact_integer_contract(spark):
+    """r11 (growth policy: operator + pytest oracle, no driver row):
+    temperature rates are exact bigint functions of the group totals —
+    alpha=0 reproduces balanced_mix_rates bit-for-bit on positive
+    corpora, alpha=1 keeps everything, and every rate equals an
+    independent Python bigint replay of iroot(PPB^q·target^p // tot^p, q)."""
+    from fractions import Fraction
+
+    rows = (
+        [("en", i, 10) for i in range(1000)]
+        + [("fr", 10_000 + i, 10) for i in range(100)]
+        + [("sw", 20_000 + i, 10) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+
+    balanced = {
+        r.g: r.rate_ppb for r in cu.balanced_mix_rates(df, "g", "w").collect()
+    }
+    t0 = {
+        r.g: r.rate_ppb
+        for r in cu.temperature_mix_rates(df, "g", "w", 0).collect()
+    }
+    assert t0 == balanced
+
+    t1 = {
+        r.g: r.rate_ppb
+        for r in cu.temperature_mix_rates(df, "g", "w", 1).collect()
+    }
+    assert t1 == {"en": cu.MIX_PPB, "fr": cu.MIX_PPB, "sw": cu.MIX_PPB}
+
+    totals = {"en": 10_000, "fr": 1_000, "sw": 100}
+    for alpha in ("0.3", "1/2", Fraction(3, 4)):
+        e = 1 - Fraction(alpha)
+        p, q = e.numerator, e.denominator
+        got = {
+            r.g: r.rate_ppb
+            for r in cu.temperature_mix_rates(df, "g", "w", alpha).collect()
+        }
+        expect = {
+            g: min(
+                cu.MIX_PPB,
+                cu._iroot(cu.MIX_PPB**q * 100**p // tot**p, q),
+            )
+            for g, tot in totals.items()
+        }
+        assert got == expect, alpha
+        assert got["sw"] == cu.MIX_PPB  # smallest group keeps all
+    # monotone: higher alpha keeps more of the big group
+    seq = [
+        {
+            r.g: r.rate_ppb
+            for r in cu.temperature_mix_rates(df, "g", "w", a).collect()
+        }["en"]
+        for a in (0, "0.3", "1/2", "0.7", 1)
+    ]
+    assert seq == sorted(seq) and len(set(seq)) == 5
+
+
+def test_temperature_mix_rejects_floats_and_bad_alpha(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 5)], "g string, k long, w long")
+    with pytest.raises(ValueError, match="float"):
+        cu.temperature_mix_rates(df, "g", "w", 0.3)
+    with pytest.raises(ValueError, match="alpha"):
+        cu.temperature_mix_rates(df, "g", "w", "3/2")
+
+
+def test_temperature_mix_zero_weight_group_keeps_all_without_zeroing(
+    spark,
+):
+    """A zero-weight group rates PPB and is EXCLUDED from the target —
+    unlike balanced_mix_rates' documented min-includes-zero corner, a
+    dead group must not zero every live group's budget."""
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 100), ("b", 3, 50), ("c", 4, 0)],
+        "g string, k long, w long",
+    )
+    got = {
+        r.g: r.rate_ppb
+        for r in cu.temperature_mix_rates(df, "g", "w", 0).collect()
+    }
+    assert got == {
+        "a": 250_000_000,
+        "b": cu.MIX_PPB,
+        "c": cu.MIX_PPB,
+    }
+
+
+def test_temperature_mix_end_to_end_through_balanced_filter(spark):
+    """Applying temperature rates through balanced_mix_filter yields
+    kept weights near tot^alpha scaling: big-group kept weight ≈
+    target^(1-alpha) · tot^alpha, within sampling noise."""
+    rows = [("big", i, 10) for i in range(4000)] + [
+        ("small", 100_000 + i, 10) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, w long")
+    rates = cu.temperature_mix_rates(df, "g", "w", "1/2")
+    kept = cu.balanced_mix_filter(df, rates, "g", "k")
+    by_g = {
+        r.g: r.kept
+        for r in kept.groupBy("g").agg(F.sum("w").alias("kept")).collect()
+    }
+    assert by_g["small"] == 2500  # keep-all
+    # expected big kept weight = 40000 * sqrt(2500/40000) = 10000
+    assert abs(by_g["big"] - 10_000) / 10_000 < 0.15
+
+
+def test_iroot_is_exact_floor_root():
+    import math
+
+    for n in [0, 1, 7, 8, 9, 10**18, 10**27 + 12345, 2**200 - 1]:
+        for q in [1, 2, 3, 5, 10]:
+            r = cu._iroot(n, q)
+            assert r**q <= n < (r + 1) ** q, (n, q, r)
+    assert cu._iroot(10**18, 2) == 10**9
+    assert math.isqrt(10**27 + 12345) == cu._iroot(10**27 + 12345, 2)
