@@ -421,6 +421,28 @@ def compact_partitions(
         raise ValueError("table must not contain reserved column '_gbin'")
     ptypes = [df.schema[c].dataType for c in cols]
 
+    # an ALL-NULL partition level infers as VOID, which Spark refuses to
+    # WRITE as a partition column (INVALID_PARTITION_COLUMN_DATA_TYPE);
+    # rewrite it as a string NULL — the dirs land identically
+    # (__HIVE_DEFAULT_PARTITION__), nothing is stored in the data files,
+    # and a later scan re-infers the same shape (caught by the r11
+    # multi-col property test; the single-column path had the same
+    # latent bug)
+    from pyspark.sql import types as _T
+
+    void_idx = [
+        i for i, t in enumerate(ptypes) if isinstance(t, _T.NullType)
+    ]
+    for i in void_idx:
+        ptypes[i] = _T.StringType()
+
+    def _voids_as_string(d: DataFrame) -> DataFrame:
+        for i in void_idx:
+            d = d.withColumn(cols[i], F.col(cols[i]).cast("string"))
+        return d
+
+    df = _voids_as_string(df)
+
     # normalize every dir value in the TABLE (not just victims) through
     # the inferred partition dtype — one tiny driver-side job covering
     # all levels. Values that don't round-trip as strings ('05' under an
@@ -437,9 +459,12 @@ def compact_partitions(
     )
     norm: dict[tuple[int, str], str | None] = {}
     if to_norm:
+        # branch only over column indexes that actually occur: an
+        # all-NULL partition level infers as VOID, and a cast-to-void
+        # branch fails analysis even when no row selects it
         norm_col = None
-        for i, t in enumerate(ptypes):
-            c = F.col("dec").cast(t).cast("string")
+        for i in sorted({i for i, _ in to_norm}):
+            c = F.col("dec").cast(ptypes[i]).cast("string")
             norm_col = (
                 F.when(F.col("idx") == i, c)
                 if norm_col is None
@@ -519,7 +544,7 @@ def compact_partitions(
         m["raws"] = [canonical]
     if healed:
         # the pre-heal DataFrame's file index is stale after the renames
-        df = spark.read.parquet(table_path)
+        df = _voids_as_string(spark.read.parquet(table_path))
 
     # victim predicate + per-value dense bin ranges, both as chained
     # expressions over the (bounded) plan — no join, the probe stays on

@@ -585,3 +585,75 @@ def test_compaction_conserves_rows_and_converges(
     else:
         raise AssertionError("compaction did not converge in 6 rounds")
     assert snapshot() == before
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    layout=st.lists(  # per leaf: (day, hour, files as row-counts)
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.sampled_from([0, 1, None]),
+            st.lists(
+                st.integers(min_value=1, max_value=8),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    divisor=st.integers(min_value=1, max_value=5),
+)
+def test_multicol_compaction_conserves_rows_and_converges(
+    spark, tmp_path_factory, layout, divisor
+):
+    """r11 multi-level twin of the single-col property: for ANY
+    (day, hour) leaf layout — NULLs at either level included — and any
+    target, compaction through the full column list never loses,
+    duplicates, or mutates a row, and repeated runs strictly shrink
+    file counts until no victim remains."""
+    from filmdatawarehouse_spark.io import maintenance as mt
+
+    global _COMPACT_N
+    _COMPACT_N += 1
+    path = str(tmp_path_factory.mktemp(f"cpropmc{_COMPACT_N}"))
+    schema = "k long, v string, day string, hour int"
+    next_k = 0
+    for day, hour, files in layout:
+        for n in files:
+            rows = [
+                (next_k + i, f"v{next_k + i}", day, hour)
+                for i in range(n)
+            ]
+            next_k += n
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).partitionBy("day", "hour").parquet(path)
+
+    def snapshot():
+        return sorted(
+            (r.k, r.v, r.day or "~null~", -1 if r.hour is None else r.hour)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    before = snapshot()
+    total_bytes = sum(s for _, s in mt.list_data_files(spark, path))
+    target = max(1, total_bytes // divisor)
+    prev_files = len(mt.list_data_files(spark, path))
+    for _ in range(6):
+        summary = mt.compact_partitions(
+            spark, path, ["day", "hour"], target_bytes=target
+        )
+        if summary["partitions"] == 0:
+            break
+        now_files = len(mt.list_data_files(spark, path))
+        assert now_files < prev_files  # strict progress, no oscillation
+        prev_files = now_files
+    else:
+        raise AssertionError("compaction did not converge in 6 rounds")
+    assert snapshot() == before
