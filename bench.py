@@ -235,6 +235,8 @@ def build_compact(out: dict, full_path: str) -> str:
         compact["n_errors"] = out["n_errors"]
     if "anchor_drift" in out:
         compact["anchor_drift_median"] = out["anchor_drift"]["median"]
+    if "scale_sweep" in out:
+        compact["scale_sweep_current"] = out["scale_sweep"]["current"]
     line = json.dumps(compact)
     if len(line) > 1800:  # never outgrow the driver's tail capture again
         compact.pop("queries", None)
@@ -334,6 +336,42 @@ def main() -> None:
 
     overhead_post = job_overhead_ms()
 
+    # Runtime plan fingerprints (VERDICT r10 item 7): PLANS.json pins
+    # STATIC sf0.001 shapes; the one regression class it cannot see is
+    # AQE re-planning at real data sizes — the class the r10
+    # shingle-census incident lived in, caught only because the static
+    # shape happened to change too. Capture the POST-execution
+    # (isFinalPlan=true) plan of the 8 bench-slowest queries at this SF;
+    # `tools/plan_audit.py --check` diffs the same cost features vs the
+    # committed record. Each capture re-executes the query once via the
+    # plan's own execute() (JVM-side row count, nothing collected).
+    plans_runtime: dict[str, dict] = {}
+    try:
+        tools_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"
+        )
+        if tools_dir not in sys.path:
+            sys.path.insert(0, tools_dir)
+        from plan_audit import final_plan_section, fingerprint
+
+        slowest8 = [
+            n for n, _ in sorted(warm.items(), key=lambda kv: -kv[1])[:8]
+        ]
+        for name in slowest8:
+            try:
+                qe = registry[name][0](spark, sf_dir)._jdf.queryExecution()
+                qe.executedPlan().execute().count()  # finalize AQE
+                plans_runtime[name] = fingerprint(
+                    final_plan_section(qe.executedPlan().toString())
+                )
+            except Exception as exc:  # noqa: BLE001 — keep benching
+                print(
+                    f"bench: runtime plan capture failed for {name}: {exc}",
+                    file=sys.stderr,
+                )
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: runtime plan capture unavailable: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(cold.values()), 4),
@@ -344,9 +382,31 @@ def main() -> None:
         "sf": sf,
         "job_overhead_ms": {"pre": overhead_pre, "post": overhead_post},
     }
+    if plans_runtime:
+        out["plans_runtime"] = plans_runtime
     if cold_errors or warm_errors:
         out["errors"] = warm_errors
         out["n_errors"] = len(warm_errors)
+
+    # the round-final bench record provably implies a green, CURRENT
+    # sf0.1 determinism sweep (VERDICT r10 item 6): the committed
+    # SWEEP.json carries a content fingerprint of the risk class, and
+    # the same check reds the default pytest suite when stale
+    try:
+        tools_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"
+        )
+        if tools_dir not in sys.path:
+            sys.path.insert(0, tools_dir)
+        from scale_sweep import log_is_current
+
+        current, reason = log_is_current()
+        out["scale_sweep"] = {"current": current, "note": reason}
+    except Exception as e:  # noqa: BLE001 — the record must still land
+        out["scale_sweep"] = {
+            "current": False,
+            "note": f"check failed: {type(e).__name__}: {e}"[:200],
+        }
 
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
@@ -360,14 +420,20 @@ def main() -> None:
     # are queries whose code ~never changes, so their drift measures the
     # shared-JVM / page-cache environment, not any plan change; divide a
     # query's round-over-round ratio by `anchor_drift.median` before
-    # calling it a regression. Four anchors so one missing/errored anchor
-    # still leaves a 3-point median (ADVICE r07: the old len//2 pick was
+    # calling it a regression. Five anchors so one missing/errored anchor
+    # still leaves a 4-point median (ADVICE r07: the old len//2 pick was
     # an upper-median on even counts, biasing the divisor upward).
+    # clean_dropna_dedup joined in r11 after its three-round watch item
+    # closed as environment: 12 in-session runs span 0.35-0.50s with a
+    # monotone decay tracking the job-overhead probe (61->31ms), and
+    # r10's 0.66s reading scales to the probe ratio exactly — a
+    # scan-bound single-job distinct, which is what anchors are for.
     anchors = (
         "filter_pushdown",
         "filtered_daily_series",
         "monthly_revenue",
         "top10_parts",
+        "clean_dropna_dedup",
     )
     try:
         import statistics

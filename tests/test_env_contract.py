@@ -105,6 +105,7 @@ def test_bench_stdout_record_fits_driver_tail_capture():
         "sf": 1000.0,
         "n_errors": 100,
         "anchor_drift": {"median": 1.2345},
+        "scale_sweep": {"current": False, "note": "x" * 200},
     }
     long_path = "/very/deep/" + "sub/" * 40 + "BENCH_full.json"
     line = bench.build_compact(out, long_path)
@@ -112,6 +113,7 @@ def test_bench_stdout_record_fits_driver_tail_capture():
     parsed = json.loads(line)
     assert parsed["n_queries"] == 200
     assert parsed["anchor_drift_median"] == 1.2345
+    assert parsed["scale_sweep_current"] is False  # flag only, not the note
     # the 8-slowest dict survives compaction at realistic path lengths
     realistic = bench.build_compact(out, "/root/repo/BENCH_full.json")
     assert len(json.loads(realistic)["queries"]) == 8

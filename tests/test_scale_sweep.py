@@ -19,7 +19,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
-from scale_sweep import risk_class  # noqa: E402
+from scale_sweep import log_is_current, risk_class  # noqa: E402
 
 sys.path.pop(0)
 
@@ -57,6 +57,18 @@ def test_risk_class_names_are_registered_and_plural():
     # the class is a substantial minority of the registry: a collapse to
     # near-zero means the derivation broke, not that risk disappeared
     assert len(names) >= 40, len(names)
+
+
+def test_green_sweep_log_is_current():
+    """VERDICT r10 item 6 — the sweep gate is structural, not
+    remembered: the committed SWEEP.json must be a GREEN sf0.1 sweep
+    whose content fingerprint matches the LIVE risk class. Editing any
+    risk-class builder/oracle (or registering a query that enters the
+    class) flips the fingerprint and reds this test until
+    `python tools/scale_sweep.py` passes again. bench.py records the
+    same check in every bench artifact."""
+    current, reason = log_is_current()
+    assert current, reason
 
 
 @pytest.mark.skipif(

@@ -66,6 +66,14 @@ INFO_FEATURES = [
 ]
 
 
+def final_plan_section(plan: str) -> str:
+    """After execution, an AdaptiveSparkPlan's toString carries BOTH a
+    '== Final Plan ==' and an '== Initial Plan ==' section; fingerprint
+    only the final one or every feature double-counts."""
+    i = plan.find("== Initial Plan ==")
+    return plan if i < 0 else plan[:i]
+
+
 def fingerprint(plan: str) -> dict[str, int]:
     fp = {k: plan.count(s) for k, s in COST_FEATURES}
     fp.update({k: plan.count(s) for k, s in INFO_FEATURES})
@@ -123,6 +131,55 @@ def diff(
     return regressions, improvements
 
 
+def check_runtime() -> tuple[list[str], str]:
+    """(regressions, note) from diffing the on-disk BENCH_full.json's
+    ``plans_runtime`` block (VERDICT r10 item 7: POST-execution
+    isFinalPlan=true fingerprints of the 8 bench-slowest queries at the
+    bench SF, captured by bench.py) against the committed record's. This
+    is the one regression class the static sf0.001 audit cannot see —
+    AQE re-planning at real data sizes (the class the r10
+    shingle-census incident lived in). Missing blocks are a note, not a
+    failure: the comparison only exists once two bench records carry
+    fingerprints at the same SF."""
+    import subprocess
+
+    try:
+        with open(os.path.join(REPO, "BENCH_full.json")) as f:
+            disk = json.load(f)
+    except (OSError, ValueError) as e:
+        return [], f"runtime check skipped: no readable BENCH_full.json ({e})"
+    try:
+        blob = subprocess.run(
+            ["git", "-C", REPO, "show", "HEAD:BENCH_full.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if blob.returncode != 0:
+            return [], "runtime check skipped: no committed BENCH_full.json"
+        committed = json.loads(blob.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError) as e:
+        return [], f"runtime check skipped: git show failed ({e})"
+    cur, base = disk.get("plans_runtime"), committed.get("plans_runtime")
+    if not cur or not base:
+        return [], (
+            "runtime check skipped: plans_runtime absent from "
+            + ("both records" if not cur and not base else
+               "the on-disk record" if not cur else "the committed record")
+        )
+    if disk.get("sf") != committed.get("sf"):
+        return [], "runtime check skipped: records are different SFs"
+    gated = {k for k, _ in COST_FEATURES}
+    regressions = []
+    for name in sorted(set(cur) & set(base)):
+        for feat in sorted(gated):
+            b, c = base[name].get(feat, 0), cur[name].get(feat, 0)
+            if c > b:
+                regressions.append(f"{name}: runtime {feat} {b} -> {c}")
+    n = len(set(cur) & set(base))
+    return regressions, f"runtime check: {n} overlapping fingerprints"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
@@ -150,12 +207,16 @@ def main() -> int:
     gone = sorted(set(committed) - set(current))
     for name in gone:
         print(f"[gone] {name} (rebaseline with --write)")
+    rt_regressions, rt_note = check_runtime()
+    print(rt_note)
+    for line in rt_regressions:
+        print(f"[REGRESSION] {line}")
     print(
         f"plan audit: {len(current)} plans, "
-        f"{len(regressions)} regression(s), "
-        f"{len(improvements)} improvement(s)"
+        f"{len(regressions)} static + {len(rt_regressions)} runtime "
+        f"regression(s), {len(improvements)} improvement(s)"
     )
-    return 1 if regressions else 0
+    return 1 if regressions or rt_regressions else 0
 
 
 if __name__ == "__main__":

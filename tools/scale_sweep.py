@@ -28,13 +28,16 @@ exit is nonzero if ANY query in any batch mismatches its oracle.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import inspect
+import json
 import os
 import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG_PATH = os.path.join(REPO, "SWEEP.json")
 
 # Markers of cross-engine determinism risk (see the grid rules in
 # SCALING.md and the c00bcc7 audit): emitted rounded floats, quantile /
@@ -63,6 +66,55 @@ def risk_class() -> list[str]:
         if RISK_PATTERN.search(src) or (sql and RISK_PATTERN.search(sql)):
             names.append(name)
     return names
+
+
+def class_fingerprint(names: list[str] | None = None) -> str:
+    """Content hash of every risk-class query's builder source + oracle
+    SQL. A GREEN sweep commits it to SWEEP.json; the pytest guard
+    (tests/test_scale_sweep.py::test_green_sweep_log_is_current)
+    recomputes it, so ANY edit to a risk-class query (or a new query
+    entering the class) reds the default suite until a fresh sf0.1
+    sweep passes — the sweep gate is structural, not remembered
+    (VERDICT r10 item 6: its protection used to depend on the builder
+    remembering to run it)."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from filmdatawarehouse_spark.queries.registry import all_queries
+
+    reg = all_queries()
+    if names is None:
+        names = risk_class()
+    h = hashlib.sha256()
+    for n in names:
+        fn, sql = reg[n]
+        try:
+            src = inspect.getsource(inspect.unwrap(fn))
+        except OSError:
+            src = ""
+        h.update(n.encode())
+        h.update(src.encode())
+        h.update((sql or "").encode())
+    return h.hexdigest()
+
+
+def log_is_current() -> tuple[bool, str]:
+    """(is_current, reason) for the committed SWEEP.json vs the live
+    risk class. Shared by the pytest guard and bench.py's record."""
+    try:
+        with open(LOG_PATH) as f:
+            log = json.load(f)
+    except (OSError, ValueError) as e:
+        return False, f"unreadable SWEEP.json: {e}"
+    if log.get("status") != "green":
+        return False, f"last sweep status: {log.get('status')!r}"
+    if "sf0.1" not in str(log.get("sf_dir", "")):
+        return False, f"swept at {log.get('sf_dir')!r}, not sf0.1"
+    if log.get("fingerprint") != class_fingerprint():
+        return False, (
+            "risk-class fingerprint changed since the last green sweep "
+            "— run: python tools/scale_sweep.py"
+        )
+    return True, "green and current"
 
 
 def main() -> int:
@@ -101,6 +153,20 @@ def main() -> int:
         if res.returncode != 0:
             failed = True
     print("SWEEP " + ("FAILED" if failed else "GREEN"))
+    if not failed:
+        with open(LOG_PATH, "w") as f:
+            json.dump(
+                {
+                    "status": "green",
+                    "sf_dir": args.sf_dir,
+                    "n_queries": len(names),
+                    "fingerprint": class_fingerprint(names),
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+        print(f"wrote {LOG_PATH}")
     return 1 if failed else 0
 
 
