@@ -204,23 +204,28 @@ def _cols_of(partition_col: str | list[str]) -> tuple[list[str], bool]:
 
 def _stats_tuples(
     spark: SparkSession, table_path: str, cols: list[str]
-) -> tuple[dict[tuple | None, tuple[int, int]], bool]:
+) -> tuple[dict[tuple | None, tuple[int, int]], bool, list[str]]:
     """Core stats walk: ``({raw_value_tuple: (n_files, total_bytes)},
-    deeper)``. Key None groups stray files above leaf depth (table-root
-    files on a single-level table). ``deeper`` is True when any LEAF
-    partition dir contains subdirectories — the table is partitioned
-    (or littered) deeper than ``cols`` covers, and a rewrite through
-    ``cols`` alone would FLATTEN the deeper level into data files,
-    silently corrupting the layout for every future scan;
+    deeper, mismatched)``. Key None groups stray files above leaf depth
+    (table-root files on a single-level table). ``deeper`` is True when
+    any LEAF partition dir contains subdirectories — the table is
+    partitioned (or littered) deeper than ``cols`` covers, and a
+    rewrite through ``cols`` alone would FLATTEN the deeper level into
+    data files, silently corrupting the layout for every future scan;
     ``compact_partitions`` refuses on it. Detected from the same
-    per-leaf ContentSummary (directoryCount > 1), zero extra calls."""
+    per-leaf ContentSummary (directoryCount > 1), zero extra calls.
+    ``mismatched`` samples (up to 3) hive-shaped ``other=...`` dirs
+    whose column name does not match the expected level — the signal
+    that the CALLER's column name or order is wrong, which would
+    otherwise read as a silent nothing-to-compact."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
-        return {}, False
+        return {}, False, []
     stats: dict[tuple | None, tuple[int, int]] = {}
     deeper = False
+    mismatched: list[str] = []
 
     def walk(d, depth: int, prefix: tuple) -> None:
         nonlocal deeper
@@ -244,8 +249,16 @@ def _stats_tuples(
             elif st.isFile():
                 n, b = stats.get(None, (0, 0))
                 stats[None] = (n + 1, b + int(st.getLen()))
+            elif "=" in name and len(mismatched) < 3:
+                mismatched.append(
+                    "/".join(
+                        f"{c}={v}" for c, v in zip(cols, prefix)
+                    )
+                    + ("/" if prefix else "")
+                    + name
+                )
     walk(root, 0, ())
-    return stats, deeper
+    return stats, deeper, mismatched
 
 
 def partition_file_stats(
@@ -272,7 +285,7 @@ def partition_file_stats(
     rewrite, never correctness (the rewrite reads committed data
     only)."""
     cols, single = _cols_of(partition_col)
-    stats, _ = _stats_tuples(spark, table_path, cols)
+    stats, _, _ = _stats_tuples(spark, table_path, cols)
     if not single:
         return stats
     return {
@@ -320,7 +333,7 @@ def compaction_plan(
     of partition columns, ``raw_value``/``value`` are per-level tuples
     (each ``value`` element None for a NULL level)."""
     cols, single = _cols_of(partition_col)
-    stats, _ = _stats_tuples(spark, table_path, cols)
+    stats, _, _ = _stats_tuples(spark, table_path, cols)
     plans = []
     for raw, n_files, total, n_out in _victim_tuples(
         stats, target_bytes, min_files, max_partitions
@@ -392,7 +405,9 @@ def compact_partitions(
     ``io.sinks.compact_parquet``.
     """
     cols, _ = _cols_of(partition_col)
-    all_stats, deeper = _stats_tuples(spark, table_path, cols)
+    all_stats, deeper, mismatched = _stats_tuples(
+        spark, table_path, cols
+    )
     if deeper:
         raise ValueError(
             f"{table_path} has subdirectories under its "
@@ -400,6 +415,14 @@ def compact_partitions(
             f"partitioned deeper than {cols} — rewriting through these "
             "columns alone would flatten the deeper level into data "
             "files; pass the FULL partition column list"
+        )
+    if not all_stats and mismatched:
+        raise ValueError(
+            f"no {'/'.join(c + '=' for c in cols)} partition data under "
+            f"{table_path}, but hive-shaped dirs exist that do not match "
+            f"the given column name(s)/order (e.g. {mismatched}) — "
+            "check partition_col; a wrong name here must not read as "
+            "nothing-to-compact"
         )
     victims_t = _victim_tuples(
         all_stats, target_bytes, min_files, max_partitions
@@ -626,7 +649,7 @@ def compact_partitions(
             for raw in m["raws"]:
                 _purge(raw)
 
-    after, _ = _stats_tuples(spark, table_path, cols)
+    after, _, _ = _stats_tuples(spark, table_path, cols)
     files_after = sum(
         after.get(_canonical_raw(key), (0, 0))[0]
         for key in merged

@@ -603,3 +603,30 @@ def test_multicol_null_level_compacts(spark, tmp_path):
     back = spark.read.parquet(path).collect()
     assert len(back) == 6
     assert sum(1 for r in back if r.hour is None) == 3
+
+
+def test_compact_wrong_column_name_or_order_raises(spark, tmp_path):
+    """r11: partition dirs that don't match the given column name/order
+    are skipped by the stats walk (junk tolerance), so a misnamed
+    partition_col used to read as a silent nothing-to-compact. When NO
+    data matches but hive-shaped dirs exist, refuse loudly."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 40, 4)
+    with pytest.raises(ValueError, match="check partition_col"):
+        mt.compact_partitions(spark, path, "month", target_bytes=1 << 30)
+    # wrong ORDER on a nested table
+    mc = str(tmp_path / "mc")
+    _write_mc(spark, mc, "d1", 0, 0, 40, 4)
+    with pytest.raises(ValueError, match="check partition_col"):
+        mt.compact_partitions(
+            spark, mc, ["hour", "day"], target_bytes=1 << 30
+        )
+    # the correct spelling still works on both
+    assert (
+        mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)[
+            "partitions"
+        ]
+        == 1
+    )
