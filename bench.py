@@ -345,13 +345,14 @@ def main() -> None:
     # `tools/plan_audit.py --check` diffs the same cost features vs the
     # committed record. Each capture re-executes the query once via the
     # plan's own execute() (JVM-side row count, nothing collected).
+    tools_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"
+    )
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+
     plans_runtime: dict[str, dict] = {}
     try:
-        tools_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tools"
-        )
-        if tools_dir not in sys.path:
-            sys.path.insert(0, tools_dir)
         from plan_audit import final_plan_section, fingerprint
 
         slowest8 = [
@@ -393,11 +394,6 @@ def main() -> None:
     # SWEEP.json carries a content fingerprint of the risk class, and
     # the same check reds the default pytest suite when stale
     try:
-        tools_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tools"
-        )
-        if tools_dir not in sys.path:
-            sys.path.insert(0, tools_dir)
         from scale_sweep import log_is_current
 
         current, reason = log_is_current()

@@ -137,24 +137,50 @@ def _move_partition_dir(
     if not fs.exists(src):
         return  # replay after a completed move
     fs.mkdirs(dst)
+    tag = hashlib.md5(src_rel.encode()).hexdigest()[:8]
     for st in fs.listStatus(src):
         name = st.getPath().getName()
         if not st.isFile() or name.startswith(("_", ".")):
             continue
-        target = jvm.org.apache.hadoop.fs.Path(dst, name)
-        if fs.exists(target):
-            # foreign writers can reuse file names across dirs; the
-            # fallback is deterministic so a replay lands on the same name
-            tag = hashlib.md5(src_rel.encode()).hexdigest()[:8]
-            target = jvm.org.apache.hadoop.fs.Path(
-                dst, f"healed-{tag}-{name}"
+        # foreign writers can reuse file names across dirs, and a
+        # foreign writer can even RE-CREATE a source name after a
+        # crashed heal already moved its predecessor — walk the
+        # deterministic fallback slots until one is free. Never skip a
+        # file: a skipped source would be destroyed by the recursive
+        # delete below (r11 review). A replay never re-decides a slot,
+        # because a completed move removes its source.
+        candidates = [name] + [
+            f"healed-{tag}{'' if i == 0 else f'-{i}'}-{name}"
+            for i in range(100)
+        ]
+        target = None
+        for cand in candidates:
+            t = jvm.org.apache.hadoop.fs.Path(dst, cand)
+            if not fs.exists(t):
+                target = t
+                break
+        if target is None:
+            raise IOError(
+                f"no free heal slot for {src}/{name} in {dst} "
+                "(100 colliding copies?) — resolve manually"
             )
-            if fs.exists(target):
-                continue  # replay after this exact move
         if not fs.rename(st.getPath(), target):
             raise IOError(
                 f"rename failed healing {src} -> {dst} (file {name})"
             )
+    # safety: everything visible must have moved before the recursive
+    # delete — deleting a dir that still holds a data file is data loss
+    leftover = [
+        st.getPath().getName()
+        for st in fs.listStatus(src)
+        if st.isFile()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if leftover:
+        raise IOError(
+            f"heal left visible files in {src}: {leftover[:3]} — "
+            "refusing to delete the directory"
+        )
     fs.delete(src, True)  # only metadata/hidden files remain
     # a multi-level source may leave empty ancestor dirs (day=05/ after
     # its last hour= child moved out); prune them up to the table root
@@ -243,7 +269,18 @@ def _stats_tuples(
                 cs = fs.getContentSummary(st.getPath())
                 n, b = int(cs.getFileCount()), int(cs.getLength())
                 if int(cs.getDirectoryCount()) > 1:
-                    deeper = True
+                    # directoryCount counts HIDDEN dirs too; a leftover
+                    # _temporary staging dir under a leaf must degrade
+                    # to the documented in-flight-write caveat, not
+                    # permanently brick compaction (r11 review). Confirm
+                    # with one listStatus on the suspicious leaf only.
+                    deeper = deeper or any(
+                        c.isDirectory()
+                        and not c.getPath().getName().startswith(
+                            ("_", ".")
+                        )
+                        for c in fs.listStatus(st.getPath())
+                    )
                 if n:
                     stats[raw] = (n, b)
             elif st.isFile():

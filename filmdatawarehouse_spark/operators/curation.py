@@ -387,6 +387,15 @@ def temperature_mix_rates(
     a = Fraction(alpha)
     if not 0 <= a <= 1:
         raise ValueError(f"alpha must be in [0, 1]: {a}")
+    if a.denominator > 1000:
+        # the bigint cost below scales with the exponent denominator:
+        # alpha="0.333333" would mean PPB**10^6 (~30-million-bit ints)
+        # on the driver. Published temperatures are small rationals;
+        # ppb-scale precision needs q <= 1000.
+        raise ValueError(
+            f"alpha denominator {a.denominator} too large (max 1000): "
+            "use a small exact rational like '0.3', '1/3', '0.25'"
+        )
     e = 1 - a
     p, q = e.numerator, e.denominator
     totals = df.groupBy(group_col).agg(

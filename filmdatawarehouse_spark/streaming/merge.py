@@ -319,16 +319,29 @@ def merge_upsert_batch_partitioned(
         # (__HIVE_DEFAULT_PARTITION__ on disk) needs the explicit isNull
         # arm or its existing rows would be invisible to the merge and
         # duplicate on every update
-        pred = None
-        for t in touched:
-            cond = None
-            for c, v in zip(pcols, t):
-                arm = (
-                    F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
-                )
-                cond = arm if cond is None else cond & arm
-            pred = cond if pred is None else pred | cond
-        base = base_all.filter(pred) if pred is not None else None
+        if len(pcols) == 1:
+            # keep the In/InSet form: an OR-chain of equalities grows
+            # the plan linearly in touched-partition count and loses
+            # Catalyst's OptimizeIn (r11 review) — a backfill batch can
+            # touch hundreds of days
+            vals = [t[0] for t in touched if t[0] is not None]
+            pred = F.col(pcols[0]).isin(vals)
+            if any(t[0] is None for t in touched):
+                pred = pred | F.col(pcols[0]).isNull()
+            base = base_all.filter(pred)
+        else:
+            pred = None
+            for t in touched:
+                cond = None
+                for c, v in zip(pcols, t):
+                    arm = (
+                        F.col(c).isNull()
+                        if v is None
+                        else F.col(c) == F.lit(v)
+                    )
+                    cond = arm if cond is None else cond & arm
+                pred = cond if pred is None else pred | cond
+            base = base_all.filter(pred) if pred is not None else None
     merged = merged_frame(base, batch_df, keys, seq_col).localCheckpoint(
         eager=True
     )

@@ -485,3 +485,15 @@ def test_iroot_is_exact_floor_root():
             assert r**q <= n < (r + 1) ** q, (n, q, r)
     assert cu._iroot(10**18, 2) == 10**9
     assert math.isqrt(10**27 + 12345) == cu._iroot(10**27 + 12345, 2)
+
+
+def test_temperature_mix_rejects_huge_denominator(spark):
+    """r11 review: an unbounded exponent denominator ('0.333333' ->
+    q=10^6) would cost multi-megabit bigints on the driver; refuse."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 5)], "g string, k long, w long")
+    with pytest.raises(ValueError, match="denominator"):
+        cu.temperature_mix_rates(df, "g", "w", "0.333333")
+    # a legitimate small rational for the same temperature works
+    assert cu.temperature_mix_rates(df, "g", "w", "1/3").count() == 1

@@ -630,3 +630,63 @@ def test_compact_wrong_column_name_or_order_raises(spark, tmp_path):
         ]
         == 1
     )
+
+
+def test_move_partition_dir_never_deletes_unmoved_files(spark, tmp_path):
+    """r11 review: with BOTH the canonical name and the first heal
+    fallback taken in the destination, the old code skipped the source
+    file and then recursively deleted its directory — silent data loss.
+    The move must walk fallback slots and never delete a dir that still
+    holds a visible file."""
+    path = str(tmp_path / "t")
+    os.makedirs(f"{path}/day=5")
+    os.makedirs(f"{path}/day=05")
+    with open(f"{path}/day=5/part-0.parquet", "w") as f:
+        f.write("AAAA")
+    with open(f"{path}/day=05/part-0.parquet", "w") as f:
+        f.write("BBBB")
+    mt._move_partition_dir(spark, path, "day=05", "day=5")
+    assert not os.path.exists(f"{path}/day=05")
+    moved = sorted(os.listdir(f"{path}/day=5"))
+    assert len(moved) == 2  # canonical + fallback slot, nothing lost
+    contents = {
+        open(f"{path}/day=5/{n}").read() for n in moved
+    }
+    assert contents == {"AAAA", "BBBB"}
+    # a foreign writer RE-CREATES the source name after the crash: the
+    # replay must take the next slot, not skip-and-delete
+    os.makedirs(f"{path}/day=05")
+    with open(f"{path}/day=05/part-0.parquet", "w") as f:
+        f.write("CCCC")
+    mt._move_partition_dir(spark, path, "day=05", "day=5")
+    assert not os.path.exists(f"{path}/day=05")
+    moved = sorted(os.listdir(f"{path}/day=5"))
+    assert len(moved) == 3
+    contents = {
+        open(f"{path}/day=5/{n}").read() for n in moved
+    }
+    assert contents == {"AAAA", "BBBB", "CCCC"}
+
+
+def test_hidden_staging_dir_does_not_brick_compaction(spark, tmp_path):
+    """r11 review: ContentSummary.directoryCount also counts HIDDEN
+    subdirs, so a crashed write's _temporary leftovers under a leaf used
+    to read as 'partitioned deeper' and permanently refuse compaction —
+    breaking the documented in-flight-write caveat (redundant rewrite,
+    never an error)."""
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, "d1", 40, 4)
+    os.makedirs(f"{path}/day=d1/_temporary/0")
+    summary = mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)
+    assert summary["partitions"] == 1
+    assert spark.read.parquet(path).count() == 40
+    # a real (visible) subdir still refuses
+    path2 = str(tmp_path / "t2")
+    _write_fragmented(spark, path2, "d1", 40, 4)
+    os.makedirs(f"{path2}/day=d1/hour=3")
+    with open(f"{path2}/day=d1/hour=3/part-0.parquet", "w") as f:
+        f.write("x")
+    import pytest
+
+    with pytest.raises(ValueError, match="deeper"):
+        mt.compact_partitions(spark, path2, "day", target_bytes=1 << 30)
