@@ -134,6 +134,132 @@ def expiring_user_sessions(events: DataFrame, gap_seconds: int = 600) -> DataFra
     )
 
 
+def expiring_user_sessions_tws(
+    events: DataFrame, gap_seconds: int = 600
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    ``expiring_user_sessions`` — identical gap/timeout/eviction
+    semantics and output schema, implemented on the StatefulProcessor
+    API that supersedes ``applyInPandasWithState``: named state
+    variables, TRUE per-key timers (several may coexist; explicit
+    register/delete instead of one implicit timeout slot), optional
+    state TTL, and initial-state bootstrap. This is the forward path
+    for custom stateful operators at scale; the ``applyInPandasWithState``
+    form stays as the Spark-3.x-portable twin, and the equality test
+    drives both over the same input.
+
+    Timer discipline (the one real semantic difference to manage): the
+    old API's ``setTimeoutTimestamp`` REPLACED the key's single timeout,
+    while ``registerTimer`` ACCUMULATES — so the processor deletes the
+    previous deadline before registering the new one, and the expiry
+    handler double-checks the fired timer against the state's current
+    deadline (a stale timer for an older ``last_us`` must be a no-op,
+    never a premature close).
+
+    ENVIRONMENT GATE: the StatefulProcessor runtime speaks protobuf to
+    the JVM (``pyspark/sql/streaming/proto``), and ``google.protobuf``
+    is not installed in this container — the plan BUILDS here (pinned
+    by the always-on test) but the stream start needs protobuf, so the
+    execution-equality test vs the applyInPandasWithState twin is
+    skipif-gated on ``import google.protobuf`` (the MySQL-connector /
+    media-codec honesty pattern: real code, documented boundary)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _frame(user_id, closed):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+                "session_start": pd.to_datetime(
+                    pd.Series([c[0] for c in closed], dtype="int64"),
+                    unit="us",
+                ),
+                "session_end": pd.to_datetime(
+                    pd.Series([c[1] for c in closed], dtype="int64"),
+                    unit="us",
+                ),
+                "n_events": pd.Series(
+                    [c[2] for c in closed], dtype="int64"
+                ),
+            }
+        )
+
+    def _deadline_ms(last_us: int) -> int:
+        return last_us // 1000 + gap_seconds * 1000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.open = handle.getValueState(
+                "open_session", SESSION_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            (user_id,) = key
+            chunks = [
+                (pdf["ts"].astype("int64") // 1000).to_numpy()
+                for pdf in rows
+            ]
+            ts_us = (
+                np.sort(np.concatenate(chunks))
+                if chunks
+                else np.array([], "int64")
+            )
+            if self.open.exists():
+                n, start_us, last_us = self.open.get()
+                self.handle.deleteTimer(_deadline_ms(last_us))
+            else:
+                n, start_us, last_us = 0, None, None
+            closed = []
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    n, start_us, last_us = 1, t, t
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    n, start_us, last_us = 1, t, t
+                else:
+                    n += 1
+                    start_us = min(start_us, t)
+                    last_us = max(last_us, t)
+            if start_us is not None:
+                self.open.update((n, start_us, last_us))
+                self.handle.registerTimer(_deadline_ms(last_us))
+            yield _frame(user_id, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self.open.exists():
+                return  # stale timer after the state already closed
+            n, start_us, last_us = self.open.get()
+            if expiredTimerInfo.getExpiryTimeInMs() != _deadline_ms(
+                last_us
+            ):
+                return  # stale timer for an older last_us
+            self.open.clear()
+            yield _frame(user_id, [(start_us, last_us, n)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 CAPPED_STATE_SCHEMA = (
     "n bigint, gap_start_us bigint, slice_idx bigint, "
     "slice_start_us bigint, last_us bigint"

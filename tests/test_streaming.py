@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -799,3 +800,124 @@ def test_stream_metrics_listener_bounds_query_count():
     rows = listener.snapshot()
     assert len(rows) == 3  # only the 3 most recent query tails survive
     assert {r["query_id"] for r in rows} == {"q7", "q8", "q9"}
+
+
+def test_transform_with_state_plan_builds_without_protobuf(spark):
+    """r11: the StatefulProcessor twin's PLAN must build in this
+    container (schema + grouping resolved); only stream START needs
+    google.protobuf (absent here — see the operator docstring)."""
+    from filmdatawarehouse_spark.streaming.stateful import (
+        expiring_user_sessions_tws,
+    )
+
+    rate = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS ts"
+    ).withWatermark("ts", "1 second")
+    df = expiring_user_sessions_tws(rate, gap_seconds=600)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "session_start", "session_end", "n_events",
+    ]
+
+
+def _has_protobuf():
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState runtime needs google.protobuf, not in "
+    "this container (environment gate documented in stateful.py)",
+)
+def test_transform_with_state_sessions_equal_apply_in_pandas_twin(
+    spark, tmp_path
+):
+    """r11: the Spark-4 StatefulProcessor (transformWithStateInPandas)
+    sessionizer must emit EXACTLY what the applyInPandasWithState twin
+    emits over the same multi-batch input — including the timer
+    discipline difference (registerTimer accumulates; a stale timer
+    must never close a session the state has since extended)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from filmdatawarehouse_spark.streaming.stateful import (
+        expiring_user_sessions,
+        expiring_user_sessions_tws,
+    )
+
+    def run(builder, tag):
+        d = tmp_path / f"src_{tag}"
+        d.mkdir()
+
+        def write(name, rows, mtime):
+            t = pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                }
+            )
+            pq.write_table(t, str(d / name))
+            os.utime(str(d / name), (mtime, mtime))
+
+        now = time.time()
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(str(d))
+            .withWatermark("ts", "1 second")
+        )
+        q = (
+            builder(stream, gap_seconds=600)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"tws_{tag}")
+            .start()
+        )
+        try:
+            # batch 1: user 1 opens; in-batch gap split for user 3
+            write(
+                "b1.parquet",
+                [
+                    (1, TS(2024, 1, 1, 10, 0)),
+                    (1, TS(2024, 1, 1, 10, 5)),
+                    (3, TS(2024, 1, 1, 9, 0)),
+                    (3, TS(2024, 1, 1, 9, 30)),
+                ],
+                now - 60,
+            )
+            q.processAllAvailable()
+            # batch 2: user 1 EXTENDS before its deadline (stale-timer
+            # hazard for the tws form), user 2 advances the watermark
+            write(
+                "b2.parquet",
+                [
+                    (1, TS(2024, 1, 1, 10, 12)),
+                    (2, TS(2024, 1, 1, 10, 14)),
+                ],
+                now - 30,
+            )
+            q.processAllAvailable()
+            # batch 3: far-future event closes everything open
+            write("b3.parquet", [(2, TS(2024, 1, 1, 12, 0))], now)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql(f"SELECT * FROM tws_{tag}").collect()
+        )
+
+    old = run(expiring_user_sessions, "old")
+    new = run(expiring_user_sessions_tws, "new")
+    assert new == old
+    # and the content is the right sessions, not merely equal garbage
+    assert (1, TS(2024, 1, 1, 10, 0), TS(2024, 1, 1, 10, 12), 3) in new
+    assert (3, TS(2024, 1, 1, 9, 0), TS(2024, 1, 1, 9, 30), 2) in new
+    assert len(new) >= 3
