@@ -130,6 +130,78 @@ def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_path, snap))
 
 
+def previous_snapshot(table_path: str) -> str | None:
+    """The RETAINED pre-commit snapshot's dir name, or None when there
+    is no unambiguous one. The sink's prune keeps exactly {current,
+    previous}, so normally one other ``v-*`` dir exists; a crash inside
+    the prune window can leave extra garbage dirs — then the previous
+    is still identifiable if it shares the current snapshot's run
+    identity (highest batch below the current one); otherwise ambiguity
+    returns None rather than a guess."""
+    cur = current_snapshot(table_path)
+    if cur is None:
+        return None
+    try:
+        others = sorted(
+            d
+            for d in os.listdir(table_path)
+            if d.startswith("v-")
+            and d != cur
+            and os.path.isdir(os.path.join(table_path, d))
+        )
+    except OSError:
+        return None
+    if len(others) == 1:
+        return others[0]
+    run = cur.rsplit("-", 1)[0]  # "v-<run>"
+    try:
+        cur_batch = int(cur.rsplit("-", 1)[1])
+    except ValueError:
+        return None
+    same_run = []
+    for d in others:
+        head, _, tail = d.rpartition("-")
+        if head == run and tail.isdigit() and int(tail) < cur_batch:
+            same_run.append((int(tail), d))
+    return max(same_run)[1] if same_run else None
+
+
+def read_merge_changes(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame | None:
+    """CDC feed off the snapshot MERGE sink: the (keys...,
+    change_type ∈ insert/update/delete) diff between the RETAINED
+    previous snapshot and the current one — exactly what the sink's
+    keep-two retention exists to make possible (the reader that
+    resolved the old pointer finishes; the incremental consumer diffs).
+    Returns None before two snapshots exist or when a prune-crash left
+    the previous ambiguous (re-runs disambiguate after the next batch).
+
+    One full-outer join on the keys (single shuffle); ``compare_cols``
+    defaults to every non-key column of the current snapshot. Consume
+    after each drained ``write_stream_merge_upsert`` run: the diff then
+    covers that run's LAST batch — for per-batch granularity attach a
+    consumer inside the sink's foreachBatch instead.
+    """
+    from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
+
+    cur = current_snapshot(table_path)
+    prev = previous_snapshot(table_path)
+    if cur is None or prev is None:
+        return None
+    new = spark.read.parquet(os.path.join(table_path, cur))
+    old = spark.read.parquet(os.path.join(table_path, prev))
+    cols = (
+        [c for c in new.columns if c not in keys]
+        if compare_cols is None
+        else compare_cols
+    )
+    return snapshot_diff(old, new, keys, cols)
+
+
 def merged_frame(
     base: DataFrame | None,
     batch_df: DataFrame,

@@ -114,37 +114,51 @@ def scd2_initial(updates: DataFrame, key: str, attrs: list[str],
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
-    key: str,
+    key: str | list[str],
     compare_cols: list[str],
 ) -> DataFrame:
-    """Change-data capture between two full snapshots: (key, change_type)
+    """Change-data capture between two full snapshots: (key..., change_type)
     with change_type ∈ {'insert', 'delete', 'update'} — the diff a
     warehouse computes to turn snapshot dumps into an incremental feed
-    (unchanged keys are omitted).
+    (unchanged keys are omitted). ``key`` may be a composite (list).
 
-    One full-outer join on the key; change classification is pure column
-    logic (null-side checks + attribute inequality), so the whole diff is
-    a single shuffle at any scale. Null-safe comparison (`eqNullSafe`)
-    treats NULL→value transitions as updates, not matches.
+    One full-outer join on the key(s); change classification is pure
+    column logic (null-side checks + attribute inequality), so the whole
+    diff is a single shuffle at any scale. Null-safe comparison
+    (`eqNullSafe`) treats NULL→value transitions as updates, not
+    matches, and keeps composite keys with NULL parts joinable.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     o = old.select(
-        F.col(key).alias("_k_old"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
     )
     n = new.select(
-        F.col(key).alias("_k_new"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
     )
-    joined = o.join(n, o["_k_old"] == n["_k_new"], "full_outer")
+    cond = None
+    for k in keys:
+        arm = o[f"_ko_{k}"].eqNullSafe(n[f"_kn_{k}"])
+        cond = arm if cond is None else cond & arm
+    joined = o.join(n, cond, "full_outer")
     changed = None
     for c in compare_cols:
         neq = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
         changed = neq if changed is None else (changed | neq)
+    # side presence is judged on a literal-TRUE marker, never on the key
+    # values: a row whose (composite) key is entirely NULL is still a
+    # PRESENT row, not an absent side
     return (
         joined.select(
-            F.coalesce(F.col("_k_old"), F.col("_k_new")).alias(key),
-            F.when(F.col("_k_old").isNull(), F.lit("insert"))
-            .when(F.col("_k_new").isNull(), F.lit("delete"))
+            *[
+                F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+                for k in keys
+            ],
+            F.when(F.col("_in_old").isNull(), F.lit("insert"))
+            .when(F.col("_in_new").isNull(), F.lit("delete"))
             .when(changed, F.lit("update"))
             .alias("change_type"),
         )

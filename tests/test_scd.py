@@ -155,3 +155,48 @@ def test_merge_aggregate_delta_equals_full_recompute(spark, sf_dir):
         for r in full.collect()
     }
     assert got == want
+
+
+def test_snapshot_diff_composite_key_and_null_keys(spark):
+    """r11: snapshot_diff accepts a composite key, and side presence is
+    judged on literal markers — a row whose key columns are entirely
+    NULL is a present row (matched null-safely across snapshots), never
+    misread as an insert/delete."""
+    from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
+
+    schema = "k1 int, k2 string, v int"
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "b", 20),
+            (2, "a", 30),
+            (None, None, 99),   # all-NULL composite key, present both sides
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),        # unchanged -> omitted
+            (1, "b", 21),        # update
+            (3, "a", 40),        # insert
+            (None, None, 99),    # unchanged NULL-key row -> omitted
+        ],
+        schema,
+    )
+    got = {
+        (r.k1, r.k2): r.change_type
+        for r in snapshot_diff(old, new, ["k1", "k2"], ["v"]).collect()
+    }
+    assert got == {
+        (1, "b"): "update",
+        (3, "a"): "insert",
+        (2, "a"): "delete",
+    }
+    # NULL-key row with a CHANGED value is an update, not insert+delete
+    new2 = spark.createDataFrame([(None, None, 100)], schema)
+    old2 = spark.createDataFrame([(None, None, 99)], schema)
+    got2 = [
+        (r.k1, r.k2, r.change_type)
+        for r in snapshot_diff(old2, new2, ["k1", "k2"], ["v"]).collect()
+    ]
+    assert got2 == [(None, None, "update")]

@@ -780,3 +780,75 @@ def test_partitioned_merge_multicol_touches_only_batch_leaves(
         r.k: (r.day, r.hour, r.status, r.seq)
         for r in spark.read.parquet(table).collect()
     } == rows
+
+
+def test_read_merge_changes_cdc_between_retained_snapshots(
+    spark, tmp_path
+):
+    """r11: the keep-two snapshot retention feeds a CDC reader —
+    read_merge_changes diffs the retained previous snapshot against the
+    current one into (keys, insert/update/delete), survives prune-crash
+    garbage via run-identity disambiguation, and returns None rather
+    than a guess when no unambiguous previous exists."""
+    import os as _os
+
+    from filmdatawarehouse_spark.streaming.merge import (
+        previous_snapshot,
+        read_merge_changes,
+        write_stream_merge_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    _os.makedirs(table)
+
+    spark.createDataFrame(
+        [(1, "A", 10.0, 0), (2, "A", 20.0, 0), (3, "B", 30.0, 0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = write_stream_merge_upsert(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        table, ["k"], ckpt, seq_col="seq", run_id="cdcrun",
+    )
+    q.awaitTermination()
+    # one snapshot only: no changes feed yet
+    assert read_merge_changes(spark, table, ["k"]) is None
+
+    spark.createDataFrame(
+        [(2, "U", 22.0, 1), (4, "A", 40.0, 1)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = write_stream_merge_upsert(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        table, ["k"], ckpt, seq_col="seq", run_id="cdcrun",
+    )
+    q2.awaitTermination()
+
+    changes = {
+        r.k: r.change_type
+        for r in read_merge_changes(spark, table, ["k"]).collect()
+    }
+    assert changes == {2: "update", 4: "insert"}
+
+    # prune-crash garbage from a FOREIGN run: same-run disambiguation
+    # still finds the true previous
+    _os.makedirs(f"{table}/v-zzzgarbage-7")
+    assert previous_snapshot(table) == "v-cdcrun-0"
+    assert {
+        r.k: r.change_type
+        for r in read_merge_changes(spark, table, ["k"]).collect()
+    } == {2: "update", 4: "insert"}
+
+    # garbage from the SAME run below current still loses to the max
+    _os.makedirs(f"{table}/v-cdcrun-0x")  # non-numeric tail: ignored
+    assert previous_snapshot(table) == "v-cdcrun-0"
+
+    # compare_cols restriction: seq-only diff sees the update, and the
+    # insert is an insert regardless of compared columns
+    only_status = {
+        r.k: r.change_type
+        for r in read_merge_changes(
+            spark, table, ["k"], compare_cols=["status"]
+        ).collect()
+    }
+    assert only_status == {2: "update", 4: "insert"}
