@@ -312,3 +312,195 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, append increments, search with storage-
+# level partition pruning (r11)
+# ---------------------------------------------------------------------------
+
+
+def _load_centroids(spark, index_path: str):
+    """The index's unit-normalized centroid matrix — an O(n_lists) bounded
+    collect by construction."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("list_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no centroids at {index_path}/centroids")
+    return np.stack(
+        [np.asarray(r.centroid, dtype=np.float64) for r in rows]
+    )
+
+
+def _assign_lists(emb: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    """``(id, vector, list_id)`` via ONE zero-shuffle ``mapInPandas`` scan
+    against the (tiny) centroid matrix held in the task closure."""
+    import numpy as np
+
+    c_t = cents.T.copy()
+    id_t = emb.schema[id_col].dataType.simpleString()
+    vec_t = emb.schema[vec_col].dataType.simpleString()
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.sqrt((m * m).sum(axis=1))[:, None]
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = np.argmax(m @ c_t, axis=1).astype("int32")
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        scan, f"{id_col} {id_t}, {vec_col} {vec_t}, list_id int"
+    )
+
+
+def ivf_index_build(
+    emb: DataFrame,
+    index_path: str,
+    n_lists: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: ``<path>/centroids`` (n_lists
+    tiny rows) + ``<path>/vectors`` PARTITIONED BY list_id. ``ivf_topk``
+    retrains and rescans per call — right for one-shot queries, wrong
+    for a served collection; the persisted form pays k-means once and
+    gives every later search STORAGE-level pruning (the probed lists'
+    partitions are the only files opened — the scan fraction
+    n_probe/n_lists moves from compute-skip to I/O-skip, the difference
+    that matters at 100 TB) and ``ivf_index_append`` incremental growth
+    without retraining."""
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
+    (
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in cents[i]])
+                for i in range(cents.shape[0])
+            ],
+            "list_id int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/centroids")
+    )
+    (
+        _assign_lists(emb, cents, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{index_path}/vectors")
+    )
+
+
+def ivf_index_append(
+    new_emb: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to an existing index WITHOUT retraining: assign against
+    the stored centroids (one zero-shuffle scan of the increment only)
+    and append into the matching list partitions. Centroids drift from
+    optimal as the distribution shifts — the recall gate
+    (``similarity_ann_recall``'s pattern) is the rebuild trigger, not a
+    row-count heuristic. Plain parquet append is at-least-once under
+    replay: wrap the caller in the streaming MERGE ledger (or diff ids
+    against the index) when the increment source redelivers."""
+    cents = _load_centroids(new_emb.sparkSession, index_path)
+    (
+        _assign_lists(new_emb, cents, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{index_path}/vectors")
+    )
+
+
+def ivf_index_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The (bounded) query set picks
+    its ``n_probe`` nearest lists driver-side; the collection read is
+    ``vectors`` FILTERED ON THE PARTITION COLUMN — Spark prunes the
+    un-probed lists' files at the source (PartitionFilters, plan-tested)
+    — then one zero-shuffle ``mapInPandas`` scores each partition's rows
+    against only the queries probing their lists, with the per-query
+    top-k window as the plan's single exchange (same shape and output
+    schema as ``ivf_topk``/``cosine_topk``)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _load_centroids(spark, index_path)
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    qids = q_pdf[id_col].to_numpy()
+    qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.sqrt((qm * qm).sum(axis=1))[:, None]
+    order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    per_list: dict[int, "np.ndarray"] = {
+        int(l): np.nonzero((order == l).any(axis=1))[0]
+        for l in np.unique(order)
+    }
+    probed = sorted(per_list)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for l, grp in pdf.groupby("list_id"):
+                qi = per_list.get(int(l))
+                if qi is None or not len(qi):
+                    continue
+                nids = grp[id_col].to_numpy()
+                m = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                m /= np.sqrt((m * m).sum(axis=1))[:, None]
+                sims = qm[qi] @ m.T
+                for row_q, qx in enumerate(qi):
+                    s = sims[row_q]
+                    mask = nids != qids[qx]
+                    s, nn = s[mask], nids[mask]
+                    if not len(s):
+                        continue
+                    top = min(k, len(s))
+                    sel = np.lexsort((nn, -s))[:top]
+                    out_q.append(np.full(top, qids[qx]))
+                    out_n.append(nn[sel])
+                    out_c.append(s[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    vecs = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("list_id").isin(probed)
+    )
+    cand = vecs.mapInPandas(
+        scan, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

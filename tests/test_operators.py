@@ -402,3 +402,69 @@ def test_round5_text_queries_survive_degenerate_docs(spark, tmp_path):
     assert q_text_heavy_hitters(spark, d).count() > 0
     # logprob drops only the NULL-text doc (split(NULL) explodes nothing)
     assert q_text_unigram_logprob(spark, d).count() == 4
+
+
+def test_ivf_index_build_search_recall_and_pruning(spark, sf_dir, tmp_path):
+    """r11 persisted IVF: search over the on-disk index must hold the
+    same recall bar as the in-memory ivf_topk, and its collection read
+    must be PARTITION-PRUNED to the probed lists (the I/O-skip that
+    makes the persisted form the served-collection scale path)."""
+    from filmdatawarehouse_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from tests.test_plan_hygiene import plan_of
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb, idx)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    df = ivf_index_search(spark, idx, queries, k=5)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+    assert all(q < 10 for q, _ in approx)
+
+
+def test_ivf_index_append_assigns_like_build(spark, sf_dir, tmp_path):
+    """r11 persisted IVF: appending an increment must land every vector
+    in exactly the list the stored centroids assign — bit-identical to
+    having indexed the full collection with those centroids — inside
+    the EXISTING list partitions (no new top-level dirs, no retrain)."""
+    import os as _os
+
+    from filmdatawarehouse_spark.operators.similarity import (
+        _assign_lists,
+        _load_centroids,
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(base, idx)
+    ivf_index_append(delta, idx)
+    lists_after = sorted(
+        d for d in _os.listdir(f"{idx}/vectors") if d.startswith("list_id=")
+    )
+    # appends land only in lists the stored centroids define (0..15)
+    assert all(0 <= int(d.split("=")[1]) < 16 for d in lists_after)
+    stored = {
+        (r.vec_id, r.list_id)
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    assert len(stored) == 500
+    cents = _load_centroids(spark, idx)
+    expect = {
+        (r.vec_id, r.list_id)
+        for r in _assign_lists(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert stored == expect
