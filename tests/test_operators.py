@@ -468,3 +468,56 @@ def test_ivf_index_append_assigns_like_build(spark, sf_dir, tmp_path):
         for r in _assign_lists(emb, cents, "vec_id", "embedding").collect()
     }
     assert stored == expect
+
+
+def test_ivf_index_append_fragmentation_compacts_in_place(
+    spark, sf_dir, tmp_path
+):
+    """r11 composition: the index's vectors table IS a hive-partitioned
+    parquet table, so repeated ivf_index_append fragmentation is healed
+    by io.maintenance.compact_partitions on list_id — same recall after,
+    fewer files, untouched search semantics."""
+    from filmdatawarehouse_spark.io import maintenance as mt
+    from filmdatawarehouse_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb.filter(F.col("vec_id") < 200), idx)
+    # ten small appends: the served-collection ingest pattern
+    for lo in range(200, 500, 30):
+        ivf_index_append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)
+            ),
+            idx,
+        )
+    vectors = f"{idx}/vectors"
+    before = len(mt.list_data_files(spark, vectors))
+    queries = emb.filter(F.col("vec_id") < 10)
+    res_before = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 9))
+        for r in ivf_index_search(spark, idx, queries, k=5).collect()
+    }
+    summary = mt.compact_partitions(
+        spark, vectors, "list_id", target_bytes=1 << 30
+    )
+    assert summary["partitions"] >= 1
+    after = len(mt.list_data_files(spark, vectors))
+    assert after < before
+    assert spark.read.parquet(vectors).count() == 500
+    res_after = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 9))
+        for r in ivf_index_search(spark, idx, queries, k=5).collect()
+    }
+    assert res_after == res_before
+    # converged
+    assert (
+        mt.compact_partitions(
+            spark, vectors, "list_id", target_bytes=1 << 30
+        )["partitions"]
+        == 0
+    )
