@@ -328,3 +328,110 @@ def word_entropy_native(
         "n_distinct_words",
         (F.log2(n) - F.col("_acc") / n).alias("word_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (CCNet-style perplexity gate) — r11
+# ---------------------------------------------------------------------------
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_p: float = 1e-7,
+) -> DataFrame:
+    """Model-based quality scoring, the CCNet recipe's engine half: each
+    document's PERPLEXITY under a reference language model — here any
+    bigram table ``(w1, w2, cond_p)`` such as ``text_bigram_lm``'s output
+    trained on a trusted corpus. Text the reference model finds
+    predictable scores low (keep); garbled/boilerplate text scores high
+    (tail). The MODEL is pluggable (CCNet uses Kneser–Ney 5-grams); the
+    plumbing — explode, broadcast score, one aggregation — is the part
+    that must scale, and is what this operator owns.
+
+    Returns ``(id, n_bigrams, avg_logprob, perplexity)``;
+    ``perplexity = exp(-avg_logprob)``. Bigrams absent from the (pruned)
+    LM back off to ``floor_p``. Documents with fewer than 2 tokens have
+    no bigrams and emit NULL scores — never a pretended number.
+
+    Scale shape: bigrams are built per-row with zip_with (zero shuffle,
+    the ``text_bigram_lm`` pattern); the LM join is a BROADCAST (an LM
+    table is top-K-bounded by construction); the plan's only exchange is
+    the per-doc aggregation, map-side combined. Float caveat: the
+    per-doc log-prob sum is a Spark aggregate (order-free); scores can
+    differ in the last ulps across runs — a filtering gate, not a
+    cross-engine hash surface (the determinism-certified text scores
+    live in ``text_unigram_logprob``/``word_entropy``).
+    """
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(pairs).alias("_p")
+    ).select(
+        id_col,
+        F.col("_p.w1").alias("w1"),
+        F.col("_p.w2").alias("w2"),
+    )
+    lp = F.log(F.coalesce(F.col("cond_p"), F.lit(float(floor_p))))
+    avg = F.col("_slp") / F.col("n_bigrams").cast("double")
+    return (
+        ex.join(
+            F.broadcast(lm.select("w1", "w2", "cond_p")),
+            ["w1", "w2"],
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.sum(F.when(F.col("w1").isNotNull(), lp)).alias("_slp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            avg.alias("avg_logprob"),
+            F.exp(-avg).alias("perplexity"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    head: float = 0.3,
+    tail: float = 0.3,
+    ppl_col: str = "perplexity",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by perplexity
+    quantiles — head (most reference-like) feeds training directly,
+    middle gets lighter filtering, tail is dropped or audited. Edges via
+    ``approx_percentile`` (operational thresholds, not a certification
+    surface); unscored docs (NULL perplexity) land in their own bucket
+    rather than polluting an extreme. One scalar aggregate (bounded
+    collect) + a map-side withColumn — no shuffle of ``scored``."""
+    if not (0 < head and 0 < tail and head + tail < 1):
+        raise ValueError(f"need 0<head, 0<tail, head+tail<1: {head}, {tail}")
+    row = scored.agg(
+        F.percentile_approx(
+            ppl_col, [float(head), float(1 - tail)]
+        ).alias("qs")
+    ).first()
+    c = F.col(ppl_col)
+    if row.qs is None or row.qs[0] is None:
+        # no scored document at all: everything is unscored
+        return scored.withColumn(
+            "ppl_bucket",
+            F.when(c.isNull(), F.lit("unscored")).otherwise(F.lit("head")),
+        )
+    lo, hi = float(row.qs[0]), float(row.qs[1])
+    bucket = (
+        F.when(c.isNull(), F.lit("unscored"))
+        .when(c < F.lit(lo), F.lit("head"))
+        .when(c <= F.lit(hi), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("ppl_bucket", bucket)

@@ -120,3 +120,116 @@ def test_freshness_passes_and_fails_on_age(spark):
         df.filter(F.lit(False)), "ts", 3600, "2024-01-01 12:30:00", "feed_fresh"
     ).collect()[0]
     assert (empty.n_violations, empty.passed) == (1, 0)
+
+
+DOCS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_bigram_perplexity_matches_python_reference(spark):
+    """r11 model-based quality gate: per-doc perplexity under a bigram
+    LM equals an independent math.log replay (floor backoff included);
+    a <2-token doc scores NULL, never a pretended number."""
+    import math
+
+    from filmdatawarehouse_spark.operators.text import bigram_perplexity
+
+    lm = spark.createDataFrame(
+        [
+            ("the", "cat", 0.5),
+            ("cat", "sat", 0.25),
+            ("the", "dog", 0.5),
+        ],
+        "w1 string, w2 string, cond_p double",
+    )
+    docs = literal_rows(
+        spark,
+        [
+            dict(doc_id=1, text="the cat sat"),        # both bigrams known
+            dict(doc_id=2, text="the dog barks"),      # one known, one floor
+            dict(doc_id=3, text="zebra"),               # no bigrams -> NULL
+            dict(doc_id=4, text="qq ww ee"),            # all floor
+        ],
+        DOCS,
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob, r.perplexity)
+        for r in bigram_perplexity(docs, lm, floor_p=1e-7).collect()
+    }
+    floor = math.log(1e-7)
+
+    def expect(lps):
+        avg = sum(lps) / len(lps)
+        return (len(lps), avg, math.exp(-avg))
+
+    e1 = expect([math.log(0.5), math.log(0.25)])
+    e2 = expect([math.log(0.5), floor])
+    e4 = expect([floor, floor])
+    for doc, e in [(1, e1), (2, e2), (4, e4)]:
+        n, avg, ppl = got[doc]
+        assert n == e[0]
+        assert abs(avg - e[1]) < 1e-12
+        assert abs(ppl - e[2]) / e[2] < 1e-12
+    assert got[3] == (0, None, None)
+    # the well-modeled doc is less perplexing than the garbled one
+    assert got[1][2] < got[4][2]
+
+
+def test_bigram_perplexity_plan_broadcasts_lm_single_exchange(spark):
+    """The LM join must broadcast (an LM table is top-K-bounded) and the
+    plan's only exchange is the per-doc aggregation — the shape that
+    keeps scoring a scan-rate operator at corpus scale."""
+    from filmdatawarehouse_spark.operators.text import bigram_perplexity
+
+    lm = spark.createDataFrame(
+        [("a", "b", 0.5)], "w1 string, w2 string, cond_p double"
+    )
+    docs = literal_rows(
+        spark, [dict(doc_id=1, text="a b c")], DOCS
+    )
+    plan = (
+        bigram_perplexity(docs, lm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("\n\n")[0]
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """CCNet split: quantile edges route docs to head/middle/tail,
+    NULL-scored docs to their own bucket; empty-score corpora don't
+    crash on NULL quantiles."""
+    from filmdatawarehouse_spark.operators.text import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)] + [(99, None)],
+        "doc_id long, perplexity double",
+    )
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets(scored, head=0.3, tail=0.3).collect()
+    }
+    assert got[99] == "unscored"
+    assert got[1] == "head" and got[10] == "tail"
+    buckets = [got[i] for i in range(1, 11)]
+    assert buckets == sorted(
+        buckets, key=["head", "middle", "tail"].index
+    )  # monotone in perplexity
+    assert {"head", "middle", "tail"} <= set(buckets)
+    # all-NULL corpus: everything unscored, no crash
+    nulls = spark.createDataFrame(
+        [(1, None)], "doc_id long, perplexity double"
+    )
+    assert perplexity_buckets(nulls).first().ppl_bucket == "unscored"
+    import pytest
+
+    with pytest.raises(ValueError, match="head"):
+        perplexity_buckets(scored, head=0.6, tail=0.6)
