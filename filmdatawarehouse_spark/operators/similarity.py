@@ -144,6 +144,71 @@ def cosine_range_search(
     )
 
 
+
+def _score_rows_for_list(
+    list_id, nids, m, per_list, qm, qids, k, out_q, out_n, out_c
+) -> None:
+    """Score one list's rows against the queries probing that list and
+    append per-query PARTIAL top-k arrays: (cosine desc, neighbor_id
+    asc) — the same ordering the final window uses, so no qualifying
+    row is lost. Shared by the in-memory (``ivf_topk``) and persisted
+    (``ivf_index_search``) paths so their exact-parity cannot drift
+    (r11 review: this loop was duplicated)."""
+    import numpy as np
+
+    qi = per_list.get(int(list_id))
+    if qi is None or not len(qi):
+        return
+    sims = qm[qi] @ m.T
+    for row_q, qx in enumerate(qi):
+        s = sims[row_q]
+        mask = nids != qids[qx]
+        s, nn = s[mask], nids[mask]
+        if not len(s):
+            continue
+        top = min(k, len(s))
+        sel = np.lexsort((nn, -s))[:top]
+        out_q.append(np.full(top, qids[qx]))
+        out_n.append(nn[sel])
+        out_c.append(s[sel])
+
+
+def _probe_lists(queries: DataFrame, cents, id_col: str, vec_col: str, n_probe: int):
+    """Localize the (bounded) query set and invert its n_probe nearest
+    centroid lists: returns (qids, qm, {list -> query indexes})."""
+    import numpy as np
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    qids = q_pdf[id_col].to_numpy()
+    if not len(qids):
+        return qids, None, {}
+    qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.sqrt((qm * qm).sum(axis=1))[:, None]
+    order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    per_list = {
+        int(l): np.nonzero((order == l).any(axis=1))[0]
+        for l in np.unique(order)
+    }
+    return qids, qm, per_list
+
+
+TOPK_SCHEMA = "query_id long, neighbor_id long, cosine double, rank int"
+
+
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Final per-query top-k over the partial-top-k candidate rows."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int")
+        )
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_lists: int = 16,
@@ -248,16 +313,9 @@ def ivf_topk(
     import pandas as pd
 
     cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    qids = q_pdf[id_col].to_numpy()
-    qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    qm /= np.sqrt((qm * qm).sum(axis=1))[:, None]
-    # n_probe nearest lists per query, then inverted: list -> query indices
-    order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
-    per_list: dict[int, np.ndarray] = {
-        int(l): np.nonzero((order == l).any(axis=1))[0]
-        for l in np.unique(order)
-    }
+    qids, qm, per_list = _probe_lists(queries, cents, id_col, vec_col, n_probe)
+    if not len(qids):
+        return emb.sparkSession.createDataFrame([], TOPK_SCHEMA)
     c_t = cents.T.copy()
 
     def scan(batches):
@@ -272,26 +330,11 @@ def ivf_topk(
             out_n: list[np.ndarray] = []
             out_c: list[np.ndarray] = []
             for l in np.unique(assign):
-                qi = per_list.get(int(l))
-                if qi is None or not len(qi):
-                    continue
                 rows = np.nonzero(assign == l)[0]
-                sims = qm[qi] @ m[rows].T  # (n_queries_probing, n_rows)
-                nids = ids[rows]
-                for row_q, qx in enumerate(qi):
-                    s = sims[row_q]
-                    mask = nids != qids[qx]
-                    s, nn = s[mask], nids[mask]
-                    if not len(s):
-                        continue
-                    top = min(k, len(s))
-                    # partial top-k inside the partition: (cosine desc,
-                    # neighbor_id asc) — the same ordering the final
-                    # window uses, so no qualifying row is lost
-                    sel = np.lexsort((nn, -s))[:top]
-                    out_q.append(np.full(top, qids[qx]))
-                    out_n.append(nn[sel])
-                    out_c.append(s[sel])
+                _score_rows_for_list(
+                    l, ids[rows], m[rows], per_list, qm, qids, k,
+                    out_q, out_n, out_c,
+                )
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -304,34 +347,63 @@ def ivf_topk(
     cand = emb.select(id_col, vec_col).mapInPandas(
         scan, "query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
-    )
+    return _rank_topk(cand, k)
 
 
 # ---------------------------------------------------------------------------
 # Persisted IVF index: build once, append increments, search with storage-
-# level partition pruning (r11)
+# level partition pruning (r11). Commit protocol: every (re)build writes a
+# fresh VERSION dir (v-<token>/{centroids,vectors}) and atomically flips
+# the INDEX pointer — a rebuild that dies mid-write can never pair new
+# centroids with old-assignment vectors (r11 review; the same pointer
+# pattern as streaming.merge's snapshot sink, with the same local/HDFS
+# rename caveat as io.sinks.compact_parquet).
 # ---------------------------------------------------------------------------
 
+IVF_POINTER = "INDEX"
 
-def _load_centroids(spark, index_path: str):
-    """The index's unit-normalized centroid matrix — an O(n_lists) bounded
-    collect by construction."""
+
+def _ivf_pointer_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, IVF_POINTER)
+
+
+def ivf_index_version_dir(index_path: str) -> str:
+    """The committed version directory of a persisted IVF index."""
+    import os
+
+    try:
+        with open(_ivf_pointer_path(index_path)) as f:
+            name = f.read().strip()
+    except OSError as e:
+        raise ValueError(
+            f"no IVF index at {index_path} (missing {IVF_POINTER} pointer)"
+        ) from e
+    if not name:
+        raise ValueError(f"empty {IVF_POINTER} pointer at {index_path}")
+    return os.path.join(index_path, name)
+
+
+def ivf_index_vectors_path(index_path: str) -> str:
+    """The committed vectors table (hive-partitioned by list_id) — the
+    location maintenance ops like ``io.maintenance.compact_partitions``
+    should target."""
+    return f"{ivf_index_version_dir(index_path)}/vectors"
+
+
+def _centroids_of(spark, version_dir: str):
+    """The version's unit-normalized centroid matrix — an O(n_lists)
+    bounded collect by construction."""
     import numpy as np
 
     rows = (
-        spark.read.parquet(f"{index_path}/centroids")
+        spark.read.parquet(f"{version_dir}/centroids")
         .orderBy("list_id")
         .collect()
     )
     if not rows:
-        raise ValueError(f"no centroids at {index_path}/centroids")
+        raise ValueError(f"no centroids under {version_dir}")
     return np.stack(
         [np.asarray(r.centroid, dtype=np.float64) for r in rows]
     )
@@ -369,16 +441,26 @@ def ivf_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Materialize an IVF index on disk: ``<path>/centroids`` (n_lists
-    tiny rows) + ``<path>/vectors`` PARTITIONED BY list_id. ``ivf_topk``
-    retrains and rescans per call — right for one-shot queries, wrong
-    for a served collection; the persisted form pays k-means once and
-    gives every later search STORAGE-level pruning (the probed lists'
-    partitions are the only files opened — the scan fraction
-    n_probe/n_lists moves from compute-skip to I/O-skip, the difference
-    that matters at 100 TB) and ``ivf_index_append`` incremental growth
-    without retraining."""
+    """Materialize an IVF index on disk: a fresh version dir holding
+    ``centroids`` (n_lists tiny rows) + ``vectors`` PARTITIONED BY
+    list_id, committed by an atomic pointer flip (module banner).
+    ``ivf_topk`` retrains and rescans per call — right for one-shot
+    queries, wrong for a served collection; the persisted form pays
+    k-means once and gives every later search STORAGE-level pruning
+    (the probed lists' partitions are the only files opened — the scan
+    fraction n_probe/n_lists moves from compute-skip to I/O-skip, the
+    difference that matters at 100 TB) and ``ivf_index_append``
+    incremental growth without retraining. Rebuilding over a live index
+    is safe: searches resolve the pointer once and keep reading the old
+    committed version until the flip; superseded versions are pruned
+    best-effort after it."""
+    import os
+    import shutil
+    import uuid
+
     spark = emb.sparkSession
+    token = f"v-{uuid.uuid4().hex[:8]}"
+    vdir = f"{index_path.rstrip('/')}/{token}"
     cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
     (
         spark.createDataFrame(
@@ -390,14 +472,21 @@ def ivf_index_build(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{index_path}/centroids")
+        .parquet(f"{vdir}/centroids")
     )
     (
         _assign_lists(emb, cents, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(f"{index_path}/vectors")
+        .parquet(f"{vdir}/vectors")
     )
+    tmp = _ivf_pointer_path(index_path) + f".tmp-{token}"
+    with open(tmp, "w") as f:
+        f.write(token)
+    os.replace(tmp, _ivf_pointer_path(index_path))  # atomic commit
+    for d in os.listdir(index_path):  # best-effort prune of old versions
+        if d.startswith("v-") and d != token:
+            shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
 
 
 def ivf_index_append(
@@ -408,18 +497,21 @@ def ivf_index_append(
 ) -> None:
     """Add vectors to an existing index WITHOUT retraining: assign against
     the stored centroids (one zero-shuffle scan of the increment only)
-    and append into the matching list partitions. Centroids drift from
-    optimal as the distribution shifts — the recall gate
-    (``similarity_ann_recall``'s pattern) is the rebuild trigger, not a
-    row-count heuristic. Plain parquet append is at-least-once under
-    replay: wrap the caller in the streaming MERGE ledger (or diff ids
-    against the index) when the increment source redelivers."""
-    cents = _load_centroids(new_emb.sparkSession, index_path)
+    and append into the matching list partitions of the committed
+    version. Centroids drift from optimal as the distribution shifts —
+    the recall gate (``similarity_ann_recall``'s pattern) is the rebuild
+    trigger, not a row-count heuristic. Plain parquet append is
+    at-least-once under replay: wrap the caller in the streaming MERGE
+    ledger (or diff ids against the index) when the increment source
+    redelivers."""
+    spark = new_emb.sparkSession
+    vdir = ivf_index_version_dir(index_path)  # resolved ONCE for both
+    cents = _centroids_of(spark, vdir)
     (
         _assign_lists(new_emb, cents, id_col, vec_col)
         .write.mode("append")
         .partitionBy("list_id")
-        .parquet(f"{index_path}/vectors")
+        .parquet(f"{vdir}/vectors")
     )
 
 
@@ -437,22 +529,19 @@ def ivf_index_search(
     ``vectors`` FILTERED ON THE PARTITION COLUMN — Spark prunes the
     un-probed lists' files at the source (PartitionFilters, plan-tested)
     — then one zero-shuffle ``mapInPandas`` scores each partition's rows
-    against only the queries probing their lists, with the per-query
-    top-k window as the plan's single exchange (same shape and output
-    schema as ``ivf_topk``/``cosine_topk``)."""
+    against only the queries probing their lists (the SAME scoring
+    helper as ``ivf_topk``, so the two paths cannot drift), with the
+    per-query top-k window as the plan's single exchange. An empty
+    query set returns an empty frame of the same schema — a served
+    entry point must not crash on a quiet batch (r11 review)."""
     import numpy as np
     import pandas as pd
 
-    cents = _load_centroids(spark, index_path)
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    qids = q_pdf[id_col].to_numpy()
-    qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    qm /= np.sqrt((qm * qm).sum(axis=1))[:, None]
-    order = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
-    per_list: dict[int, "np.ndarray"] = {
-        int(l): np.nonzero((order == l).any(axis=1))[0]
-        for l in np.unique(order)
-    }
+    vdir = ivf_index_version_dir(index_path)  # resolved ONCE per search
+    cents = _centroids_of(spark, vdir)
+    qids, qm, per_list = _probe_lists(queries, cents, id_col, vec_col, n_probe)
+    if not len(qids):
+        return spark.createDataFrame([], TOPK_SCHEMA)
     probed = sorted(per_list)
 
     def scan(batches):
@@ -463,24 +552,12 @@ def ivf_index_search(
             out_n: list[np.ndarray] = []
             out_c: list[np.ndarray] = []
             for l, grp in pdf.groupby("list_id"):
-                qi = per_list.get(int(l))
-                if qi is None or not len(qi):
-                    continue
-                nids = grp[id_col].to_numpy()
                 m = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
                 m /= np.sqrt((m * m).sum(axis=1))[:, None]
-                sims = qm[qi] @ m.T
-                for row_q, qx in enumerate(qi):
-                    s = sims[row_q]
-                    mask = nids != qids[qx]
-                    s, nn = s[mask], nids[mask]
-                    if not len(s):
-                        continue
-                    top = min(k, len(s))
-                    sel = np.lexsort((nn, -s))[:top]
-                    out_q.append(np.full(top, qids[qx]))
-                    out_n.append(nn[sel])
-                    out_c.append(s[sel])
+                _score_rows_for_list(
+                    l, grp[id_col].to_numpy(), m, per_list, qm, qids, k,
+                    out_q, out_n, out_c,
+                )
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -490,17 +567,10 @@ def ivf_index_search(
                     }
                 )
 
-    vecs = spark.read.parquet(f"{index_path}/vectors").filter(
+    vecs = spark.read.parquet(f"{vdir}/vectors").filter(
         F.col("list_id").isin(probed)
     )
     cand = vecs.mapInPandas(
         scan, "query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
-    )
+    return _rank_topk(cand, k)

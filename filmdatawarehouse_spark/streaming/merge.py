@@ -106,20 +106,42 @@ def _snapshot_name(run_id: str, batch_id: int) -> str:
     return f"v-{run_id}-{batch_id}"
 
 
+def _read_pointer(table_path: str) -> tuple[str | None, str | None]:
+    """``(current, previous)`` from ONE pointer read. Since r11 the
+    commit records the retained previous snapshot on the pointer's
+    second line, so the pair is CONSISTENT by construction (the pointer
+    flips atomically via os.replace) — a consumer never has to guess
+    the previous from directory listings, which both (a) mistook a
+    crashed not-yet-committed FUTURE snapshot for the previous
+    (inverting the CDC feed) and (b) raced a concurrent commit between
+    two pointer reads into diffing a snapshot against itself (r11
+    review). Older pointers carry one line; callers fall back to the
+    directory heuristic for them."""
+    try:
+        with open(_pointer_path(table_path)) as f:
+            lines = [
+                ln.strip() for ln in f.read().splitlines() if ln.strip()
+            ]
+    except OSError:
+        return None, None
+    if not lines:
+        return None, None
+
+    def _resolve(name: str) -> str:
+        # legacy pointer format (pre-run-identity): a bare batch id whose
+        # snapshot lives at v-<id>; resolve it so an upgraded sink can
+        # still read and merge onto a table committed by the old code
+        return name if name.startswith("v-") else f"v-{name}"
+
+    cur = _resolve(lines[0])
+    prev = _resolve(lines[1]) if len(lines) > 1 else None
+    return cur, prev
+
+
 def current_snapshot(table_path: str) -> str | None:
     """The committed snapshot's directory name (``v-<run>-<batch>``), or
     None before the first commit."""
-    try:
-        with open(_pointer_path(table_path)) as f:
-            name = f.read().strip()
-    except OSError:
-        return None
-    if not name:
-        return None
-    # legacy pointer format (pre-run-identity): a bare batch id whose
-    # snapshot lives at v-<id>; resolve it so an upgraded sink can still
-    # read and merge onto a table committed by the old code
-    return name if name.startswith("v-") else f"v-{name}"
+    return _read_pointer(table_path)[0]
 
 
 def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:
@@ -130,17 +152,25 @@ def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_path, snap))
 
 
-def previous_snapshot(table_path: str) -> str | None:
-    """The RETAINED pre-commit snapshot's dir name, or None when there
-    is no unambiguous one. The sink's prune keeps exactly {current,
-    previous}, so normally one other ``v-*`` dir exists; a crash inside
-    the prune window can leave extra garbage dirs — then the previous
-    is still identifiable if it shares the current snapshot's run
-    identity (highest batch below the current one); otherwise ambiguity
-    returns None rather than a guess."""
-    cur = current_snapshot(table_path)
+def _snapshot_pair(table_path: str) -> tuple[str | None, str | None]:
+    """Consistent ``(current, previous)`` for CDC. Post-r11 pointers
+    carry both (one atomic read — no race, no guessing). For a LEGACY
+    single-line pointer, fall back to the directory heuristic with the
+    future-partial exclusion: a same-run name at/above the current
+    batch is a crashed not-yet-committed snapshot (the module's
+    documented crash window) and must never be diffed — the old
+    len==1 shortcut returned exactly that, inverting the feed (r11
+    review). Residual legacy ambiguity (a crashed future partial from
+    a DIFFERENT run identity) is indistinguishable by name; it returns
+    that dir only when it is the sole candidate, and disappears at the
+    table's first post-upgrade commit."""
+    cur, prev = _read_pointer(table_path)
     if cur is None:
-        return None
+        return None, None
+    if prev is not None:
+        if not os.path.isdir(os.path.join(table_path, prev)):
+            return cur, None  # retention raced/cleaned: refuse, not guess
+        return cur, prev
     try:
         others = sorted(
             d
@@ -150,20 +180,30 @@ def previous_snapshot(table_path: str) -> str | None:
             and os.path.isdir(os.path.join(table_path, d))
         )
     except OSError:
-        return None
-    if len(others) == 1:
-        return others[0]
-    run = cur.rsplit("-", 1)[0]  # "v-<run>"
-    try:
-        cur_batch = int(cur.rsplit("-", 1)[1])
-    except ValueError:
-        return None
-    same_run = []
+        return cur, None
+    run, _, tail = cur.rpartition("-")
+    cur_batch = int(tail) if tail.isdigit() else None
+    same_run: list[tuple[int, str]] = []
+    cross_run: list[str] = []
     for d in others:
-        head, _, tail = d.rpartition("-")
-        if head == run and tail.isdigit() and int(tail) < cur_batch:
-            same_run.append((int(tail), d))
-    return max(same_run)[1] if same_run else None
+        head, _, dtail = d.rpartition("-")
+        if head == run and dtail.isdigit():
+            if cur_batch is not None and int(dtail) < cur_batch:
+                same_run.append((int(dtail), d))
+            # at/above the current batch: crashed future partial — drop
+        else:
+            cross_run.append(d)
+    if same_run:
+        return cur, max(same_run)[1]
+    if len(cross_run) == 1:
+        return cur, cross_run[0]
+    return cur, None
+
+
+def previous_snapshot(table_path: str) -> str | None:
+    """The RETAINED pre-commit snapshot's dir name, or None when there
+    is no unambiguous one (see ``_snapshot_pair``)."""
+    return _snapshot_pair(table_path)[1]
 
 
 def read_merge_changes(
@@ -188,8 +228,10 @@ def read_merge_changes(
     """
     from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
 
-    cur = current_snapshot(table_path)
-    prev = previous_snapshot(table_path)
+    # ONE consistent pair — resolving current and previous through two
+    # separate pointer reads raced a concurrent commit into diffing a
+    # snapshot against itself (silently empty feed; r11 review)
+    cur, prev = _snapshot_pair(table_path)
     if cur is None or prev is None:
         return None
     new = spark.read.parquet(os.path.join(table_path, cur))
@@ -199,6 +241,11 @@ def read_merge_changes(
         if compare_cols is None
         else compare_cols
     )
+    if not cols:
+        raise ValueError(
+            "keys cover every column: nothing to compare — pass "
+            "compare_cols or drop a key"
+        )
     return snapshot_diff(old, new, keys, cols)
 
 
@@ -275,7 +322,9 @@ def merge_upsert_batch(
     merged.write.mode("overwrite").parquet(os.path.join(table_path, snap))
     tmp = _pointer_path(table_path) + f".tmp-{snap}"
     with open(tmp, "w") as f:
-        f.write(snap)
+        # line 2 records the retained previous snapshot so CDC consumers
+        # get a consistent (current, previous) pair from one atomic read
+        f.write(snap if prev is None else f"{snap}\n{prev}")
     os.replace(tmp, _pointer_path(table_path))  # atomic commit
     # best-effort prune, RETAINING the previous snapshot so a reader that
     # resolved it just before this commit can still finish its query (a

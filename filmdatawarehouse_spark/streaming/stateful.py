@@ -50,6 +50,25 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "n bigint, start_us bigint, last_us bigint"
 
 
+def _sessions_frame(user_id, closed):
+    """Closed sessions -> one SESSION_OUT_SCHEMA pandas frame — shared by
+    all three sessionizer variants so the twins cannot drift apart on
+    output typing (r11 review: this was copy-pasted three times)."""
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+            "session_start": pd.to_datetime(
+                pd.Series([c[0] for c in closed], dtype="int64"), unit="us"
+            ),
+            "session_end": pd.to_datetime(
+                pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
+            ),
+            "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+        }
+    )
+
+
+
 def expiring_user_sessions(events: DataFrame, gap_seconds: int = 600) -> DataFrame:
     """Event-time sessionization with STATE EVICTION — the full custom-
     stateful pattern: per-user state holds the OPEN session only (count,
@@ -74,19 +93,7 @@ def expiring_user_sessions(events: DataFrame, gap_seconds: int = 600) -> DataFra
 
     gap_us = gap_seconds * 1_000_000
 
-    def _emit(user_id, closed):
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
-                "session_start": pd.to_datetime(
-                    pd.Series([c[0] for c in closed], dtype="int64"), unit="us"
-                ),
-                "session_end": pd.to_datetime(
-                    pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
-                ),
-                "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
-            }
-        )
+    _emit = _sessions_frame
 
     def update(key, pdf_iter, state: GroupState):
         import numpy as np
@@ -170,23 +177,7 @@ def expiring_user_sessions_tws(
 
     gap_us = gap_seconds * 1_000_000
 
-    def _frame(user_id, closed):
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
-                "session_start": pd.to_datetime(
-                    pd.Series([c[0] for c in closed], dtype="int64"),
-                    unit="us",
-                ),
-                "session_end": pd.to_datetime(
-                    pd.Series([c[1] for c in closed], dtype="int64"),
-                    unit="us",
-                ),
-                "n_events": pd.Series(
-                    [c[2] for c in closed], dtype="int64"
-                ),
-            }
-        )
+    _frame = _sessions_frame
 
     def _deadline_ms(last_us: int) -> int:
         return last_us // 1000 + gap_seconds * 1000
@@ -287,19 +278,7 @@ def expiring_capped_sessions(
     gap_us = gap_seconds * 1_000_000
     cap_us = cap_seconds * 1_000_000
 
-    def _emit(user_id, closed):
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
-                "session_start": pd.to_datetime(
-                    pd.Series([c[0] for c in closed], dtype="int64"), unit="us"
-                ),
-                "session_end": pd.to_datetime(
-                    pd.Series([c[1] for c in closed], dtype="int64"), unit="us"
-                ),
-                "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
-            }
-        )
+    _emit = _sessions_frame
 
     def update(key, pdf_iter, state: GroupState):
         import numpy as np

@@ -129,6 +129,11 @@ def snapshot_diff(
     matches, and keeps composite keys with NULL parts joinable.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if not compare_cols:
+        raise ValueError(
+            "compare_cols must name at least one non-key column "
+            "(an empty list would classify nothing as changed)"
+        )
     o = old.select(
         F.lit(True).alias("_in_old"),
         *[F.col(k).alias(f"_ko_{k}") for k in keys],

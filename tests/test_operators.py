@@ -441,9 +441,11 @@ def test_ivf_index_append_assigns_like_build(spark, sf_dir, tmp_path):
 
     from filmdatawarehouse_spark.operators.similarity import (
         _assign_lists,
-        _load_centroids,
+        _centroids_of,
         ivf_index_append,
         ivf_index_build,
+        ivf_index_vectors_path,
+        ivf_index_version_dir,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -452,17 +454,18 @@ def test_ivf_index_append_assigns_like_build(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf")
     ivf_index_build(base, idx)
     ivf_index_append(delta, idx)
+    vectors = ivf_index_vectors_path(idx)
     lists_after = sorted(
-        d for d in _os.listdir(f"{idx}/vectors") if d.startswith("list_id=")
+        d for d in _os.listdir(vectors) if d.startswith("list_id=")
     )
     # appends land only in lists the stored centroids define (0..15)
     assert all(0 <= int(d.split("=")[1]) < 16 for d in lists_after)
     stored = {
         (r.vec_id, r.list_id)
-        for r in spark.read.parquet(f"{idx}/vectors").collect()
+        for r in spark.read.parquet(vectors).collect()
     }
     assert len(stored) == 500
-    cents = _load_centroids(spark, idx)
+    cents = _centroids_of(spark, ivf_index_version_dir(idx))
     expect = {
         (r.vec_id, r.list_id)
         for r in _assign_lists(emb, cents, "vec_id", "embedding").collect()
@@ -495,7 +498,11 @@ def test_ivf_index_append_fragmentation_compacts_in_place(
             ),
             idx,
         )
-    vectors = f"{idx}/vectors"
+    from filmdatawarehouse_spark.operators.similarity import (
+        ivf_index_vectors_path,
+    )
+
+    vectors = ivf_index_vectors_path(idx)
     before = len(mt.list_data_files(spark, vectors))
     queries = emb.filter(F.col("vec_id") < 10)
     res_before = {
@@ -521,3 +528,54 @@ def test_ivf_index_append_fragmentation_compacts_in_place(
         )["partitions"]
         == 0
     )
+
+
+def test_ivf_index_rebuild_is_versioned_and_crash_safe(
+    spark, sf_dir, tmp_path
+):
+    """r11 review: a rebuild writes a fresh version dir and commits via
+    an atomic pointer flip — a crash mid-rebuild (partial version dir,
+    pointer not flipped) leaves searches on the intact committed
+    version, and the next successful build prunes the leftovers. Empty
+    query sets return an empty frame, never a numpy stack crash."""
+    import os as _os
+
+    from filmdatawarehouse_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_index_version_dir,
+        ivf_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb, idx)
+    v1 = ivf_index_version_dir(idx)
+    queries = emb.filter(F.col("vec_id") < 5)
+    res1 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_index_search(spark, idx, queries, k=5).collect()
+    }
+    # simulate a rebuild crash: a partial version dir (centroids only,
+    # no vectors, no pointer flip)
+    _os.makedirs(f"{idx}/v-deadbeef/centroids")
+    assert ivf_index_version_dir(idx) == v1  # pointer untouched
+    res_crash = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_index_search(spark, idx, queries, k=5).collect()
+    }
+    assert res_crash == res1  # served off the committed version
+    # the next successful build prunes the partial leftover
+    ivf_index_build(emb, idx)
+    v2 = ivf_index_version_dir(idx)
+    assert v2 != v1
+    assert not _os.path.exists(f"{idx}/v-deadbeef")
+    assert not _os.path.exists(v1)
+    # empty query set: empty result with the contract schema, both paths
+    none = emb.filter(F.col("vec_id") < 0)
+    out = ivf_index_search(spark, idx, none, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    out2 = ivf_topk(emb, none, k=5)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]

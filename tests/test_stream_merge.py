@@ -852,3 +852,41 @@ def test_read_merge_changes_cdc_between_retained_snapshots(
         ).collect()
     }
     assert only_status == {2: "update", 4: "insert"}
+
+
+def test_previous_snapshot_pointer_pair_and_legacy_future_partials(
+    spark, tmp_path
+):
+    """r11 review: (a) post-r11 pointers record (current, previous) on
+    two lines — one atomic read, no dir guessing, no double-read race;
+    (b) on a LEGACY single-line pointer, a same-run snapshot at/above
+    the current batch is a crashed FUTURE partial (the documented
+    pointer-flip crash window) and must never be returned as the
+    previous — the old len==1 shortcut returned exactly that, which
+    would have fed the CDC consumer an INVERTED diff."""
+    import os as _os
+
+    from filmdatawarehouse_spark.streaming.merge import previous_snapshot
+
+    t = str(tmp_path / "t")
+    _os.makedirs(f"{t}/v-run-0")
+    _os.makedirs(f"{t}/v-run-1")  # crashed future partial
+    with open(f"{t}/_LATEST", "w") as f:
+        f.write("v-run-0")  # legacy single-line pointer
+    assert previous_snapshot(t) is None  # refuse, never invert
+
+    # once a later batch commits, earlier same-run dirs are legitimate:
+    # the heuristic picks the HIGHEST batch below the current one
+    _os.makedirs(f"{t}/v-run-7")
+    with open(f"{t}/_LATEST", "w") as f:
+        f.write("v-run-7")
+    assert previous_snapshot(t) == "v-run-1"
+
+    # post-r11 two-line pointer: exact, overrides the dir heuristic
+    with open(f"{t}/_LATEST", "w") as f:
+        f.write("v-run-7\nv-run-0")
+    assert previous_snapshot(t) == "v-run-0"
+    # recorded previous already pruned: refuse, never guess
+    with open(f"{t}/_LATEST", "w") as f:
+        f.write("v-run-7\nv-run-gone")
+    assert previous_snapshot(t) is None
