@@ -68,15 +68,45 @@ def risk_class() -> list[str]:
     return names
 
 
+def _risk_module_asts() -> list[tuple[str, str]]:
+    """(relative path, AST dump) of every package module whose SOURCE
+    matches the risk pattern — the operator code the builders call.
+    Builder-source hashing alone left a blind spot: refactoring float
+    math inside operators/ (log/sqrt/percentile paths) changes what
+    runs at sf0.1 without touching any builder (r11). AST dumps, not
+    raw text, so comment/formatting edits don't demand a 35-minute
+    sweep; moving or editing actual code (docstrings included) does."""
+    import ast
+
+    pkg = os.path.join(REPO, "filmdatawarehouse_spark")
+    out = []
+    for dirpath, _, files in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, f)
+            with open(full) as fh:
+                src = fh.read()
+            if RISK_PATTERN.search(src):
+                out.append(
+                    (os.path.relpath(full, REPO), ast.dump(ast.parse(src)))
+                )
+    out.sort()
+    return out
+
+
 def class_fingerprint(names: list[str] | None = None) -> str:
     """Content hash of every risk-class query's builder source + oracle
-    SQL. A GREEN sweep commits it to SWEEP.json; the pytest guard
+    SQL, PLUS the AST of every package module carrying risk markers
+    (the operator layer the builders call — see ``_risk_module_asts``).
+    A GREEN sweep commits it to SWEEP.json; the pytest guard
     (tests/test_scale_sweep.py::test_green_sweep_log_is_current)
-    recomputes it, so ANY edit to a risk-class query (or a new query
-    entering the class) reds the default suite until a fresh sf0.1
-    sweep passes — the sweep gate is structural, not remembered
-    (VERDICT r10 item 6: its protection used to depend on the builder
-    remembering to run it)."""
+    recomputes it, so ANY edit to risk-class query or operator code
+    reds the default suite until a fresh sf0.1 sweep passes — the sweep
+    gate is structural, not remembered (VERDICT r10 item 6: its
+    protection used to depend on the builder remembering to run it)."""
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
     from filmdatawarehouse_spark.queries.registry import all_queries
@@ -94,6 +124,9 @@ def class_fingerprint(names: list[str] | None = None) -> str:
         h.update(n.encode())
         h.update(src.encode())
         h.update((sql or "").encode())
+    for rel, dump in _risk_module_asts():
+        h.update(rel.encode())
+        h.update(dump.encode())
     return h.hexdigest()
 
 
