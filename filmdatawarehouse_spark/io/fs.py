@@ -1,0 +1,127 @@
+"""Portable filesystem primitives for pointer-commit protocols.
+
+The snapshot MERGE sink (``streaming.merge``), its CDC feed, and the
+persisted IVF index (``operators.similarity``) commit work by atomically
+flipping a tiny pointer file and pruning superseded version directories.
+Until r12 that I/O went through Python ``os``/``shutil``, which only
+exists on a driver-local filesystem — the one thing a 1000-executor
+cluster reading 100 TB does NOT have (its tables live on HDFS/S3/GCS).
+This module routes the same five primitives through the JVM Hadoop
+``FileSystem``/``FileContext`` APIs (the pattern ``io.maintenance``
+already proved for compaction), so a table path like ``hdfs://...`` or
+``s3a://...`` works unchanged.
+
+Atomicity contract (documented per store in SCALING.md): the pointer
+flip uses ``FileContext.rename(..., Options.Rename.OVERWRITE)`` —
+- local FS: POSIX ``rename(2)`` — atomic overwrite;
+- HDFS: atomic within a NameNode (the semantics the protocol was
+  designed against);
+- S3A and other object stores: rename is COPY+DELETE — not atomic.
+  There a reader can observe a missing pointer for the copy window;
+  run single-writer and treat pointer-read retries as required, or
+  target a transactional table format instead (the module banners of
+  the two consumers say the same).
+
+Everything here is driver-side py4j with O(1) or O(#versions) calls per
+commit — never per data file (py4j costs ~5ms per call; the pointer
+protocol does a handful per micro-batch, which is noise next to the
+snapshot write itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _jpath(spark: SparkSession, path: str):
+    """(Hadoop Path, FileSystem) for ``path`` under the session's
+    Hadoop configuration — resolves the scheme (file://, hdfs://,
+    s3a://) exactly as Spark's own reads and writes do."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return p, fs
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    p, fs = _jpath(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    p, fs = _jpath(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    p, fs = _jpath(spark, path)
+    fs.mkdirs(p)
+
+
+def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Sorted NAMES of the immediate child directories of ``path``
+    (empty when the path is absent) — the version-dir enumeration the
+    pruners need; one ``listStatus`` call, O(#children) py4j traffic."""
+    p, fs = _jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+    )
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """The file's UTF-8 content, or None when it does not exist.
+
+    Errors other than not-found re-raise: a transient remote-FS failure
+    must fail the caller's batch (which replays), never read as "no
+    pointer yet" — the same rule ``streaming.merge`` applies to the
+    table read itself."""
+    jvm = spark._jvm
+    p, fs = _jpath(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines: list[str] = []
+        while True:
+            ln = reader.readLine()
+            if ln is None:
+                break
+            lines.append(ln)
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Atomically (re)place ``path`` with ``text``: write a sibling temp
+    file, then ``FileContext.rename(OVERWRITE)`` it onto the target.
+    See the module banner for what "atomic" means per store."""
+    jvm = spark._jvm
+    p, fs = _jpath(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp-commit")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    gw = spark.sparkContext._gateway
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(ren, 1)
+    opts[0] = ren.OVERWRITE
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p), opts)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Best-effort delete; False when the path was already absent."""
+    p, fs = _jpath(spark, path)
+    return bool(fs.delete(p, recursive))

@@ -356,40 +356,49 @@ def ivf_topk(
 # fresh VERSION dir (v-<token>/{centroids,vectors}) and atomically flips
 # the INDEX pointer — a rebuild that dies mid-write can never pair new
 # centroids with old-assignment vectors (r11 review; the same pointer
-# pattern as streaming.merge's snapshot sink, with the same local/HDFS
-# rename caveat as io.sinks.compact_parquet).
+# pattern as streaming.merge's snapshot sink, including (r12) its
+# keep-two retention: the immediately-previous committed version
+# survives one rebuild, so a search that resolved the old pointer keeps
+# reading intact files. All pointer/prune I/O goes through the Hadoop
+# FileSystem (io.fs) so the index may live on HDFS/S3A — see that
+# module's banner for the per-store atomic-rename contract.
 # ---------------------------------------------------------------------------
 
 IVF_POINTER = "INDEX"
 
 
 def _ivf_pointer_path(index_path: str) -> str:
-    import os
-
-    return os.path.join(index_path, IVF_POINTER)
+    return f"{index_path.rstrip('/')}/{IVF_POINTER}"
 
 
-def ivf_index_version_dir(index_path: str) -> str:
-    """The committed version directory of a persisted IVF index."""
-    import os
+def _ivf_pointer_pair(spark, index_path: str) -> tuple[str, str | None]:
+    """``(current, retained_previous)`` version names from ONE atomic
+    pointer read (two-line format since r12, mirroring streaming.merge;
+    single-line pointers from r11 read as (current, None))."""
+    from filmdatawarehouse_spark.io import fs
 
-    try:
-        with open(_ivf_pointer_path(index_path)) as f:
-            name = f.read().strip()
-    except OSError as e:
+    text = fs.read_text(spark, _ivf_pointer_path(index_path))
+    if text is None:
         raise ValueError(
             f"no IVF index at {index_path} (missing {IVF_POINTER} pointer)"
-        ) from e
-    if not name:
+        )
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not lines:
         raise ValueError(f"empty {IVF_POINTER} pointer at {index_path}")
-    return os.path.join(index_path, name)
+    return lines[0], (lines[1] if len(lines) > 1 else None)
 
 
-def ivf_index_vectors_path(index_path: str) -> str:
+def ivf_index_version_dir(spark, index_path: str) -> str:
+    """The committed version directory of a persisted IVF index."""
+    cur, _ = _ivf_pointer_pair(spark, index_path)
+    return f"{index_path.rstrip('/')}/{cur}"
+
+
+def ivf_index_vectors_path(spark, index_path: str) -> str:
     """The committed vectors table (hive-partitioned by list_id) — the
     location maintenance ops like ``io.maintenance.compact_partitions``
     should target."""
-    return f"{ivf_index_version_dir(index_path)}/vectors"
+    return f"{ivf_index_version_dir(spark, index_path)}/vectors"
 
 
 def _centroids_of(spark, version_dir: str):
@@ -450,17 +459,31 @@ def ivf_index_build(
     (the probed lists' partitions are the only files opened — the scan
     fraction n_probe/n_lists moves from compute-skip to I/O-skip, the
     difference that matters at 100 TB) and ``ivf_index_append``
-    incremental growth without retraining. Rebuilding over a live index
-    is safe: searches resolve the pointer once and keep reading the old
-    committed version until the flip; superseded versions are pruned
-    best-effort after it."""
-    import os
-    import shutil
+    incremental growth without retraining.
+
+    Concurrency contract (r12, tightened from the r11 claim): a SEARCH
+    concurrent with ONE rebuild is safe — it resolves the pointer once,
+    and the keep-two retention (mirroring ``streaming.merge``) keeps
+    the version it resolved on disk through the flip; only a SECOND
+    rebuild prunes it, so re-resolve per query for long-lived serving.
+    An APPEND concurrent with a rebuild is NOT merged: the rebuild
+    indexes exactly the ``emb`` it was given, so rows appended into the
+    superseded version survive there (retained, readable) but are
+    absent from the new current version — run appends and rebuilds
+    single-writer, and include every increment in the rebuild's input.
+    """
     import uuid
+
+    from filmdatawarehouse_spark.io import fs
 
     spark = emb.sparkSession
     token = f"v-{uuid.uuid4().hex[:8]}"
-    vdir = f"{index_path.rstrip('/')}/{token}"
+    root = index_path.rstrip("/")
+    vdir = f"{root}/{token}"
+    try:
+        prev, _ = _ivf_pointer_pair(spark, index_path)
+    except ValueError:
+        prev = None  # first build: no committed version to retain
     cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
     (
         spark.createDataFrame(
@@ -480,13 +503,20 @@ def ivf_index_build(
         .partitionBy("list_id")
         .parquet(f"{vdir}/vectors")
     )
-    tmp = _ivf_pointer_path(index_path) + f".tmp-{token}"
-    with open(tmp, "w") as f:
-        f.write(token)
-    os.replace(tmp, _ivf_pointer_path(index_path))  # atomic commit
-    for d in os.listdir(index_path):  # best-effort prune of old versions
-        if d.startswith("v-") and d != token:
-            shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
+    # atomic commit: line 2 records the RETAINED previous version (the
+    # keep-two contract readers rely on; see the function docstring)
+    fs.write_text_atomic(
+        spark,
+        _ivf_pointer_path(index_path),
+        token if prev is None else f"{token}\n{prev}",
+    )
+    keep = {token, prev}
+    for d in fs.list_child_dirs(spark, root):  # best-effort prune
+        if d.startswith("v-") and d not in keep:
+            try:
+                fs.delete(spark, f"{root}/{d}")
+            except Exception:
+                pass  # garbage for the next build's prune, never corrupt
 
 
 def ivf_index_append(
@@ -505,7 +535,7 @@ def ivf_index_append(
     ledger (or diff ids against the index) when the increment source
     redelivers."""
     spark = new_emb.sparkSession
-    vdir = ivf_index_version_dir(index_path)  # resolved ONCE for both
+    vdir = ivf_index_version_dir(spark, index_path)  # resolved ONCE for both
     cents = _centroids_of(spark, vdir)
     (
         _assign_lists(new_emb, cents, id_col, vec_col)
@@ -537,7 +567,7 @@ def ivf_index_search(
     import numpy as np
     import pandas as pd
 
-    vdir = ivf_index_version_dir(index_path)  # resolved ONCE per search
+    vdir = ivf_index_version_dir(spark, index_path)  # resolved ONCE per search
     cents = _centroids_of(spark, vdir)
     qids, qm, per_list = _probe_lists(queries, cents, id_col, vec_col, n_probe)
     if not len(qids):

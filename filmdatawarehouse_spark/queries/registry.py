@@ -249,167 +249,100 @@ RETIRED_NOTES: dict[str, str] = {
 #      explicit window-contract change — never registering into negative
 #      headroom (tools/rotate_window.py refuses at rotation time).
 def all_queries() -> dict[str, Entry]:
+    # Imports here are UNGUARDED on purpose (r12; the r11 wrappers
+    # swallowed ImportError per family): every family is mandatory, and
+    # the external driver imports this module WITHOUT running pytest
+    # first — a broken family module must fail the driver loudly, never
+    # silently shrink the certified window to whatever still imports.
+    from filmdatawarehouse_spark.queries.approx_twins import APPROX_TWIN_QUERIES
+    from filmdatawarehouse_spark.queries.basket import BASKET_QUERIES
+    from filmdatawarehouse_spark.queries.bigjoin import BIGJOIN_QUERIES
+    from filmdatawarehouse_spark.queries.chunking import CHUNKING_QUERIES
+    from filmdatawarehouse_spark.queries.curation import CURATION_QUERIES
+    from filmdatawarehouse_spark.queries.extended import EXTENDED_QUERIES
+    from filmdatawarehouse_spark.queries.graph import GRAPH_QUERIES
+    from filmdatawarehouse_spark.queries.incremental import INCREMENTAL_QUERIES
     from filmdatawarehouse_spark.queries.parity import PARITY_QUERIES
+    from filmdatawarehouse_spark.queries.pipeline import (
+        curate_documents,
+        curate_documents_oracle,
+    )
+    from filmdatawarehouse_spark.queries.quality import QUALITY_QUERIES
+    from filmdatawarehouse_spark.queries.quantize import QUANTIZE_QUERIES
+    from filmdatawarehouse_spark.queries.relational import RELATIONAL_QUERIES
+    from filmdatawarehouse_spark.queries.repetition import REPETITION_QUERIES
+    from filmdatawarehouse_spark.queries.streaming_twin import (
+        stream_dedup_final,
+        stream_dedup_final_oracle,
+        stream_heavy_hitters,
+        stream_heavy_hitters_oracle,
+        stream_interval_join_final,
+        stream_interval_join_final_oracle,
+        stream_merge_upsert,
+        stream_merge_upsert_oracle,
+        stream_sessions_capped_final,
+        stream_sessions_capped_final_oracle,
+        stream_sessions_final,
+        stream_sessions_final_oracle,
+    )
+    from filmdatawarehouse_spark.queries.timeseries import TIMESERIES_QUERIES
+    from filmdatawarehouse_spark.queries.warehouse_shapes import (
+        WAREHOUSE_SHAPE_QUERIES,
+    )
 
     registry: dict[str, Entry] = dict(PARITY_QUERIES)
+    registry.update(EXTENDED_QUERIES)
+    registry.update(RELATIONAL_QUERIES)
+    registry.update(WAREHOUSE_SHAPE_QUERIES)
+    registry.update(APPROX_TWIN_QUERIES)
+    registry["pipeline_curate_documents"] = (
+        curate_documents,
+        curate_documents_oracle(),
+    )
+    registry.update(BIGJOIN_QUERIES)
+    registry.update(CURATION_QUERIES)
+    registry.update(REPETITION_QUERIES)
+    registry.update(INCREMENTAL_QUERIES)
+    registry.update(QUANTIZE_QUERIES)
+    registry.update(CHUNKING_QUERIES)
+    registry.update(TIMESERIES_QUERIES)
+    registry.update(QUALITY_QUERIES)
+    registry.update(BASKET_QUERIES)
+    registry.update(GRAPH_QUERIES)
+    registry["stream_sessions_final"] = (
+        stream_sessions_final,
+        stream_sessions_final_oracle(),
+    )
+    registry["stream_sessions_capped"] = (
+        stream_sessions_capped_final,
+        stream_sessions_capped_final_oracle(),
+    )
+    registry["stream_dedup_final"] = (
+        stream_dedup_final,
+        stream_dedup_final_oracle(),
+    )
+    registry["stream_interval_join"] = (
+        stream_interval_join_final,
+        stream_interval_join_final_oracle(),
+    )
+    registry["stream_heavy_hitters"] = (
+        stream_heavy_hitters,
+        stream_heavy_hitters_oracle(),
+    )
+    registry["stream_merge_upsert"] = (
+        stream_merge_upsert,
+        stream_merge_upsert_oracle(),
+    )
 
-    try:
-        from filmdatawarehouse_spark.queries.extended import EXTENDED_QUERIES
-
-        registry.update(EXTENDED_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.relational import RELATIONAL_QUERIES
-
-        registry.update(RELATIONAL_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.warehouse_shapes import (
-            WAREHOUSE_SHAPE_QUERIES,
+    # second line of defense: every DRIVER_PRIORITY name must resolve —
+    # a family that imports but lost entries would otherwise shrink the
+    # window silently (the rotation tool validates at rotation time;
+    # this validates at DRIVER time)
+    missing = [n for n in DRIVER_PRIORITY if n not in registry]
+    if missing:
+        raise RuntimeError(
+            f"driver window names missing from the registry: {missing}"
         )
-
-        registry.update(WAREHOUSE_SHAPE_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.approx_twins import (
-            APPROX_TWIN_QUERIES,
-        )
-
-        registry.update(APPROX_TWIN_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.pipeline import (
-            curate_documents,
-            curate_documents_oracle,
-        )
-
-        registry["pipeline_curate_documents"] = (
-            curate_documents,
-            curate_documents_oracle(),
-        )
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.bigjoin import BIGJOIN_QUERIES
-
-        registry.update(BIGJOIN_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.curation import CURATION_QUERIES
-
-        registry.update(CURATION_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.repetition import REPETITION_QUERIES
-
-        registry.update(REPETITION_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.incremental import INCREMENTAL_QUERIES
-
-        registry.update(INCREMENTAL_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.quantize import QUANTIZE_QUERIES
-
-        registry.update(QUANTIZE_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.chunking import CHUNKING_QUERIES
-
-        registry.update(CHUNKING_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.timeseries import TIMESERIES_QUERIES
-
-        registry.update(TIMESERIES_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.quality import QUALITY_QUERIES
-
-        registry.update(QUALITY_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.basket import BASKET_QUERIES
-
-        registry.update(BASKET_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.graph import GRAPH_QUERIES
-
-        registry.update(GRAPH_QUERIES)
-    except ImportError:
-        pass
-
-    try:
-        from filmdatawarehouse_spark.queries.streaming_twin import (
-            stream_dedup_final,
-            stream_dedup_final_oracle,
-            stream_heavy_hitters,
-            stream_heavy_hitters_oracle,
-            stream_interval_join_final,
-            stream_interval_join_final_oracle,
-            stream_merge_upsert,
-            stream_merge_upsert_oracle,
-            stream_sessions_capped_final,
-            stream_sessions_capped_final_oracle,
-            stream_sessions_final,
-            stream_sessions_final_oracle,
-        )
-
-        registry["stream_sessions_final"] = (
-            stream_sessions_final,
-            stream_sessions_final_oracle(),
-        )
-        registry["stream_sessions_capped"] = (
-            stream_sessions_capped_final,
-            stream_sessions_capped_final_oracle(),
-        )
-        registry["stream_dedup_final"] = (
-            stream_dedup_final,
-            stream_dedup_final_oracle(),
-        )
-        registry["stream_interval_join"] = (
-            stream_interval_join_final,
-            stream_interval_join_final_oracle(),
-        )
-        registry["stream_heavy_hitters"] = (
-            stream_heavy_hitters,
-            stream_heavy_hitters_oracle(),
-        )
-        registry["stream_merge_upsert"] = (
-            stream_merge_upsert,
-            stream_merge_upsert_oracle(),
-        )
-    except ImportError:
-        pass
 
     ordered: dict[str, Entry] = {}
     for name in DRIVER_PRIORITY:

@@ -11,7 +11,9 @@ tables, "latest state per key").
 
 Storage is a versioned snapshot: each batch writes the FULL merged table
 to ``<table>/v-<run_id>-<batch_id>/`` and then atomically flips the
-``_LATEST`` pointer file (write-temp + ``os.replace``). The snapshot
+``_LATEST`` pointer file (write-temp + rename through the Hadoop
+FileSystem — ``io.fs``, so the table may live on HDFS/S3A; see that
+module's banner for what "atomic" means per store). The snapshot
 name carries a RUN identity alongside Spark's batch id because batch ids
 alone are not an idempotence key: after a checkpoint loss the restarted
 stream numbers its first micro-batch 0 again — with old AND new rows in
@@ -55,13 +57,13 @@ instead of the snapshot swap.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from filmdatawarehouse_spark.io import fs
 
 POINTER = "_LATEST"
 
@@ -99,31 +101,32 @@ def _read_parquet_or_none(
 
 
 def _pointer_path(table_path: str) -> str:
-    return os.path.join(table_path, POINTER)
+    return f"{table_path.rstrip('/')}/{POINTER}"
 
 
 def _snapshot_name(run_id: str, batch_id: int) -> str:
     return f"v-{run_id}-{batch_id}"
 
 
-def _read_pointer(table_path: str) -> tuple[str | None, str | None]:
+def _read_pointer(
+    spark: SparkSession, table_path: str
+) -> tuple[str | None, str | None]:
     """``(current, previous)`` from ONE pointer read. Since r11 the
     commit records the retained previous snapshot on the pointer's
     second line, so the pair is CONSISTENT by construction (the pointer
-    flips atomically via os.replace) — a consumer never has to guess
+    flips atomically via rename) — a consumer never has to guess
     the previous from directory listings, which both (a) mistook a
     crashed not-yet-committed FUTURE snapshot for the previous
     (inverting the CDC feed) and (b) raced a concurrent commit between
     two pointer reads into diffing a snapshot against itself (r11
     review). Older pointers carry one line; callers fall back to the
-    directory heuristic for them."""
-    try:
-        with open(_pointer_path(table_path)) as f:
-            lines = [
-                ln.strip() for ln in f.read().splitlines() if ln.strip()
-            ]
-    except OSError:
+    directory heuristic for them. All pointer I/O goes through the
+    Hadoop FileSystem (``io.fs``) since r12 so the table path may live
+    on HDFS/S3A, not just the driver's local disk."""
+    text = fs.read_text(spark, _pointer_path(table_path))
+    if text is None:
         return None, None
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
     if not lines:
         return None, None
 
@@ -138,21 +141,25 @@ def _read_pointer(table_path: str) -> tuple[str | None, str | None]:
     return cur, prev
 
 
-def current_snapshot(table_path: str) -> str | None:
+def current_snapshot(
+    spark: SparkSession, table_path: str
+) -> str | None:
     """The committed snapshot's directory name (``v-<run>-<batch>``), or
     None before the first commit."""
-    return _read_pointer(table_path)[0]
+    return _read_pointer(spark, table_path)[0]
 
 
 def read_merge_table(spark: SparkSession, table_path: str) -> DataFrame | None:
     """The current committed snapshot (None before the first batch)."""
-    snap = current_snapshot(table_path)
+    snap = current_snapshot(spark, table_path)
     if snap is None:
         return None
-    return spark.read.parquet(os.path.join(table_path, snap))
+    return spark.read.parquet(f"{table_path.rstrip('/')}/{snap}")
 
 
-def _snapshot_pair(table_path: str) -> tuple[str | None, str | None]:
+def _snapshot_pair(
+    spark: SparkSession, table_path: str
+) -> tuple[str | None, str | None]:
     """Consistent ``(current, previous)`` for CDC. Post-r11 pointers
     carry both (one atomic read — no race, no guessing). For a LEGACY
     single-line pointer, fall back to the directory heuristic with the
@@ -160,50 +167,44 @@ def _snapshot_pair(table_path: str) -> tuple[str | None, str | None]:
     batch is a crashed not-yet-committed snapshot (the module's
     documented crash window) and must never be diffed — the old
     len==1 shortcut returned exactly that, inverting the feed (r11
-    review). Residual legacy ambiguity (a crashed future partial from
-    a DIFFERENT run identity) is indistinguishable by name; it returns
-    that dir only when it is the sole candidate, and disappears at the
-    table's first post-upgrade commit."""
-    cur, prev = _read_pointer(table_path)
+    review). Residual legacy ambiguity (a candidate from a DIFFERENT
+    run identity) is indistinguishable by name from a crashed future
+    partial, so it is REFUSED too (r12, same policy as the
+    missing-prev-dir branch below — refuse, never guess; the r11 code
+    returned a sole cross-run candidate, which could feed one inverted
+    CDC diff). A legacy table simply yields no feed until its first
+    post-upgrade commit writes the two-line pointer."""
+    cur, prev = _read_pointer(spark, table_path)
     if cur is None:
         return None, None
+    root = table_path.rstrip("/")
     if prev is not None:
-        if not os.path.isdir(os.path.join(table_path, prev)):
+        if not fs.is_dir(spark, f"{root}/{prev}"):
             return cur, None  # retention raced/cleaned: refuse, not guess
         return cur, prev
-    try:
-        others = sorted(
-            d
-            for d in os.listdir(table_path)
-            if d.startswith("v-")
-            and d != cur
-            and os.path.isdir(os.path.join(table_path, d))
-        )
-    except OSError:
-        return cur, None
+    others = [
+        d
+        for d in fs.list_child_dirs(spark, root)
+        if d.startswith("v-") and d != cur
+    ]
     run, _, tail = cur.rpartition("-")
     cur_batch = int(tail) if tail.isdigit() else None
     same_run: list[tuple[int, str]] = []
-    cross_run: list[str] = []
     for d in others:
         head, _, dtail = d.rpartition("-")
         if head == run and dtail.isdigit():
             if cur_batch is not None and int(dtail) < cur_batch:
                 same_run.append((int(dtail), d))
             # at/above the current batch: crashed future partial — drop
-        else:
-            cross_run.append(d)
     if same_run:
         return cur, max(same_run)[1]
-    if len(cross_run) == 1:
-        return cur, cross_run[0]
     return cur, None
 
 
-def previous_snapshot(table_path: str) -> str | None:
+def previous_snapshot(spark: SparkSession, table_path: str) -> str | None:
     """The RETAINED pre-commit snapshot's dir name, or None when there
     is no unambiguous one (see ``_snapshot_pair``)."""
-    return _snapshot_pair(table_path)[1]
+    return _snapshot_pair(spark, table_path)[1]
 
 
 def read_merge_changes(
@@ -231,11 +232,12 @@ def read_merge_changes(
     # ONE consistent pair — resolving current and previous through two
     # separate pointer reads raced a concurrent commit into diffing a
     # snapshot against itself (silently empty feed; r11 review)
-    cur, prev = _snapshot_pair(table_path)
+    cur, prev = _snapshot_pair(spark, table_path)
     if cur is None or prev is None:
         return None
-    new = spark.read.parquet(os.path.join(table_path, cur))
-    old = spark.read.parquet(os.path.join(table_path, prev))
+    root = table_path.rstrip("/")
+    new = spark.read.parquet(f"{root}/{cur}")
+    old = spark.read.parquet(f"{root}/{prev}")
     cols = (
         [c for c in new.columns if c not in keys]
         if compare_cols is None
@@ -313,27 +315,34 @@ def merge_upsert_batch(
     """
     spark = batch_df.sparkSession
     snap = _snapshot_name(run_id, batch_id)
-    prev = current_snapshot(table_path)
+    prev = current_snapshot(spark, table_path)
     if prev == snap:
         return  # replay after the pointer flip: already merged, no-op
     base = read_merge_table(spark, table_path)
     merged = merged_frame(base, batch_df, keys, seq_col)
 
-    merged.write.mode("overwrite").parquet(os.path.join(table_path, snap))
-    tmp = _pointer_path(table_path) + f".tmp-{snap}"
-    with open(tmp, "w") as f:
-        # line 2 records the retained previous snapshot so CDC consumers
-        # get a consistent (current, previous) pair from one atomic read
-        f.write(snap if prev is None else f"{snap}\n{prev}")
-    os.replace(tmp, _pointer_path(table_path))  # atomic commit
+    root = table_path.rstrip("/")
+    merged.write.mode("overwrite").parquet(f"{root}/{snap}")
+    # line 2 records the retained previous snapshot so CDC consumers
+    # get a consistent (current, previous) pair from one atomic read;
+    # the write is temp-file + rename through the Hadoop FileSystem
+    # (atomic on local/HDFS; see io.fs for the object-store caveat)
+    fs.write_text_atomic(
+        spark,
+        _pointer_path(table_path),
+        snap if prev is None else f"{snap}\n{prev}",
+    )
     # best-effort prune, RETAINING the previous snapshot so a reader that
     # resolved it just before this commit can still finish its query (a
     # crash here just leaves garbage for the next batch's prune — never
     # corrupts the committed snapshot)
     keep = {snap, prev}
-    for d in os.listdir(table_path):
+    for d in fs.list_child_dirs(spark, root):
         if d.startswith("v-") and d not in keep:
-            shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
+            try:
+                fs.delete(spark, f"{root}/{d}")
+            except Exception:
+                pass  # best-effort: next batch's prune retries
 
 
 def write_stream_merge_upsert(

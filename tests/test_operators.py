@@ -454,7 +454,7 @@ def test_ivf_index_append_assigns_like_build(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "ivf")
     ivf_index_build(base, idx)
     ivf_index_append(delta, idx)
-    vectors = ivf_index_vectors_path(idx)
+    vectors = ivf_index_vectors_path(spark, idx)
     lists_after = sorted(
         d for d in _os.listdir(vectors) if d.startswith("list_id=")
     )
@@ -465,7 +465,7 @@ def test_ivf_index_append_assigns_like_build(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(vectors).collect()
     }
     assert len(stored) == 500
-    cents = _centroids_of(spark, ivf_index_version_dir(idx))
+    cents = _centroids_of(spark, ivf_index_version_dir(spark, idx))
     expect = {
         (r.vec_id, r.list_id)
         for r in _assign_lists(emb, cents, "vec_id", "embedding").collect()
@@ -502,7 +502,7 @@ def test_ivf_index_append_fragmentation_compacts_in_place(
         ivf_index_vectors_path,
     )
 
-    vectors = ivf_index_vectors_path(idx)
+    vectors = ivf_index_vectors_path(spark, idx)
     before = len(mt.list_data_files(spark, vectors))
     queries = emb.filter(F.col("vec_id") < 10)
     res_before = {
@@ -536,8 +536,11 @@ def test_ivf_index_rebuild_is_versioned_and_crash_safe(
     """r11 review: a rebuild writes a fresh version dir and commits via
     an atomic pointer flip — a crash mid-rebuild (partial version dir,
     pointer not flipped) leaves searches on the intact committed
-    version, and the next successful build prunes the leftovers. Empty
-    query sets return an empty frame, never a numpy stack crash."""
+    version, and the next successful build prunes the leftovers while
+    RETAINING the immediately-previous version (keep-two, r12: a search
+    that resolved the old pointer keeps reading intact files through
+    one rebuild; only the build after that prunes them). Empty query
+    sets return an empty frame, never a numpy stack crash."""
     import os as _os
 
     from filmdatawarehouse_spark.operators.similarity import (
@@ -550,7 +553,7 @@ def test_ivf_index_rebuild_is_versioned_and_crash_safe(
     emb = read_table(spark, sf_dir, "embeddings")
     idx = str(tmp_path / "ivf")
     ivf_index_build(emb, idx)
-    v1 = ivf_index_version_dir(idx)
+    v1 = ivf_index_version_dir(spark, idx)
     queries = emb.filter(F.col("vec_id") < 5)
     res1 = {
         (r.query_id, r.neighbor_id)
@@ -559,17 +562,24 @@ def test_ivf_index_rebuild_is_versioned_and_crash_safe(
     # simulate a rebuild crash: a partial version dir (centroids only,
     # no vectors, no pointer flip)
     _os.makedirs(f"{idx}/v-deadbeef/centroids")
-    assert ivf_index_version_dir(idx) == v1  # pointer untouched
+    assert ivf_index_version_dir(spark, idx) == v1  # pointer untouched
     res_crash = {
         (r.query_id, r.neighbor_id)
         for r in ivf_index_search(spark, idx, queries, k=5).collect()
     }
     assert res_crash == res1  # served off the committed version
-    # the next successful build prunes the partial leftover
+    # the next successful build prunes the partial leftover but RETAINS
+    # v1 (keep-two): an in-flight search holding v1 still reads it whole
     ivf_index_build(emb, idx)
-    v2 = ivf_index_version_dir(idx)
+    v2 = ivf_index_version_dir(spark, idx)
     assert v2 != v1
     assert not _os.path.exists(f"{idx}/v-deadbeef")
+    assert _os.path.exists(v1)
+    # ... and the THIRD build retains v2 and finally prunes v1
+    ivf_index_build(emb, idx)
+    v3 = ivf_index_version_dir(spark, idx)
+    assert v3 not in (v1, v2)
+    assert _os.path.exists(v2)
     assert not _os.path.exists(v1)
     # empty query set: empty result with the contract schema, both paths
     none = emb.filter(F.col("vec_id") < 0)
@@ -579,3 +589,47 @@ def test_ivf_index_rebuild_is_versioned_and_crash_safe(
     out2 = ivf_topk(emb, none, k=5)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ivf_append_racing_one_rebuild_lands_in_retained_version(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r12 (ADVICE): an append that resolved the pointer JUST BEFORE a
+    rebuild commits must complete against its resolved version — the
+    keep-two retention guarantees that dir still exists through one
+    rebuild — and must not corrupt the newly committed current version.
+    (Two rebuilds after resolution exceed the retention window; the
+    module contract mandates single-writer for append-vs-rebuild.)"""
+    import os as _os
+
+    from filmdatawarehouse_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.ivf_index_build(emb.filter(F.col("vec_id") < 200), idx)
+    v1 = sim.ivf_index_version_dir(spark, idx)
+
+    # pause the append after pointer resolution: pin the resolved dir,
+    # then let a rebuild flip the pointer and prune
+    monkeypatch.setattr(sim, "ivf_index_version_dir", lambda s, p: v1)
+    sim.ivf_index_build(emb.filter(F.col("vec_id") < 300), idx)
+    monkeypatch.undo()
+    v2 = sim.ivf_index_version_dir(spark, idx)
+    assert v2 != v1 and _os.path.exists(v1)  # keep-two retained v1
+
+    with monkeypatch.context() as m:
+        m.setattr(sim, "ivf_index_version_dir", lambda s, p: v1)
+        sim.ivf_index_append(
+            emb.filter(
+                (F.col("vec_id") >= 300) & (F.col("vec_id") < 320)
+            ),
+            idx,
+        )
+    # the increment landed whole in the RETAINED resolved version ...
+    assert spark.read.parquet(f"{v1}/vectors").count() == 220
+    # ... and the committed current version is untouched by the race
+    assert spark.read.parquet(f"{v2}/vectors").count() == 300
+    res = sim.ivf_index_search(
+        spark, idx, emb.filter(F.col("vec_id") < 3), k=3
+    )
+    assert res.count() == 9  # served index still consistent

@@ -223,3 +223,38 @@ def test_bench_headline_names_all_registered():
     reg = all_queries()
     missing = [n for n in bench.HEADLINE if n not in reg]
     assert not missing, f"bench HEADLINE names not registered: {missing}"
+
+
+def test_registry_import_errors_propagate(monkeypatch):
+    """r12 (VERDICT): the driver imports __spark_entry__ WITHOUT running
+    pytest first, so a family module that fails to import must blow up
+    the registry loudly — the r11 `except ImportError: pass` wrappers
+    silently shrank the certified window to whatever still imported."""
+    import sys
+
+    # poisoning sys.modules with None makes `import x` raise ImportError
+    monkeypatch.setitem(
+        sys.modules, "filmdatawarehouse_spark.queries.extended", None
+    )
+    try:
+        all_queries()
+    except ImportError:
+        pass
+    else:
+        raise AssertionError(
+            "all_queries() swallowed a family ImportError"
+        )
+
+
+def test_driver_window_names_validated_at_registry_build(monkeypatch):
+    """Companion guard: a family that IMPORTS but lost its entries must
+    also fail — every DRIVER_PRIORITY name resolves or the build raises."""
+    import pytest
+
+    from filmdatawarehouse_spark.queries import registry as reg
+
+    monkeypatch.setattr(
+        reg, "DRIVER_PRIORITY", reg.DRIVER_PRIORITY + ("no_such_query",)
+    )
+    with pytest.raises(RuntimeError, match="no_such_query"):
+        reg.all_queries()

@@ -69,9 +69,9 @@ def test_stream_merge_upsert_exactly_once_restart_and_replay(
     replay = spark.createDataFrame(delta, SCHEMA)
     merge_upsert_batch(replay, 7, table, ["k"], seq_col="seq", run_id="r1")
     assert _rows(spark, table) == after
-    snap_before = current_snapshot(table)
+    snap_before = current_snapshot(spark, table)
     merge_upsert_batch(replay, 7, table, ["k"], seq_col="seq", run_id="r1")
-    assert current_snapshot(table) == snap_before  # no-op: no new commit
+    assert current_snapshot(spark, table) == snap_before  # no-op: no new commit
     assert _rows(spark, table) == after
 
     # crash window 2: same rows under a NEW run identity (checkpoint
@@ -89,7 +89,7 @@ def test_stream_merge_upsert_exactly_once_restart_and_replay(
     # retention: current + previous snapshot only (a reader that just
     # resolved the previous snapshot can still finish its query)
     vdirs = sorted(d for d in os.listdir(table) if d.startswith("v-"))
-    assert len(vdirs) <= 2 and current_snapshot(table) in vdirs
+    assert len(vdirs) <= 2 and current_snapshot(spark, table) in vdirs
 
 
 def test_merge_checkpoint_loss_with_colliding_batch_ids_loses_nothing(
@@ -833,7 +833,7 @@ def test_read_merge_changes_cdc_between_retained_snapshots(
     # prune-crash garbage from a FOREIGN run: same-run disambiguation
     # still finds the true previous
     _os.makedirs(f"{table}/v-zzzgarbage-7")
-    assert previous_snapshot(table) == "v-cdcrun-0"
+    assert previous_snapshot(spark, table) == "v-cdcrun-0"
     assert {
         r.k: r.change_type
         for r in read_merge_changes(spark, table, ["k"]).collect()
@@ -841,7 +841,7 @@ def test_read_merge_changes_cdc_between_retained_snapshots(
 
     # garbage from the SAME run below current still loses to the max
     _os.makedirs(f"{table}/v-cdcrun-0x")  # non-numeric tail: ignored
-    assert previous_snapshot(table) == "v-cdcrun-0"
+    assert previous_snapshot(spark, table) == "v-cdcrun-0"
 
     # compare_cols restriction: seq-only diff sees the update, and the
     # insert is an insert regardless of compared columns
@@ -873,20 +873,31 @@ def test_previous_snapshot_pointer_pair_and_legacy_future_partials(
     _os.makedirs(f"{t}/v-run-1")  # crashed future partial
     with open(f"{t}/_LATEST", "w") as f:
         f.write("v-run-0")  # legacy single-line pointer
-    assert previous_snapshot(t) is None  # refuse, never invert
+    assert previous_snapshot(spark, t) is None  # refuse, never invert
+
+    # r12 (ADVICE): a sole CROSS-RUN candidate is indistinguishable by
+    # name from a crashed partial of a different run identity — refused
+    # too, never guessed (the r11 code returned it, risking one
+    # inverted/garbage CDC diff on legacy tables)
+    t2 = str(tmp_path / "t2")
+    _os.makedirs(f"{t2}/v-runa-0")
+    _os.makedirs(f"{t2}/v-runb-3")  # foreign run identity: ambiguous
+    with open(f"{t2}/_LATEST", "w") as f:
+        f.write("v-runa-0")
+    assert previous_snapshot(spark, t2) is None
 
     # once a later batch commits, earlier same-run dirs are legitimate:
     # the heuristic picks the HIGHEST batch below the current one
     _os.makedirs(f"{t}/v-run-7")
     with open(f"{t}/_LATEST", "w") as f:
         f.write("v-run-7")
-    assert previous_snapshot(t) == "v-run-1"
+    assert previous_snapshot(spark, t) == "v-run-1"
 
     # post-r11 two-line pointer: exact, overrides the dir heuristic
     with open(f"{t}/_LATEST", "w") as f:
         f.write("v-run-7\nv-run-0")
-    assert previous_snapshot(t) == "v-run-0"
+    assert previous_snapshot(spark, t) == "v-run-0"
     # recorded previous already pruned: refuse, never guess
     with open(f"{t}/_LATEST", "w") as f:
         f.write("v-run-7\nv-run-gone")
-    assert previous_snapshot(t) is None
+    assert previous_snapshot(spark, t) is None
