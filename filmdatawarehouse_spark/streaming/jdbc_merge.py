@@ -38,21 +38,26 @@ new-run redelivery therefore RE-APPLIES, which is convergent with a
 
 Tested end-to-end against the embedded Derby that ships with Spark
 (tests/test_stream_merge.py) — the same stand-in the repo's other JDBC
-paths use. PORTING HONESTY: the recipe (distributed staging + one
-transaction applying upsert + ledger) is portable to any transactional
-target, but the statements here are pinned on Derby's dialect — CREATE
-TABLE ... WITH NO DATA, the delete-alias form, double-quoted column
-identifiers, upper-case metadata folding. A MySQL port keeps the
-control flow and swaps the statement templates (and
-``io/sources.py:mysql_connection`` pins that connection contract).
-Driver-side credentials ARE honored: ``user``/``password`` in
-``jdbc_options`` reach both the Spark staging writer and this module's
-transaction connection.
+paths use. Statement SYNTAX is delegated to ``streaming.jdbc_dialect``
+(r12): the control flow here is dialect-invariant, and the dialect —
+resolved from the JDBC URL, or passed explicitly — supplies the DDL,
+identifier quoting/folding, and the merge statement trio. Derby is the
+executed leg; the MySQL dialect (the reference's actual store,
+``dags/rentalFilmDAG.py:18-20``; ``io/sources.py:mysql_connection``
+pins that connection contract) is certified by golden-SQL tests since
+no MySQL server ships in this container. Driver-side credentials ARE
+honored: ``user``/``password`` in ``jdbc_options`` reach both the
+Spark staging writer and this module's transaction connection.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from filmdatawarehouse_spark.streaming.jdbc_dialect import (
+    JdbcMergeDialect,
+    dialect_for_url,
+)
 
 LEDGER_TABLE = "stream_batch_ledger"
 
@@ -85,11 +90,11 @@ def _execute(conn, sql: str) -> None:
         st.close()
 
 
-def _table_exists(conn, table: str) -> bool:
+def _table_exists(conn, table: str, dialect: JdbcMergeDialect) -> bool:
     """Spark's JDBC writer emits the TABLE name verbatim-unquoted (the
-    dialect case-folds it — Derby upper-cases) but QUOTES column names
-    (case-preserved). All SQL in this module mirrors that: table
-    identifiers unquoted, column identifiers double-quoted.
+    store case-folds it per its rules — the dialect knows which) but
+    QUOTES column names (case-preserved). All SQL in this module mirrors
+    that: table identifiers unquoted, column identifiers dialect-quoted.
 
     getTables takes LIKE patterns, so the name's underscores are escaped
     (an unescaped MERGED_T pattern matches MERGEDAT) and the search is
@@ -97,7 +102,7 @@ def _table_exists(conn, table: str) -> bool:
     another user's schema must not suppress CREATE TABLE here)."""
     md = conn.getMetaData()
     esc = md.getSearchStringEscape()
-    pattern = table.upper().replace("_", f"{esc}_")
+    pattern = dialect.fold_unquoted(table).replace("_", f"{esc}_")
     schema = conn.getSchema()
     rs = md.getTables(None, schema, pattern, None)
     try:
@@ -106,8 +111,8 @@ def _table_exists(conn, table: str) -> bool:
         rs.close()
 
 
-def _ensure_ledger(conn) -> None:
-    if not _table_exists(conn, LEDGER_TABLE):
+def _ensure_ledger(conn, dialect: JdbcMergeDialect) -> None:
+    if not _table_exists(conn, LEDGER_TABLE, dialect):
         _execute(
             conn,
             f"CREATE TABLE {LEDGER_TABLE} "
@@ -145,11 +150,13 @@ def merge_jdbc_batch(
     driver: str | None = None,
     *,
     run_id: str,
+    dialect: JdbcMergeDialect | None = None,
     **jdbc_options: str,
 ) -> None:
     """Idempotently apply one micro-batch to a transactional JDBC target
     (see module docstring for the staging + single-transaction recipe;
-    the idempotence key is (table, run_id, batch_id)).
+    the idempotence key is (table, run_id, batch_id)). ``dialect``
+    defaults to URL resolution (``jdbc_dialect.dialect_for_url``).
 
     ``run_id`` is REQUIRED (keyword-only) because no default is safe:
     the old shared ``'api'`` default gave independent callers the same
@@ -165,6 +172,7 @@ def merge_jdbc_batch(
     from filmdatawarehouse_spark.streaming.merge import merged_frame
 
     spark = batch_df.sparkSession
+    dl = dialect or dialect_for_url(url)
     # staging is per-RUN: a fixed name could be overwritten by a zombie
     # writer (old driver after failover) between this sink's staging
     # write and its transaction, applying the wrong rows under this
@@ -179,7 +187,7 @@ def merge_jdbc_batch(
     # the ledger CREATE, if needed, commits immediately)
     probe = _connect(spark, url, driver, jdbc_options)
     try:
-        _ensure_ledger(probe)
+        _ensure_ledger(probe, dl)
         if _ledger_has(probe, table, run_id, batch_id):
             return  # already applied: skip the staging write too
     finally:
@@ -199,82 +207,37 @@ def merge_jdbc_batch(
     conn = _connect(spark, url, driver, jdbc_options)
     try:
         conn.setAutoCommit(False)
-        _ensure_ledger(conn)
+        _ensure_ledger(conn, dl)
         if _ledger_has(conn, table, run_id, batch_id):
             conn.rollback()  # crash-after-commit replay: already applied
             return
-        qt, qs = table, staging
-        cols = ", ".join(f'"{c}"' for c in survivors.columns)
-        if not _table_exists(conn, table):
+        cols = survivors.columns
+        if not _table_exists(conn, table, dl):
             # first batch: create the target with staging's exact shape,
             # plus a key index — the DELETE/INSERT below probe the target
             # per staging key via correlated EXISTS, which degenerates to
             # an O(target x staging) nested loop without one (measured:
             # a 1M-row unindexed Derby target made a 1k-row batch hang
             # for minutes; indexed it is sub-second)
-            _execute(
-                conn,
-                f"CREATE TABLE {qt} AS SELECT {cols} FROM {qs} "
-                "WITH NO DATA",
-            )
-            key_cols = ", ".join(f'"{k}"' for k in keys)
-            _execute(
-                conn,
-                f"CREATE INDEX {table}_key_idx ON {qt} ({key_cols})",
-            )
-        # NULL-key handling without killing the index: plain `=` is never
-        # true for NULL keys, so a NULL-key row would dodge the DELETE
-        # and re-INSERT every batch (duplicate accumulation) — but an
-        # inline null-safe `(= OR both-NULL)` disjunction is non-sargable
-        # and collapsed the indexed probe back into the O(target x
-        # staging) nested loop (measured: 0.5 s -> 13 s per 1k-row batch
-        # at a 10k-row target). So: the hot path keeps pure equality
-        # (index-friendly; NULL keys simply never match it), and a
-        # RESIDUAL null-safe pass runs restricted to rows with at least
-        # one NULL key column on both sides — normally zero rows, so its
-        # non-sargable match is harmless. Semantics equal the snapshot
-        # sink's groupBy (NULL is one group).
-        eq = " AND ".join(f's."{k}" = t."{k}"' for k in keys)
-        nsafe = " AND ".join(
-            f'(s."{k}" = t."{k}" OR (s."{k}" IS NULL AND t."{k}" IS NULL))'
-            for k in keys
-        )
-        anynull_s = " OR ".join(f's."{k}" IS NULL' for k in keys)
-        anynull_t = " OR ".join(f't."{k}" IS NULL' for k in keys)
-        allnn_s = " AND ".join(f's."{k}" IS NOT NULL' for k in keys)
-        # NULL-seq alignment with the snapshot sink: max_by orders a NULL
-        # seq LOWEST, so any non-NULL (or newer-batch NULL) row replaces
-        # a NULL-seq target. Plain >= is UNKNOWN against a NULL t.seq and
-        # would freeze such rows forever; `OR t.seq IS NULL` restores the
-        # aggregate's semantics (a NULL-seq batch row still cannot
-        # replace a non-NULL target — >= is UNKNOWN there, matching
-        # max_by). Pinned by the cross-sink agreement property test,
-        # whose seq strategy includes None.
-        supersedes = (
-            f' AND (s."{seq_col}" >= t."{seq_col}"'
-            f' OR t."{seq_col}" IS NULL)'
-            if seq_col
-            else ""
-        )
-        _execute(
-            conn,
-            f"DELETE FROM {qt} t WHERE EXISTS "
-            f"(SELECT 1 FROM {qs} s WHERE {eq}{supersedes})",
-        )
-        _execute(
-            conn,
-            f"DELETE FROM {qt} t WHERE ({anynull_t}) AND EXISTS "
-            f"(SELECT 1 FROM {qs} s WHERE ({anynull_s}) "
-            f"AND {nsafe}{supersedes})",
-        )
-        _execute(
-            conn,
-            f"INSERT INTO {qt} ({cols}) SELECT {cols} FROM {qs} s "
-            f"WHERE (({allnn_s}) AND NOT EXISTS "
-            f"(SELECT 1 FROM {qt} t WHERE {eq})) "
-            f"OR (({anynull_s}) AND NOT EXISTS "
-            f"(SELECT 1 FROM {qt} t WHERE ({anynull_t}) AND {nsafe}))",
-        )
+            _execute(conn, dl.create_target_like_staging(table, staging, cols))
+            _execute(conn, dl.create_key_index(table, keys))
+        # The merge trio (dialect-invariant semantics, dialect syntax):
+        # NULL-key handling without killing the index — plain `=` is
+        # never true for NULL keys, so a NULL-key row would dodge the
+        # DELETE and re-INSERT every batch (duplicate accumulation); but
+        # an inline null-safe `(= OR both-NULL)` disjunction is
+        # non-sargable and collapsed the indexed probe back into the
+        # O(target x staging) nested loop (measured: 0.5 s -> 13 s per
+        # 1k-row batch at a 10k-row target). So: statement 1 keeps pure
+        # equality (index-friendly), statement 2 is the residual
+        # null-safe pass restricted to NULL-key rows on both sides
+        # (normally zero rows), statement 3 inserts keys that no longer
+        # exist. Seq survivorship `>= OR t.seq IS NULL` matches max_by's
+        # NULL-lowest ordering (pinned by the cross-sink agreement
+        # property test, whose seq strategy includes None).
+        for stmt in dl.merge_statements(table, staging, cols, keys, seq_col):
+            _execute(conn, stmt)
+        qs = staging
         ps = conn.prepareStatement(
             f"INSERT INTO {LEDGER_TABLE} (sink, run, batch_id) "
             "VALUES (?, ?, ?)"
@@ -312,6 +275,7 @@ def write_stream_merge_jdbc(
     seq_col: str | None = None,
     driver: str | None = None,
     run_id: str | None = None,
+    dialect: JdbcMergeDialect | None = None,
     **jdbc_options: str,
 ):
     """Start the transactional exactly-once JDBC MERGE sink (availableNow;
@@ -324,7 +288,8 @@ def write_stream_merge_jdbc(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_jdbc_batch(
             batch_df, batch_id, url, table, keys,
-            seq_col=seq_col, driver=driver, run_id=rid, **jdbc_options,
+            seq_col=seq_col, driver=driver, run_id=rid, dialect=dialect,
+            **jdbc_options,
         )
 
     return (
