@@ -405,29 +405,43 @@ def perplexity_buckets(
     head: float = 0.3,
     tail: float = 0.3,
     ppl_col: str = "perplexity",
+    edges: tuple[float, float] | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: bucket documents by perplexity
     quantiles — head (most reference-like) feeds training directly,
     middle gets lighter filtering, tail is dropped or audited. Edges via
     ``approx_percentile`` (operational thresholds, not a certification
-    surface); unscored docs (NULL perplexity) land in their own bucket
-    rather than polluting an extreme. One scalar aggregate (bounded
-    collect) + a map-side withColumn — no shuffle of ``scored``."""
-    if not (0 < head and 0 < tail and head + tail < 1):
-        raise ValueError(f"need 0<head, 0<tail, head+tail<1: {head}, {tail}")
-    row = scored.agg(
-        F.percentile_approx(
-            ppl_col, [float(head), float(1 - tail)]
-        ).alias("qs")
-    ).first()
+    surface), or EXPLICIT ``edges=(lo, hi)`` (r12) when the caller owns
+    threshold policy — pinned production cutoffs, or a replayable test
+    oracle that picks edges away from observed scores so float ulps
+    cannot flip an assignment. Unscored docs (NULL perplexity) land in
+    their own bucket rather than polluting an extreme. One scalar
+    aggregate (bounded collect; skipped entirely with explicit edges)
+    + a map-side withColumn — no shuffle of ``scored``."""
     c = F.col(ppl_col)
-    if row.qs is None or row.qs[0] is None:
-        # no scored document at all: everything is unscored
-        return scored.withColumn(
-            "ppl_bucket",
-            F.when(c.isNull(), F.lit("unscored")).otherwise(F.lit("head")),
-        )
-    lo, hi = float(row.qs[0]), float(row.qs[1])
+    if edges is not None:
+        lo, hi = float(edges[0]), float(edges[1])
+        if not lo <= hi:
+            raise ValueError(f"edges must satisfy lo <= hi: {edges}")
+    else:
+        if not (0 < head and 0 < tail and head + tail < 1):
+            raise ValueError(
+                f"need 0<head, 0<tail, head+tail<1: {head}, {tail}"
+            )
+        row = scored.agg(
+            F.percentile_approx(
+                ppl_col, [float(head), float(1 - tail)]
+            ).alias("qs")
+        ).first()
+        if row.qs is None or row.qs[0] is None:
+            # no scored document at all: everything is unscored
+            return scored.withColumn(
+                "ppl_bucket",
+                F.when(c.isNull(), F.lit("unscored")).otherwise(
+                    F.lit("head")
+                ),
+            )
+        lo, hi = float(row.qs[0]), float(row.qs[1])
     bucket = (
         F.when(c.isNull(), F.lit("unscored"))
         .when(c < F.lit(lo), F.lit("head"))

@@ -92,6 +92,144 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- model-based (CCNet) quality stage, composed onto the pipeline (r12) ---
+# Growth-policy capability: operators + pytest oracle, no driver row
+# (tests/test_pipeline_lm.py replays scoring + bucket assignment in DuckDB
+# over the same LM table). Constants shared with the certified
+# text_bigram_lm query so the LM shape cannot drift from the certified one.
+LM_TRAIN_QUALITY = 0.7  # heuristic-quality head that trains the LM
+PPL_HEAD = 0.3
+PPL_TAIL = 0.3
+
+
+def _bigram_lm_frame(train: DataFrame) -> DataFrame:
+    """Bigram LM ``(w1, w2, cond_p)`` over ``train``'s text — the exact
+    shape of the certified ``text_bigram_lm`` query (extended.py:495:
+    zip_with bigrams zero-shuffle, one count aggregate, marginal derived
+    from the counts, top-K via TakeOrderedAndProject) restricted to the
+    three columns ``bigram_perplexity`` consumes."""
+    from filmdatawarehouse_spark.queries.extended import (
+        BIGRAM_MIN_COUNT,
+        BIGRAM_TOP_K,
+    )
+
+    words = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        train.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    marg = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        bg.filter(F.col("c12") >= BIGRAM_MIN_COUNT)
+        .join(marg, "w1")
+        .select(
+            "w1",
+            "w2",
+            (
+                F.col("c12").cast("double") / F.col("c1").cast("double")
+            ).alias("cond_p"),
+        )
+        .orderBy(F.col("cond_p").desc(), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+def lm_bucketed_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: tuple[float, float] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The CCNet model-based quality stage composed onto the curated
+    corpus: ``(bucketed, lm)`` where ``bucketed`` is every
+    heuristic-gated, deduped survivor of ``curate_documents``'s first
+    three stages with ``(doc_id, lang_pred, quality, n_tokens, text,
+    n_bigrams, avg_logprob, perplexity, ppl_bucket)``, and ``lm`` is the
+    bigram model that scored it — trained on the HIGH-heuristic-quality
+    head (``quality >= LM_TRAIN_QUALITY``), the trusted-split stand-in
+    for CCNet's reference corpus. ``edges`` pins explicit bucket
+    thresholds (test oracles, production policy); default is the
+    head/tail quantile split.
+
+    Scale shape: everything before bucketing is the certified pipeline
+    plan plus one broadcast LM join and one per-doc aggregation
+    (``bigram_perplexity``); bucketing adds a bounded scalar collect
+    (or none with explicit edges) and a map-side withColumn.
+    """
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+    from filmdatawarehouse_spark.queries.extended import (
+        JACCARD_T as SHARED_JACCARD_T,
+        minhash_pairs_shared,
+    )
+
+    if SHARED_JACCARD_T != JACCARD_T:
+        raise RuntimeError(
+            "pipeline JACCARD_T diverged from the shared pair frame's"
+        )
+    docs = managed_persist(clean(read_table(spark, sf_dir, "documents")))
+    metrics = tx.text_metrics_frame(docs)
+    gated = metrics.filter(
+        (F.col("quality") >= F.lit(QUALITY_MIN))
+        & (F.col("n_tokens") >= F.lit(MIN_TOKENS))
+    )
+    raw_n = read_table(spark, sf_dir, "documents").count()
+    if docs.count() == raw_n:
+        pairs = minhash_pairs_shared(spark, sf_dir)
+    else:
+        from filmdatawarehouse_spark.operators import dedup as dd
+
+        pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
+    losers = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    kept = gated.join(F.broadcast(losers), "doc_id", "left_anti").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    kept = managed_persist(kept)  # feeds LM training AND scoring
+
+    train = kept.filter(
+        F.col("quality") >= F.lit(LM_TRAIN_QUALITY)
+    ).select("text")
+    lm = _bigram_lm_frame(train)
+    scored = tx.bigram_perplexity(kept.select("doc_id", "text"), lm)
+    bucketed = tx.perplexity_buckets(
+        kept.join(scored, "doc_id"),
+        head=PPL_HEAD,
+        tail=PPL_TAIL,
+        edges=edges,
+    )
+    return bucketed, lm
+
+
+def curate_documents_lm(
+    spark: SparkSession,
+    sf_dir: str,
+    drop_buckets: tuple[str, ...] = ("tail",),
+    edges: tuple[float, float] | None = None,
+) -> DataFrame:
+    """``curate_documents`` with the model-based stage applied: the
+    per-(language, bucket) rollup of the corpus AFTER dropping
+    ``drop_buckets`` (CCNet drops or audits the tail). Same rollup
+    measures as the certified query, keyed by (lang_pred, ppl_bucket).
+    Every surviving doc is scored by construction (MIN_TOKENS >= 10
+    guarantees bigrams), so 'unscored' is empty here — asserted by the
+    pytest oracle, not silently assumed."""
+    bucketed, _ = lm_bucketed_documents(spark, sf_dir, edges=edges)
+    kept = bucketed.filter(~F.col("ppl_bucket").isin(list(drop_buckets)))
+    return kept.groupBy("lang_pred", "ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
 def curate_documents_oracle() -> str:
     """DuckDB twin of ``curate_documents`` (same constants, same rules)."""
     from filmdatawarehouse_spark.queries.extended import _WORD_SHINGLES, _langid_sql, _quality_sql
