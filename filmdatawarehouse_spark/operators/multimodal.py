@@ -3,11 +3,13 @@
 Design for image/audio/video at 100 TB: media travels as a ``binary`` column
 plus typed metadata (schemas.MEDIA_ASSETS), processed by Arrow-batched
 ``mapInPandas`` stages — per-partition batch iterators, so payload bytes
-never concentrate on the driver and each task streams batches. Decoding
-libraries (PIL/ffmpeg/etc.) are NOT in this container, so the codec boundary
-is stubbed (``NotImplementedError``) behind a deterministic fake used by
-tests; everything Spark-side — schema, batch shape, UDF signatures,
-partitioning — is real.
+never concentrate on the driver and each task streams batches. The codec
+boundary decodes binary netpbm (P6/P5) GENUINELY — dependency-free, so
+decode→resize→featurize is exercised end-to-end on real pixels (r12);
+formats needing codec libraries not in this container (JPEG/PNG/ffmpeg)
+stay stubbed (``NotImplementedError``) behind a deterministic fake.
+Everything Spark-side — schema, batch shape, UDF signatures,
+partitioning — is identical for both.
 
 Byte-level feature extraction (histogram, entropy, mean) needs only numpy
 and IS fully implemented — it's the shape of real featurization work.
@@ -53,16 +55,97 @@ def payload_meta(assets: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, mime: str) -> np.ndarray:
-    """Codec boundary — image decode (JPEG/PNG → HxWx3 uint8).
-
-    STUB: decoding libraries are not available in this environment. The
-    Spark-side pipeline around this call (batching, schema, partitioning)
-    is real and tested via ``fake_decode``.
-    """
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this container"
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Dependency-free decoder for binary netpbm images — P6 (PPM, RGB)
+    and P5 (PGM, grayscale, expanded to 3 channels) at 8-bit depth —
+    returning the ``decode_image`` contract's HxWx3 uint8 array (r12:
+    one REAL format exercises the codec boundary; formats needing real
+    codec libraries stay stubbed). Handles the format's full header
+    grammar: arbitrary whitespace between tokens and ``#`` comments
+    through end-of-line, exactly one whitespace byte before the raster.
+    Truncated or malformed payloads raise ValueError — a corrupt asset
+    must surface per-row, never decode into garbage pixels."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1] in b" \t\r\n":
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("truncated PPM header (unclosed comment)")
+            pos = nl + 1
+            continue
+        start = pos
+        while (
+            pos < len(payload)
+            and payload[pos : pos + 1] not in b" \t\r\n"
+        ):
+            pos += 1
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PPM header token {tok!r}")
+        vals.append(int(tok))
+    width, height, maxval = vals
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    pos += 1  # the single whitespace byte separating header from raster
+    channels = 3 if magic == b"P6" else 1
+    need = width * height * channels
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(
+            f"truncated PPM raster: need {need} bytes, have {len(raster)}"
+        )
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, channels
     )
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    if maxval != 255:
+        img = (img.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+    return img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """P6 writer (8-bit RGB) — the test-payload synthesizer paired with
+    ``decode_ppm``; also the smallest honest way to round-trip the codec
+    boundary without external libraries."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"need HxWx3 uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Codec boundary — image decode to HxWx3 uint8.
+
+    REAL for binary netpbm (P6/P5 magic or an ``x-portable-*`` mime) via
+    ``decode_ppm`` — no external library needed, so the whole
+    decode→resize→featurize path runs genuinely on that format. JPEG/
+    PNG/etc. remain STUBBED: their codec libraries are not in this
+    container; the Spark-side pipeline around this call (batching,
+    schema, partitioning) is the same either way and is tested against
+    both the real PPM decode and ``fake_decode``."""
+    if payload[:2] in (b"P6", b"P5") or "portable" in (mime or ""):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"decoding {mime!r} requires a codec library not present in this "
+        "container (netpbm P6/P5 decodes natively)"
+    )
+
+
+def resize_nearest(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width) — dependency-free,
+    deterministic (floor source mapping), the standard cheap resize for
+    featurization pipelines."""
+    ys = (np.arange(height) * img.shape[0]) // height
+    xs = (np.arange(width) * img.shape[1]) // width
+    return img[ys][:, xs]
 
 
 def fake_decode(payload: bytes, shape: tuple[int, int] = (8, 8)) -> np.ndarray:
@@ -197,9 +280,11 @@ def resize_images(
 ) -> DataFrame:
     """Decode → resize-to-fixed-shape → re-emit as flattened pixels.
 
-    With ``use_fake`` (default in this container) the decode is the
-    deterministic tile; a real deployment swaps ``decode_image`` in. Output:
-    (asset_id, height, width, pixels array<int>).
+    With ``use_fake`` (default for formats without an in-container
+    codec) the decode is the deterministic tile at target shape; with
+    ``use_fake=False`` the REAL decode runs (netpbm natively — r12) and
+    the decoded array is nearest-neighbor resampled to (height, width).
+    Output: (asset_id, height, width, pixels array<int>).
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,7 +296,9 @@ def resize_images(
                 img = (
                     fake_decode(payload or b"", (height, width))
                     if use_fake
-                    else decode_image(payload, mime)
+                    else resize_nearest(
+                        decode_image(payload, mime), height, width
+                    )
                 )
                 rows.append(
                     (asset_id, height, width, img.ravel().astype(int).tolist())
