@@ -353,12 +353,18 @@ def main() -> None:
 
     plans_runtime: dict[str, dict] = {}
     try:
-        from plan_audit import final_plan_section, fingerprint
+        from plan_audit import EXCHANGE_HEAVY, final_plan_section, fingerprint
 
         slowest8 = [
             n for n, _ in sorted(warm.items(), key=lambda kv: -kv[1])[:8]
         ]
-        for name in slowest8:
+        # r12 (VERDICT r11 item 6): the AQE-regression class lives where
+        # the exchanges are, not necessarily in the slowest tail —
+        # always fingerprint the SMJ/multi-exchange set too
+        for name in slowest8 + [
+            n for n in EXCHANGE_HEAVY
+            if n not in slowest8 and n in registry
+        ]:
             try:
                 qe = registry[name][0](spark, sf_dir)._jdf.queryExecution()
                 qe.executedPlan().execute().count()  # finalize AQE

@@ -453,13 +453,19 @@ def compact_partitions(
             "columns alone would flatten the deeper level into data "
             "files; pass the FULL partition column list"
         )
-    if not all_stats and mismatched:
+    if mismatched:
+        # raised whether or not SOME leaves matched (r12, ADVICE r11):
+        # with a partially-wrong multi-column order the matching leaves
+        # would compact and the mismatched dirs silently read as
+        # nothing-to-compact — a mixed layout is exactly the corruption
+        # class this module refuses everywhere else
         raise ValueError(
-            f"no {'/'.join(c + '=' for c in cols)} partition data under "
-            f"{table_path}, but hive-shaped dirs exist that do not match "
-            f"the given column name(s)/order (e.g. {mismatched}) — "
-            "check partition_col; a wrong name here must not read as "
-            "nothing-to-compact"
+            f"hive-shaped dirs under {table_path} do not match the given "
+            f"column name(s)/order {'/'.join(c + '=' for c in cols)} "
+            f"(e.g. {mismatched}; "
+            f"{len(all_stats)} leaf file(s) did match) — check "
+            "partition_col; a wrong or misordered name here must not "
+            "read as nothing-to-compact"
         )
     victims_t = _victim_tuples(
         all_stats, target_bytes, min_files, max_partitions

@@ -630,6 +630,15 @@ def test_compact_wrong_column_name_or_order_raises(spark, tmp_path):
         ]
         == 1
     )
+    # r12 (ADVICE r11): PARTIAL mismatch — some leaves match the given
+    # columns, other hive-shaped dirs don't. The matching half must not
+    # compact while the mismatched half silently reads as
+    # nothing-to-compact; refuse loudly here too.
+    os.makedirs(f"{path}/month=1")
+    with open(f"{path}/month=1/part-0.parquet", "w") as f:
+        f.write("XXXX")
+    with pytest.raises(ValueError, match="did match"):
+        mt.compact_partitions(spark, path, "day", target_bytes=1 << 30)
 
 
 def test_move_partition_dir_never_deletes_unmoved_files(spark, tmp_path):

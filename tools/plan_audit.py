@@ -65,6 +65,19 @@ INFO_FEATURES = [
     ("window_group_limit", "WindowGroupLimit"),
 ]
 
+# r12 (VERDICT r11 item 6): the SMJ/multi-exchange queries — where AQE
+# re-planning at real data sizes can regress without moving the bench
+# tail. bench.py fingerprints these POST-execution (plans_runtime) in
+# every round-final record, on top of the 8 bench-slowest;
+# check_runtime() diffs them like any other runtime fingerprint.
+EXCHANGE_HEAVY = [
+    "join_bigbig_rollup",
+    "join_bigbig_bucketed",
+    "corpus_mix_sample",
+    "incremental_daily_rollup",
+    "dq_checks",
+]
+
 
 def final_plan_section(plan: str) -> str:
     """After execution, an AdaptiveSparkPlan's toString carries BOTH a

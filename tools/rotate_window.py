@@ -143,6 +143,24 @@ def compute_window(
             else ""
         )
     )
+    # r12 (VERDICT r11 item 8): the Spark-4 transformWithState sessionizer
+    # twin is skipif-gated on protobuf (absent from the usual container) —
+    # its applyInPandasWithState twin carries the certification. The gate
+    # flipping OPEN is the signal to finally execute the equivalence test,
+    # so it cannot drift unnoticed in an environment that could run it.
+    try:
+        import google.protobuf  # noqa: F401
+
+        print(
+            "NOTE: google.protobuf is IMPORTABLE here — the gated "
+            "StatefulProcessor equivalence test can run in this "
+            "environment. Run `python -m pytest "
+            "tests/test_streaming.py -k tws` and record the result in "
+            "VERDICT (r11 ADVICE: verify the TWS twin before relying "
+            "on it)."
+        )
+    except ImportError:
+        pass  # usual container state: twin certified via applyInPandas
     return window, list(defer)
 
 
