@@ -125,3 +125,15 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     """Best-effort delete; False when the path was already absent."""
     p, fs = _jpath(spark, path)
     return bool(fs.delete(p, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Move ``src`` to ``dst`` (no overwrite — ``FileSystem.rename``
+    refuses an existing destination on most stores). Raises on failure
+    instead of returning the API's silent False: a failed swap step must
+    stop the caller's protocol, not let it delete the surviving copy.
+    Atomicity per store is the module-banner contract."""
+    s, fs = _jpath(spark, src)
+    d, _ = _jpath(spark, dst)
+    if not fs.rename(s, d):
+        raise OSError(f"rename failed: {src} -> {dst}")

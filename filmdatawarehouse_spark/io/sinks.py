@@ -82,14 +82,17 @@ def compact_parquet(
     that window leaves BOTH copies on disk (the ``_compact_old`` dir is
     the recovery point) — never a state where only the tmp copy survives.
 
-    LOCAL-FILESYSTEM ONLY: the swap uses POSIX renames, which object
-    stores (S3/GCS) don't have. On a remote store, do the same dance with
-    the Hadoop ``FileSystem`` API (rename is atomic-per-directory on HDFS)
-    or, better, run compaction through a table format (Delta/Iceberg
-    rewrite actions) whose commit protocol owns the swap.
+    The swap goes through the Hadoop FileSystem (``io.fs.rename`` —
+    r12, was POSIX ``shutil``), so the table may live on HDFS/S3A.
+    Rename is atomic per directory on local/HDFS; on object stores it
+    is COPY+DELETE — there, prefer a table format (Delta/Iceberg
+    rewrite actions) whose commit protocol owns the swap, or accept the
+    longer missing-table window (``io.fs`` banner has the per-store
+    contract). A failed rename raises before anything is deleted.
     """
-    import shutil
     import uuid
+
+    from filmdatawarehouse_spark.io import fs
 
     token = uuid.uuid4().hex[:8]
     tmp = f"{path.rstrip('/')}_compact_{token}"
@@ -102,9 +105,9 @@ def compact_parquet(
             "overwrite"
         ).partitionBy(*cols)
     writer.parquet(tmp)
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    fs.rename(spark, path, old)
+    fs.rename(spark, tmp, path)
+    fs.delete(spark, old)
 
 
 def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:

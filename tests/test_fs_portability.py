@@ -19,6 +19,8 @@ PORTABLE_MODULES = [
     PKG / "streaming" / "merge.py",
     PKG / "operators" / "similarity.py",
     PKG / "io" / "fs.py",
+    PKG / "io" / "sinks.py",  # compact_parquet swap (r12)
+    PKG / "io" / "maintenance.py",  # the original Hadoop-FS precedent
 ]
 
 
