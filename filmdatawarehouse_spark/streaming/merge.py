@@ -227,17 +227,35 @@ def read_merge_changes(
     covers that run's LAST batch — for per-batch granularity attach a
     consumer inside the sink's foreachBatch instead.
     """
-    from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
-
     # ONE consistent pair — resolving current and previous through two
     # separate pointer reads raced a concurrent commit into diffing a
     # snapshot against itself (silently empty feed; r11 review)
     cur, prev = _snapshot_pair(spark, table_path)
     if cur is None or prev is None:
         return None
+    return _changes_between(spark, table_path, keys, compare_cols, cur, prev)
+
+
+def _changes_between(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    compare_cols: list[str] | None,
+    cur: str,
+    prev: str | None,
+) -> DataFrame:
+    """The (keys..., change_type) diff of snapshot ``prev`` → ``cur``.
+    ``prev=None`` means "before the table existed": every current row is
+    an insert (the bootstrap feed of the per-batch consumer hook)."""
+    from filmdatawarehouse_spark.warehouse.scd import snapshot_diff
+
     root = table_path.rstrip("/")
     new = spark.read.parquet(f"{root}/{cur}")
-    old = spark.read.parquet(f"{root}/{prev}")
+    old = (
+        spark.read.parquet(f"{root}/{prev}")
+        if prev is not None
+        else spark.createDataFrame([], new.schema)
+    )
     cols = (
         [c for c in new.columns if c not in keys]
         if compare_cols is None
@@ -304,6 +322,7 @@ def merge_upsert_batch(
     keys: list[str],
     seq_col: str | None = None,
     run_id: str = "api",
+    on_changes=None,
 ) -> None:
     """Idempotently MERGE one micro-batch into the snapshot table.
 
@@ -312,12 +331,35 @@ def merge_upsert_batch(
     (convergent with ``seq_col`` — see the module docstring for the
     checkpoint-loss rationale). ``seq_col`` is stored in the table so
     later batches keep comparing against it.
-    """
+
+    ``on_changes(changes_df, batch_id)`` (r12) is the PER-BATCH CDC
+    consumer ``read_merge_changes``'s docstring defers to: called after
+    each commit with the (keys..., change_type) diff this batch applied
+    (the first commit feeds every row as an insert — the bootstrap).
+    Delivery is AT-LEAST-ONCE, the only honest contract under replay: a
+    crash after the pointer flip but before the checkpoint commit
+    redelivers the batch, whose merge no-ops but whose diff — still
+    exactly (retained previous → current), readable thanks to keep-two
+    — is re-fed; downstream must be idempotent on (batch_id, keys), the
+    standard CDC consumer contract. A consumer exception fails the
+    micro-batch for replay — it is part of the batch's work, not a
+    fire-and-forget."""
     spark = batch_df.sparkSession
     snap = _snapshot_name(run_id, batch_id)
     prev = current_snapshot(spark, table_path)
     if prev == snap:
-        return  # replay after the pointer flip: already merged, no-op
+        # replay after the pointer flip: already merged. Re-feed the
+        # consumer (at-least-once): the pointer's second line is the
+        # retained pre-commit snapshot this batch's diff runs against.
+        if on_changes is not None:
+            _, retained = _read_pointer(spark, table_path)
+            on_changes(
+                _changes_between(
+                    spark, table_path, keys, None, snap, retained
+                ),
+                batch_id,
+            )
+        return
     base = read_merge_table(spark, table_path)
     merged = merged_frame(base, batch_df, keys, seq_col)
 
@@ -343,6 +385,11 @@ def merge_upsert_batch(
                 fs.delete(spark, f"{root}/{d}")
             except Exception:
                 pass  # best-effort: next batch's prune retries
+    if on_changes is not None:
+        on_changes(
+            _changes_between(spark, table_path, keys, None, snap, prev),
+            batch_id,
+        )
 
 
 def write_stream_merge_upsert(
@@ -352,17 +399,20 @@ def write_stream_merge_upsert(
     checkpoint_dir: str,
     seq_col: str | None = None,
     run_id: str | None = None,
+    on_changes=None,
 ):
     """Start the exactly-once MERGE sink for ``df`` (returns the started
     StreamingQuery; availableNow so a restart drains new input and
     stops). Each start gets a fresh run identity unless the caller pins
     one — see the module docstring for why batch ids alone are not an
-    idempotence key."""
+    idempotence key. ``on_changes`` attaches the per-batch CDC consumer
+    (at-least-once; see ``merge_upsert_batch``)."""
     rid = run_id or uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_upsert_batch(
-            batch_df, batch_id, table_path, keys, seq_col, run_id=rid
+            batch_df, batch_id, table_path, keys, seq_col, run_id=rid,
+            on_changes=on_changes,
         )
 
     return (

@@ -901,3 +901,81 @@ def test_previous_snapshot_pointer_pair_and_legacy_future_partials(
     with open(f"{t}/_LATEST", "w") as f:
         f.write("v-run-7\nv-run-gone")
     assert previous_snapshot(spark, t) is None
+
+
+def test_per_batch_cdc_consumer_hook(spark, tmp_path):
+    """r12: on_changes attaches a PER-BATCH CDC consumer inside the
+    sink's foreachBatch — the granularity read_merge_changes (end-of-run
+    diff) cannot give. Contract pinned here: bootstrap batch feeds every
+    row as an insert; each later batch feeds exactly its own diff;
+    delivery is AT-LEAST-ONCE (a replay after the pointer flip no-ops
+    the merge but re-feeds the same diff); a consumer exception fails
+    the batch for replay."""
+    import os as _os
+
+    import pytest
+
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        write_stream_merge_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    _os.makedirs(table)
+
+    feeds: list[tuple[int, dict]] = []
+
+    def consumer(changes, batch_id):
+        feeds.append(
+            (batch_id, {r.k: r.change_type for r in changes.collect()})
+        )
+
+    spark.createDataFrame(
+        [(1, "A", 10.0, 0), (2, "A", 20.0, 0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = write_stream_merge_upsert(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        table, ["k"], ckpt, seq_col="seq", run_id="cdchook",
+        on_changes=consumer,
+    )
+    q.awaitTermination()
+    # bootstrap: everything is an insert
+    assert feeds == [(0, {1: "insert", 2: "insert"})]
+
+    spark.createDataFrame(
+        [(2, "U", 22.0, 1), (3, "B", 30.0, 1)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = write_stream_merge_upsert(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        table, ["k"], ckpt, seq_col="seq", run_id="cdchook",
+        on_changes=consumer,
+    )
+    q2.awaitTermination()
+    assert feeds[1] == (1, {2: "update", 3: "insert"})
+
+    # replay of the SAME (run, batch) after the flip: merge no-ops,
+    # the consumer re-receives the identical diff (at-least-once)
+    replay = spark.createDataFrame([(2, "U", 22.0, 1), (3, "B", 30.0, 1)], SCHEMA)
+    merge_upsert_batch(
+        replay, 1, table, ["k"], seq_col="seq", run_id="cdchook",
+        on_changes=consumer,
+    )
+    assert feeds[2] == (1, {2: "update", 3: "insert"})
+    # the table itself was untouched by the replay
+    rows = {r.k: r.status for r in spark.read.parquet(
+        f"{table}/v-cdchook-1").collect()}
+    assert rows == {1: "A", 2: "U", 3: "B"}
+
+    # a consumer exception fails the batch (part of the batch's work)
+    def boom(changes, batch_id):
+        raise RuntimeError("downstream unavailable")
+
+    with pytest.raises(RuntimeError, match="downstream unavailable"):
+        merge_upsert_batch(
+            spark.createDataFrame([(4, "C", 40.0, 2)], SCHEMA),
+            2, table, ["k"], seq_col="seq", run_id="cdchook",
+            on_changes=boom,
+        )
