@@ -233,12 +233,15 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(id, codes array<int>)`` — one zero-shuffle ``mapInPandas`` scan
-    against the (tiny) codebook tensor in the task closure; ``codes[j]``
-    is the L2-nearest centroid of subspace j (ties -> lowest code). This
-    is the frame a PQ-compressed corpus STORES: m small ints per vector
-    instead of dim floats."""
+    """``(id, *extra_cols, codes array<int>)`` — one zero-shuffle
+    ``mapInPandas`` scan against the (tiny) codebook tensor in the task
+    closure; ``codes[j]`` is the L2-nearest centroid of subspace j
+    (ties -> lowest code). This is the frame a PQ-compressed corpus
+    STORES: m small ints per vector instead of dim floats.
+    ``extra_cols`` are carried through the scan unchanged (the IVF-PQ
+    build threads ``list_id`` this way — one pass, no join-back)."""
     import numpy as np
     import pandas as pd
 
@@ -246,7 +249,10 @@ def pq_encode(
     m, _, dsub = books.shape
     spans = [(j * dsub, (j + 1) * dsub) for j in range(m)]
     half = 0.5 * (books * books).sum(axis=2)  # (m, n_codes)
-    id_t = emb.schema[id_col].dataType.simpleString()
+    keep = [id_col, *extra_cols]
+    keep_t = ", ".join(
+        f"{c} {emb.schema[c].dataType.simpleString()}" for c in keep
+    )
 
     def scan(batches):
         for pdf in batches:
@@ -262,12 +268,12 @@ def pq_encode(
                 codes[:, j] = np.argmax(
                     x[:, s:e] @ books[j].T - half[j], axis=1
                 )
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(codes)}
-            )
+            out = pdf[keep].copy()
+            out["codes"] = list(codes)
+            yield out
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        scan, f"{id_col} {id_t}, codes array<int>"
+    return emb.select(*keep, vec_col).mapInPandas(
+        scan, f"{keep_t}, codes array<int>"
     )
 
 
@@ -436,14 +442,31 @@ def pq_topk_refined(
     the refine join moves |Q| × shortlist rows — broadcast-sized for any
     bounded query set — so full-precision vectors are fetched for ~0.1%
     of the corpus instead of 100%."""
-    from filmdatawarehouse_spark.operators.similarity import dot, norm
-
-    from pyspark.sql.window import Window
-
     cand = pq_topk(
         codes_df, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
+    return exact_refine(cand, emb, queries, k, id_col, vec_col)
+
+
+def exact_refine(
+    cand: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of an approximate shortlist: join the
+    ``(query_id, neighbor_id)`` candidate pairs back to the float
+    vectors (shortlist side small; query side broadcast) and keep the
+    per-query top-k by TRUE cosine — the shared tail of every
+    quantized search recipe (``pq_topk_refined`` here,
+    ``ivfpq_search_refined`` in ``operators.ivfpq``)."""
+    from filmdatawarehouse_spark.operators.similarity import dot, norm
+
+    from pyspark.sql.window import Window
+
     nbrs = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vn")
     )
@@ -452,7 +475,8 @@ def pq_topk_refined(
     )
     dim = None  # arrays may be any width; use the fold form
     scored = (
-        cand.join(nbrs, "neighbor_id")
+        cand.select("query_id", "neighbor_id")
+        .join(nbrs, "neighbor_id")
         .join(F.broadcast(qs), "query_id")
         .withColumn(
             "cosine",

@@ -371,6 +371,34 @@ def _ivf_pointer_path(index_path: str) -> str:
     return f"{index_path.rstrip('/')}/{IVF_POINTER}"
 
 
+def _commit_index_version(spark, index_path: str, token: str) -> None:
+    """Atomic pointer flip + keep-two prune, shared by every persisted
+    index family (flat IVF here; IVF-PQ in ``operators.ivfpq``). Line 2
+    of the pointer records the RETAINED previous version — the keep-two
+    contract concurrent readers rely on (see ``ivf_index_build``). Any
+    older ``v-*`` dir is pruned best-effort: a failed delete is garbage
+    for the next commit's prune, never corruption."""
+    from filmdatawarehouse_spark.io import fs
+
+    root = index_path.rstrip("/")
+    try:
+        prev, _ = _ivf_pointer_pair(spark, index_path)
+    except ValueError:
+        prev = None  # first commit: no committed version to retain
+    fs.write_text_atomic(
+        spark,
+        _ivf_pointer_path(index_path),
+        token if prev is None else f"{token}\n{prev}",
+    )
+    keep = {token, prev}
+    for d in fs.list_child_dirs(spark, root):
+        if d.startswith("v-") and d not in keep:
+            try:
+                fs.delete(spark, f"{root}/{d}")
+            except Exception:
+                pass
+
+
 def _ivf_pointer_pair(spark, index_path: str) -> tuple[str, str | None]:
     """``(current, retained_previous)`` version names from ONE atomic
     pointer read (two-line format since r12, mirroring streaming.merge;
@@ -474,16 +502,9 @@ def ivf_index_build(
     """
     import uuid
 
-    from filmdatawarehouse_spark.io import fs
-
     spark = emb.sparkSession
     token = f"v-{uuid.uuid4().hex[:8]}"
-    root = index_path.rstrip("/")
-    vdir = f"{root}/{token}"
-    try:
-        prev, _ = _ivf_pointer_pair(spark, index_path)
-    except ValueError:
-        prev = None  # first build: no committed version to retain
+    vdir = f"{index_path.rstrip('/')}/{token}"
     cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
     (
         spark.createDataFrame(
@@ -503,20 +524,8 @@ def ivf_index_build(
         .partitionBy("list_id")
         .parquet(f"{vdir}/vectors")
     )
-    # atomic commit: line 2 records the RETAINED previous version (the
-    # keep-two contract readers rely on; see the function docstring)
-    fs.write_text_atomic(
-        spark,
-        _ivf_pointer_path(index_path),
-        token if prev is None else f"{token}\n{prev}",
-    )
-    keep = {token, prev}
-    for d in fs.list_child_dirs(spark, root):  # best-effort prune
-        if d.startswith("v-") and d not in keep:
-            try:
-                fs.delete(spark, f"{root}/{d}")
-            except Exception:
-                pass  # garbage for the next build's prune, never corrupt
+    # atomic commit: keep-two pointer flip + prune (shared helper)
+    _commit_index_version(spark, index_path, token)
 
 
 def ivf_index_append(

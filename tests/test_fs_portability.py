@@ -18,6 +18,7 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "filmdatawarehouse_spark"
 PORTABLE_MODULES = [
     PKG / "streaming" / "merge.py",
     PKG / "operators" / "similarity.py",
+    PKG / "operators" / "ivfpq.py",  # persisted IVF-PQ index (r12)
     PKG / "io" / "fs.py",
     PKG / "io" / "sinks.py",  # compact_parquet swap (r12)
     PKG / "io" / "maintenance.py",  # the original Hadoop-FS precedent
