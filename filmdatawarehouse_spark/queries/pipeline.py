@@ -33,11 +33,37 @@ MIN_TOKENS = 10
 JACCARD_T = 0.8
 
 
-def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stats of the curated corpus:
-    (lang_pred, n_docs, total_tokens, avg_quality)."""
-    from filmdatawarehouse_spark.operators.cache import managed_persist
+def _gated_survivors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The pipeline's shared first three stages: ``(docs, kept)`` where
+    ``docs`` is the persisted CLEANED corpus and ``kept`` the
+    heuristic-gated, doc-level-deduped survivors
+    ``(doc_id, lang_pred, quality, n_tokens)``.
 
+    Near-dup removal drops the higher doc_id of every verified pair
+    (survivor = lowest id). The shared raw-corpus MinHash pair frame is
+    reused ONLY when cleaning provably dropped nothing (count equality
+    — clean() can only remove rows, so equal counts ⟹ identical
+    frames ⟹ identical pairs, hot-bucket cap included). A pairwise
+    restriction of the raw pairs is NOT sound in general: LSH
+    candidate generation is corpus-dependent through BUCKET_CAP — a
+    bucket pushed hot by later-cleaned rows can drop a pair of two
+    cleaned docs that the cleaned-corpus build finds (review r10) —
+    so when cleaning dropped anything, the pair frame is built over
+    the cleaned docs exactly as the oracle replays it. The raw count
+    is a parquet-metadata read; the cleaned count materializes the
+    persisted frame every caller reuses."""
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+    from filmdatawarehouse_spark.queries.extended import (
+        JACCARD_T as SHARED_JACCARD_T,
+        minhash_pairs_shared,
+    )
+
+    if SHARED_JACCARD_T != JACCARD_T:  # oracles embed the local constant
+        raise RuntimeError(
+            "pipeline JACCARD_T diverged from the shared pair frame's"
+        )
     # cleaned docs feed BOTH the metric projection and the dedup shingle
     # stage — persist so the scan+clean shuffle runs once, not per branch
     docs = managed_persist(clean(read_table(spark, sf_dir, "documents")))
@@ -48,29 +74,6 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality") >= F.lit(QUALITY_MIN))
         & (F.col("n_tokens") >= F.lit(MIN_TOKENS))
     )
-
-    # near-dup removal: drop the higher doc_id of every verified pair
-    # (survivor = lowest id). The shared raw-corpus MinHash pair frame is
-    # reused ONLY when cleaning provably dropped nothing (count equality
-    # — clean() can only remove rows, so equal counts ⟹ identical
-    # frames ⟹ identical pairs, hot-bucket cap included). A pairwise
-    # restriction of the raw pairs is NOT sound in general: LSH
-    # candidate generation is corpus-dependent through BUCKET_CAP — a
-    # bucket pushed hot by later-cleaned rows can drop a pair of two
-    # cleaned docs that the cleaned-corpus build finds (review r10) —
-    # so when cleaning dropped anything, the pair frame is built over
-    # the cleaned docs exactly as the oracle replays it. The raw count
-    # is a parquet-metadata read; the cleaned count materializes the
-    # persisted frame the rest of the query reuses.
-    from filmdatawarehouse_spark.queries.extended import (
-        JACCARD_T as SHARED_JACCARD_T,
-        minhash_pairs_shared,
-    )
-
-    if SHARED_JACCARD_T != JACCARD_T:  # oracle embeds the local constant
-        raise RuntimeError(
-            "pipeline JACCARD_T diverged from the shared pair frame's"
-        )
     raw_n = read_table(spark, sf_dir, "documents").count()
     if docs.count() == raw_n:
         pairs = minhash_pairs_shared(spark, sf_dir)
@@ -80,6 +83,13 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
     losers = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     kept = gated.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs, kept
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the curated corpus:
+    (lang_pred, n_docs, total_tokens, avg_quality)."""
+    _, kept = _gated_survivors(spark, sf_dir)
 
     return kept.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -163,32 +173,9 @@ def lm_bucketed_documents(
     (or none with explicit edges) and a map-side withColumn.
     """
     from filmdatawarehouse_spark.operators.cache import managed_persist
-    from filmdatawarehouse_spark.queries.extended import (
-        JACCARD_T as SHARED_JACCARD_T,
-        minhash_pairs_shared,
-    )
 
-    if SHARED_JACCARD_T != JACCARD_T:
-        raise RuntimeError(
-            "pipeline JACCARD_T diverged from the shared pair frame's"
-        )
-    docs = managed_persist(clean(read_table(spark, sf_dir, "documents")))
-    metrics = tx.text_metrics_frame(docs)
-    gated = metrics.filter(
-        (F.col("quality") >= F.lit(QUALITY_MIN))
-        & (F.col("n_tokens") >= F.lit(MIN_TOKENS))
-    )
-    raw_n = read_table(spark, sf_dir, "documents").count()
-    if docs.count() == raw_n:
-        pairs = minhash_pairs_shared(spark, sf_dir)
-    else:
-        from filmdatawarehouse_spark.operators import dedup as dd
-
-        pairs = dd.minhash_dedup_pairs(docs, threshold=JACCARD_T)
-    losers = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    kept = gated.join(F.broadcast(losers), "doc_id", "left_anti").join(
-        docs.select("doc_id", "text"), "doc_id"
-    )
+    docs, survivors = _gated_survivors(spark, sf_dir)
+    kept = survivors.join(docs.select("doc_id", "text"), "doc_id")
     kept = managed_persist(kept)  # feeds LM training AND scoring
 
     train = kept.filter(
@@ -230,8 +217,56 @@ def curate_documents_lm(
     )
 
 
-def curate_documents_oracle() -> str:
-    """DuckDB twin of ``curate_documents`` (same constants, same rules)."""
+# --- span-level duplicate gate, composed onto the pipeline (r12) ---
+# Growth-policy capability: operator + pytest oracle, no driver row
+# (tests/test_dupcoverage.py replays the composed gate in DuckDB).
+SPAN_N = 5
+SPAN_MIN_DOCS = 2
+SPAN_MAX_DUP_FRAC = 0.5
+
+
+def curate_documents_span_gated(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    max_dup_frac: float = SPAN_MAX_DUP_FRAC,
+) -> DataFrame:
+    """``curate_documents`` with the Lee-et-al span-level stage applied:
+    after the heuristic gate and doc-level dedup, compute duplicated
+    n-gram coverage OVER THE SURVIVOR CORPUS (not the raw corpus — a
+    survivor's grams trivially appear in its dropped twin, so raw-corpus
+    coverage would re-flag exactly what dedup just resolved) and drop
+    documents whose ``dup_frac`` exceeds ``max_dup_frac`` — the
+    template/boilerplate residue document-level dedup cannot see. Same
+    per-language rollup shape as the certified query. Every survivor is
+    coverage-scored by construction (MIN_TOKENS ≥ 10 > n ⟹ every doc
+    has grams ⟹ non-NULL dup_frac) — asserted by the pytest oracle,
+    not silently assumed."""
+    from filmdatawarehouse_spark.operators.dupcoverage import (
+        dup_ngram_coverage,
+    )
+
+    docs, survivors = _gated_survivors(spark, sf_dir)
+    with_text = survivors.join(docs.select("doc_id", "text"), "doc_id")
+    cov = dup_ngram_coverage(with_text, n=n, min_docs=min_docs)
+    final = survivors.join(cov, "doc_id").filter(
+        F.col("dup_frac") <= F.lit(max_dup_frac)
+    )
+    return final.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(28,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
+def _kept_ctes() -> str:
+    """The shared DuckDB CTE chain (cleaned → gate → dedup → kept) both
+    pipeline oracles build on — same constants, same rules as
+    ``_gated_survivors``."""
     from filmdatawarehouse_spark.queries.extended import _WORD_SHINGLES, _langid_sql, _quality_sql
 
     langid = _langid_sql()
@@ -268,12 +303,62 @@ def curate_documents_oracle() -> str:
           JOIN tokens t USING (doc_id)
           WHERE q.quality >= {QUALITY_MIN} AND t.n_tokens >= {MIN_TOKENS}
             AND l.doc_id NOT IN (SELECT doc_id FROM losers)
-        )
+        )"""
+
+
+_ROLLUP_SELECT = """
         SELECT lang_pred,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                CAST(SUM(CAST(quality AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*)
                  AS avg_quality
-        FROM kept
+        FROM {src}
         GROUP BY lang_pred
     """
+
+
+def curate_documents_oracle() -> str:
+    """DuckDB twin of ``curate_documents`` (same constants, same rules)."""
+    return _kept_ctes() + _ROLLUP_SELECT.format(src="kept")
+
+
+def curate_documents_span_gated_oracle(
+    n: int = SPAN_N,
+    min_docs: int = SPAN_MIN_DOCS,
+    max_dup_frac: float = SPAN_MAX_DUP_FRAC,
+) -> str:
+    """DuckDB twin of ``curate_documents_span_gated``: the shared kept
+    CTEs plus the duplicated-n-gram coverage replay (identical
+    tokenization and 60-bit md5 gram hashing as the Spark operator)
+    computed over the SURVIVOR corpus, gated at ``max_dup_frac``."""
+    return (
+        _kept_ctes()
+        + f""",
+        survivor_text AS (
+          SELECT k.doc_id, string_split(c.text, ' ') AS toks
+          FROM kept k JOIN cleaned c USING (doc_id)
+        ),
+        occ AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(array_to_string(toks[i:i+{n - 1}], ' ')), 1, 15))::BIGINT AS gram_h
+          FROM survivor_text, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {n} + 2, 1))) AS i
+          )
+        ),
+        dup_grams AS (
+          SELECT gram_h FROM occ GROUP BY gram_h
+          HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        coverage AS (
+          SELECT doc_id,
+                 count(*) AS n_ngrams,
+                 sum(CASE WHEN gram_h IN (SELECT gram_h FROM dup_grams)
+                     THEN 1 ELSE 0 END) AS dup_ngrams
+          FROM occ GROUP BY doc_id
+        ),
+        span_gated AS (
+          SELECT k.* FROM kept k JOIN coverage v USING (doc_id)
+          WHERE v.dup_ngrams / v.n_ngrams::DOUBLE <= {max_dup_frac}
+        )"""
+        + _ROLLUP_SELECT.format(src="span_gated")
+    )

@@ -129,6 +129,124 @@ def test_min_docs_rule_is_cross_document(spark):
     assert out[1].dup_ngrams == 0  # both instances live in doc 1 only
 
 
+def test_span_gated_pipeline_matches_duckdb_and_actually_gates(
+    spark, sf_dir, duck
+):
+    """The composed pipeline (heuristic gate → doc-level dedup →
+    span-coverage gate → rollup) against its full DuckDB replay, exact
+    on counts; plus the two structural claims the docstring makes: the
+    gate drops documents the certified pipeline keeps, and every
+    survivor carries a non-NULL coverage (MIN_TOKENS ≥ 10 > n)."""
+    from filmdatawarehouse_spark.queries.pipeline import (
+        _gated_survivors,
+        curate_documents,
+        curate_documents_span_gated,
+        curate_documents_span_gated_oracle,
+    )
+
+    got = {
+        r.lang_pred: (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in curate_documents_span_gated(spark, sf_dir).collect()
+    }
+    expect = {
+        lang: (int(nd), int(tt), aq)
+        for lang, nd, tt, aq in duck.execute(
+            curate_documents_span_gated_oracle()
+        ).fetchall()
+    }
+    assert got.keys() == expect.keys()
+    for lang in got:
+        assert got[lang][:2] == expect[lang][:2], lang
+        assert math.isclose(got[lang][2], expect[lang][2], rel_tol=1e-12)
+
+    base_docs = sum(
+        r.n_docs for r in curate_documents(spark, sf_dir).collect()
+    )
+    gated_docs = sum(nd for nd, _, _ in got.values())
+    # this corpus's duplication is entirely whole-document near-dups,
+    # which doc-level dedup fully resolves — so the span gate passes
+    # everything here (equality allowed); the planted-template test
+    # below proves it prunes what dedup CANNOT see
+    assert 0 < gated_docs <= base_docs
+
+    docs, survivors = _gated_survivors(spark, sf_dir)
+    cov = dup_ngram_coverage(
+        survivors.join(docs.select("doc_id", "text"), "doc_id")
+    )
+    assert cov.filter(F.col("dup_frac").isNull()).count() == 0
+
+
+def test_span_gate_drops_planted_template_residue(spark, sf_dir, tmp_path):
+    """Doc-level dedup's blind spot, reproduced: take 8 pipeline
+    survivors (mutually non-duplicate by construction) and append the
+    SAME template sentence to each — MinHash at 0.8 cannot pair them
+    (shared shingles are a small fraction of each doc), but the span
+    gate must drop all 8. The full composed query is then replayed in
+    DuckDB on the planted corpus for exact parity."""
+    import duckdb
+
+    from filmdatawarehouse_spark.queries.pipeline import (
+        _gated_survivors,
+        curate_documents_span_gated,
+        curate_documents_span_gated_oracle,
+    )
+
+    template = (
+        "merge window batch stream vector column filter table query sort "
+        "hash join scan part order key row data group agg spark line small"
+    )
+    raw = read_table(spark, sf_dir, "documents")
+    _, survivors = _gated_survivors(spark, sf_dir)
+    chosen = {
+        r.doc_id
+        for r in survivors.orderBy("doc_id").limit(8).collect()
+    }
+    planted = raw.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(chosen),
+            F.concat_ws(" ", F.col("text"), F.lit(template)),
+        ).otherwise(F.col("text")),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    pdir = str(tmp_path / "planted")
+    planted.coalesce(1).write.parquet(f"{pdir}/documents.parquet")
+
+    docs, p_survivors = _gated_survivors(spark, pdir)
+    surv_ids = {r.doc_id for r in p_survivors.select("doc_id").collect()}
+    assert chosen <= surv_ids  # still heuristic-pass, still non-dup
+    cov = dup_ngram_coverage(
+        p_survivors.join(docs.select("doc_id", "text"), "doc_id")
+    )
+    max_frac = 0.04
+    dropped = {
+        r.doc_id
+        for r in cov.filter(F.col("dup_frac") > max_frac).collect()
+    }
+    assert chosen <= dropped  # the template residue is caught
+
+    got = {
+        r.lang_pred: (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in curate_documents_span_gated(
+            spark, pdir, max_dup_frac=max_frac
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pdir}/documents.parquet/*.parquet'"
+    )
+    expect = {
+        lang: (int(nd), int(tt), aq)
+        for lang, nd, tt, aq in con.execute(
+            curate_documents_span_gated_oracle(max_dup_frac=max_frac)
+        ).fetchall()
+    }
+    con.close()
+    assert got.keys() == expect.keys()
+    for lang in got:
+        assert got[lang][:2] == expect[lang][:2], lang
+        assert math.isclose(got[lang][2], expect[lang][2], rel_tol=1e-12)
+
+
 def test_plan_exchanges_carry_hashes_and_ids_only(spark, sf_dir):
     """No gram STRING crosses an exchange: grams are hashed in the same
     narrow stage as the explode, so every Exchange's input schema is
