@@ -1,0 +1,140 @@
+"""Streaming ingest into the persisted IVF-PQ index: keep a served
+vector index fresh from a stream, exactly-once.
+
+``ivfpq_index_append`` is a plain parquet append — at-least-once under
+foreachBatch replay (its own docstring says to wrap redelivering
+sources in a ledger). This module is that wrapper, with a stronger
+guarantee than a ledger alone can give:
+
+- **Ledger fast-path.** Applied ``(run_id, batch_id)`` pairs are
+  recorded in an ``INGEST_LEDGER`` file inside the index VERSION dir
+  (atomic temp+rename through ``io.fs``, like every pointer in this
+  repo); a replayed committed batch no-ops without touching data.
+- **Anti-join convergence.** The crash window a ledger cannot close is
+  a failure DURING the append's job commit: some part-files moved,
+  ledger not yet written — a blind replay would duplicate the moved
+  rows. Before appending, the encoded increment is anti-joined against
+  the ids already in the index, read with a partition filter on ONLY
+  the increment's own lists (bounded: ≤ n_lists partitions, pruned at
+  the source). Replays therefore insert exactly the missing rows —
+  convergent exactly-once, the "diff ids against the index" option
+  ``ivfpq_index_append`` documents, made the default here.
+
+The ledger lives per-version: a rebuild starts a fresh one, consistent
+with the build contract (a rebuild indexes exactly the input it was
+given — run ingest and rebuilds single-writer, and include ingested
+rows in the rebuild's input; see ``ivf_index_build``'s concurrency
+note, which ``ivfpq_index_build`` shares).
+
+Unique ids are an index invariant (one row per ``vec_id``), which is
+what makes the anti-join the correct convergence rule.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from filmdatawarehouse_spark.io import fs
+from filmdatawarehouse_spark.operators.ivfpq import (
+    _codebooks_of,
+    _residuals,
+    ivfpq_version_dir,
+)
+from filmdatawarehouse_spark.operators.quantize import pq_encode
+from filmdatawarehouse_spark.operators.similarity import _centroids_of
+
+LEDGER = "INGEST_LEDGER"
+
+
+def _ledger_path(version_dir: str) -> str:
+    return f"{version_dir.rstrip('/')}/{LEDGER}"
+
+
+def _applied(spark: SparkSession, version_dir: str) -> list[str]:
+    text = fs.read_text(spark, _ledger_path(version_dir))
+    if text is None:
+        return []
+    return [ln.strip() for ln in text.splitlines() if ln.strip()]
+
+
+def ivfpq_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    run_id: str = "api",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Idempotently ingest one micro-batch of vectors into the committed
+    IVF-PQ index version (see the module banner for the exactly-once
+    argument). Encoding is bit-identical to ``ivfpq_index_append``:
+    assign against the stored coarse centroids, PQ-encode the residuals
+    with the stored codebooks — one zero-shuffle scan of the increment.
+    An empty batch only marks the ledger."""
+    spark = batch_df.sparkSession
+    vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all I/O
+    entry = f"{run_id}-{batch_id}"
+    done = _applied(spark, vdir)
+    if entry in done:
+        return  # clean replay of a committed batch
+
+    cents = _centroids_of(spark, vdir)
+    books = _codebooks_of(spark, vdir)
+    inc = pq_encode(
+        _residuals(batch_df, cents, id_col, vec_col),
+        books,
+        id_col=id_col,
+        vec_col="residual",
+        extra_cols=("list_id",),
+    )
+    # the anti-join target: only the lists this increment touches —
+    # a bounded localization (≤ n_lists ints), pruned at the source
+    touched = [
+        r.list_id for r in inc.select("list_id").distinct().collect()
+    ]
+    if touched:
+        existing = (
+            spark.read.parquet(f"{vdir}/codes")
+            .filter(F.col("list_id").isin(touched))
+            .select(id_col)
+        )
+        missing = inc.join(existing, id_col, "left_anti")
+        missing.write.mode("append").partitionBy("list_id").parquet(
+            f"{vdir}/codes"
+        )
+    # ledger last: a crash anywhere above replays into the anti-join,
+    # which inserts only what is still missing
+    fs.write_text_atomic(
+        spark, _ledger_path(vdir), "\n".join([*done, entry])
+    )
+
+
+def write_stream_ivfpq_ingest(
+    df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    run_id: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Start the exactly-once vector-ingest sink for ``df`` (returns the
+    started StreamingQuery; availableNow so a restart drains new input
+    and stops). Each start gets a fresh run identity unless the caller
+    pins one — batch ids alone are not an idempotence key across
+    checkpoint loss (the MERGE sink's rationale, shared)."""
+    rid = run_id or uuid.uuid4().hex[:12]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_ingest_batch(
+            batch_df, batch_id, index_path, run_id=rid,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -19,6 +19,7 @@ PORTABLE_MODULES = [
     PKG / "streaming" / "merge.py",
     PKG / "operators" / "similarity.py",
     PKG / "operators" / "ivfpq.py",  # persisted IVF-PQ index (r12)
+    PKG / "streaming" / "vector_ingest.py",  # IVF-PQ ingest ledger (r12)
     PKG / "io" / "fs.py",
     PKG / "io" / "sinks.py",  # compact_parquet swap (r12)
     PKG / "io" / "maintenance.py",  # the original Hadoop-FS precedent
