@@ -119,6 +119,54 @@ def test_ingest_partial_commit_converges(spark, corpus, tmp_path):
     assert sorted(_ids(spark, idx)) == list(range(500))  # no dupes, none missing
 
 
+def test_ingest_fragmentation_compacts_in_place(spark, corpus, tmp_path):
+    """r12 composition: the index's codes table IS a hive-partitioned
+    parquet table, so streaming-ingest fragmentation (one small append
+    per micro-batch) is healed by io.maintenance.compact_partitions on
+    list_id — same ADC results after, fewer files, and the ingest
+    LEDGER survives (compaction rewrites data files, never the
+    version's commit state)."""
+    from filmdatawarehouse_spark.io import fs, maintenance as mt
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_version_dir
+    from filmdatawarehouse_spark.streaming.vector_ingest import _ledger_path
+
+    idx = str(tmp_path / "idx")
+    ivfpq_index_build(
+        corpus.filter(F.col("vec_id") < 200), idx, n_iters=2
+    )
+    for i, lo in enumerate(range(200, 500, 30)):
+        ivfpq_ingest_batch(
+            corpus.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)
+            ),
+            i,
+            idx,
+            run_id="frag",
+        )
+    codes = ivfpq_codes_path(spark, idx)
+    before = len(mt.list_data_files(spark, codes))
+    queries = corpus.filter(F.col("vec_id") < 10)
+    res_before = {
+        (r.query_id, r.neighbor_id, round(r.score, 9))
+        for r in ivfpq_search(spark, idx, queries, k=5).collect()
+    }
+    summary = mt.compact_partitions(
+        spark, codes, "list_id", target_bytes=1 << 30
+    )
+    assert summary["partitions"] >= 1
+    assert len(mt.list_data_files(spark, codes)) < before
+    assert sorted(_ids(spark, idx)) == list(range(500))
+    res_after = {
+        (r.query_id, r.neighbor_id, round(r.score, 9))
+        for r in ivfpq_search(spark, idx, queries, k=5).collect()
+    }
+    assert res_after == res_before
+    ledger = fs.read_text(
+        spark, _ledger_path(ivfpq_version_dir(spark, idx))
+    )
+    assert ledger is not None and "frag-0" in ledger  # commit state intact
+
+
 def test_ingest_empty_batch_marks_ledger_only(spark, corpus, tmp_path):
     from filmdatawarehouse_spark.io import fs
     from filmdatawarehouse_spark.operators.ivfpq import ivfpq_version_dir
