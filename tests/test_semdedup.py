@@ -126,6 +126,78 @@ def test_semdedup_oversized_cluster_refuses(spark, emb):
         semantic_dedup(emb, n_clusters=2, cluster_cap=10, n_iters=1).collect()
 
 
+def test_semantic_pipeline_matches_replay_and_composes(spark, sf_dir, emb):
+    """The composed pipeline gate (heuristic → lexical dedup → SemDeDup
+    over SURVIVOR embeddings → rollup) against a driver-side replay:
+    the survivor set comes from the shared stages, the semantic
+    verdicts from the numpy greedy replay on the survivors' embeddings
+    with the same deterministic centroids, the rollup recomputed in
+    plain python. threshold > 1 must reduce to the certified rollup
+    exactly (the gate composes, never perturbs)."""
+    from filmdatawarehouse_spark.queries.pipeline import (
+        _gated_survivors,
+        curate_documents,
+    )
+    from filmdatawarehouse_spark.queries.semantic_pipeline import (
+        curate_documents_semantic,
+    )
+
+    _, survivors = _gated_survivors(spark, sf_dir)
+    surv_rows = survivors.collect()
+    surv_ids = {r.doc_id for r in surv_rows}
+    surv_emb = emb.filter(F.col("vec_id").isin(surv_ids)).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    threshold = 0.35  # low enough to actually prune on this corpus
+    cents = kmeans_centroids(
+        surv_emb, n_lists=16, n_iters=4, id_col="doc_id"
+    )
+    verdicts = _replay(
+        [
+            type("R", (), {"vec_id": r.doc_id, "embedding": r.embedding})
+            for r in surv_emb.collect()
+        ],
+        cents,
+        threshold,
+    )
+    kept_ids = {vid for vid, (_, keep, _) in verdicts.items() if keep}
+    assert kept_ids < surv_ids  # the low bar actually prunes
+
+    import math
+    from collections import defaultdict
+
+    expect: dict[str, list] = defaultdict(lambda: [0, 0, 0.0])
+    for r in surv_rows:
+        if r.doc_id in kept_ids:
+            e = expect[r.lang_pred]
+            e[0] += 1
+            e[1] += r.n_tokens
+            e[2] += r.quality
+    got = {
+        r.lang_pred: (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in curate_documents_semantic(
+            spark, sf_dir, threshold=threshold
+        ).collect()
+    }
+    assert got.keys() == set(expect)
+    for lang, (nd, tt, qsum) in expect.items():
+        assert got[lang][:2] == (nd, tt), lang
+        assert math.isclose(got[lang][2], qsum / nd, rel_tol=1e-9)
+
+    # threshold past cosine's range: the gate must be the identity
+    base = {
+        r.lang_pred: (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in curate_documents(spark, sf_dir).collect()
+    }
+    ungated = {
+        r.lang_pred: (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in curate_documents_semantic(
+            spark, sf_dir, threshold=1.1
+        ).collect()
+    }
+    assert ungated == base
+
+
 def test_semdedup_plan_one_exchange_into_grouped_stage(spark, emb):
     """Zero-shuffle assignment scan; the single exchange is the
     cluster_id hash partition into the grouped Arrow stage."""
