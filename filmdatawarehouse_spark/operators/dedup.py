@@ -60,8 +60,10 @@ def _perm_constants(num_perm: int = NUM_PERM, seed: int = 42) -> list[tuple[int,
     ]
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) from a token array.
+def word_ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-grams of a token array (space-joined), position order,
+    duplicates kept — the occurrence-weighted form ``dupcoverage``
+    consumes; ``word_shingles`` is its distinct set.
 
     ``toks`` MUST be a bound column (select ``split(text,' ')`` into a named
     column first), not an inline ``split(...)`` expression: Catalyst
@@ -73,10 +75,15 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     idx = F.when(
         F.size(toks) >= F.lit(n), F.sequence(F.lit(0), F.size(toks) - F.lit(n))
     ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
+    return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)])
     )
-    return F.array_distinct(gram)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (the MinHash
+    input form; see ``word_ngrams_all`` for the binding caveat)."""
+    return F.array_distinct(word_ngrams_all(toks, n))
 
 
 def word_shingle_frame(

@@ -27,26 +27,9 @@ repetition) and the document-level dedup family in ``operators.dedup``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from filmdatawarehouse_spark.operators.dedup import _hash60
-
-
-def word_ngrams_all(toks: Column, n: int) -> Column:
-    """ALL word n-grams of a token array, position order, duplicates
-    kept — coverage is occurrence-weighted, unlike the DISTINCT
-    shingle sets MinHash uses (``word_shingles``). Same short-doc
-    guard: fewer than n tokens → empty array (the unguarded
-    ``sequence`` descends and indexes past the array)."""
-    idx = F.when(
-        F.size(toks) >= F.lit(n), F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
-        ),
-    )
+from filmdatawarehouse_spark.operators.dedup import _hash60, word_ngrams_all
 
 
 def ngram_occurrences(

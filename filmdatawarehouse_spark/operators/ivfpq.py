@@ -58,9 +58,6 @@ from filmdatawarehouse_spark.operators.similarity import (
     kmeans_centroids,
 )
 
-ADC_SCHEMA = "query_id long, neighbor_id long, score double, rank int"
-
-
 def ivfpq_version_dir(spark: SparkSession, index_path: str) -> str:
     """The committed version directory of a persisted IVF-PQ index."""
     cur, _ = _ivf_pointer_pair(spark, index_path)
@@ -245,12 +242,17 @@ def ivfpq_search(
     import pandas as pd
 
     vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE per search
+    stored = spark.read.parquet(f"{vdir}/codes")
+    # id columns take the INDEX's id type (build/append accept any id
+    # type via pq_encode's dynamic schema; the search must match it)
+    id_t = stored.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, score double"
     cents = _centroids_of(spark, vdir)
     books = _codebooks_of(spark, vdir)
     n_sub, _, dsub = books.shape
     qids, qm, per_list = _probe_lists(queries, cents, id_col, vec_col, n_probe)
     if not len(qids):
-        return spark.createDataFrame([], ADC_SCHEMA)
+        return spark.createDataFrame([], f"{out_schema}, rank int")
     probed = sorted(per_list)
     # LUT[q, j, c] = q̂_sub_j · books[j, c]; offsets[q, l] = q̂ · c_l
     lut = np.stack(
@@ -298,12 +300,8 @@ def ivfpq_search(
                     }
                 )
 
-    codes_df = spark.read.parquet(f"{vdir}/codes").filter(
-        F.col("list_id").isin(probed)
-    )
-    cand = codes_df.mapInPandas(
-        scan, "query_id long, neighbor_id long, score double"
-    )
+    codes_df = stored.filter(F.col("list_id").isin(probed))
+    cand = codes_df.mapInPandas(scan, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

@@ -445,7 +445,7 @@ def pq_topk_refined(
     cand = pq_topk(
         codes_df, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col,
-    ).select("query_id", "neighbor_id")
+    )
     return exact_refine(cand, emb, queries, k, id_col, vec_col)
 
 

@@ -79,7 +79,9 @@ def semantic_dedup(
         x /= np.sqrt((x * x).sum(axis=1))[:, None]
         n = len(pdf)
         keep = np.zeros(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
+        # object list, not an int64 buffer: dup_of carries the id
+        # column's own values (any id type the schema declares)
+        dup_of: list = [None] * n
         kept_rows: list[int] = []
         for i in range(n):
             if kept_rows:
@@ -92,9 +94,7 @@ def semantic_dedup(
             kept_rows.append(i)
         out = pdf[[id_col, "list_id"]].rename(columns={"list_id": "cluster_id"})
         out["keep"] = keep
-        out["dup_of"] = pd.array(
-            [None if k else d for k, d in zip(keep, dup_of)], dtype="Int64"
-        )
+        out["dup_of"] = pd.Series(dup_of, dtype=object)
         return out
 
     return assigned.groupBy("list_id").applyInPandas(

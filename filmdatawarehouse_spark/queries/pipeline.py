@@ -239,10 +239,13 @@ def curate_documents_span_gated(
     coverage would re-flag exactly what dedup just resolved) and drop
     documents whose ``dup_frac`` exceeds ``max_dup_frac`` — the
     template/boilerplate residue document-level dedup cannot see. Same
-    per-language rollup shape as the certified query. Every survivor is
-    coverage-scored by construction (MIN_TOKENS ≥ 10 > n ⟹ every doc
-    has grams ⟹ non-NULL dup_frac) — asserted by the pytest oracle,
-    not silently assumed."""
+    per-language rollup shape as the certified query. At the default
+    n=5 every survivor is coverage-scored by construction (MIN_TOKENS
+    ≥ 10 > n ⟹ every doc has grams — asserted by the pytest oracle);
+    with a caller-raised n, a survivor too short for any n-gram keeps a
+    NULL ``dup_frac`` and PASSES the gate — an evidence gap is not
+    evidence of duplication, the same rule the semantic gate applies to
+    missing embeddings."""
     from filmdatawarehouse_spark.operators.dupcoverage import (
         dup_ngram_coverage,
     )
@@ -251,7 +254,8 @@ def curate_documents_span_gated(
     with_text = survivors.join(docs.select("doc_id", "text"), "doc_id")
     cov = dup_ngram_coverage(with_text, n=n, min_docs=min_docs)
     final = survivors.join(cov, "doc_id").filter(
-        F.col("dup_frac") <= F.lit(max_dup_frac)
+        F.col("dup_frac").isNull()
+        | (F.col("dup_frac") <= F.lit(max_dup_frac))
     )
     return final.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -357,8 +361,11 @@ def curate_documents_span_gated_oracle(
           FROM occ GROUP BY doc_id
         ),
         span_gated AS (
-          SELECT k.* FROM kept k JOIN coverage v USING (doc_id)
-          WHERE v.dup_ngrams / v.n_ngrams::DOUBLE <= {max_dup_frac}
+          -- LEFT join + NULL-passes: a survivor with no n-grams keeps
+          -- a NULL coverage and is NOT dropped (no-evidence rule)
+          SELECT k.* FROM kept k LEFT JOIN coverage v USING (doc_id)
+          WHERE v.doc_id IS NULL
+             OR v.dup_ngrams / v.n_ngrams::DOUBLE <= {max_dup_frac}
         )"""
         + _ROLLUP_SELECT.format(src="span_gated")
     )

@@ -52,11 +52,21 @@ def _ledger_path(version_dir: str) -> str:
     return f"{version_dir.rstrip('/')}/{LEDGER}"
 
 
-def _applied(spark: SparkSession, version_dir: str) -> list[str]:
+def _applied(spark: SparkSession, version_dir: str) -> dict[str, int]:
+    """``{run_id: highest applied batch_id}`` — one ledger line per run
+    (``<run_id> <max_batch>``), not per batch: foreachBatch delivers
+    ascending ids within a run, so the high-water mark is the complete
+    idempotence state and the ledger stays O(#runs) over a version's
+    lifetime instead of growing (and being rewritten) per batch."""
     text = fs.read_text(spark, _ledger_path(version_dir))
+    out: dict[str, int] = {}
     if text is None:
-        return []
-    return [ln.strip() for ln in text.splitlines() if ln.strip()]
+        return out
+    for ln in text.splitlines():
+        parts = ln.strip().rsplit(" ", 1)
+        if len(parts) == 2:
+            out[parts[0]] = int(parts[1])
+    return out
 
 
 def ivfpq_ingest_batch(
@@ -75,10 +85,9 @@ def ivfpq_ingest_batch(
     An empty batch only marks the ledger."""
     spark = batch_df.sparkSession
     vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all I/O
-    entry = f"{run_id}-{batch_id}"
     done = _applied(spark, vdir)
-    if entry in done:
-        return  # clean replay of a committed batch
+    if batch_id <= done.get(run_id, -1):
+        return  # clean replay of a committed batch (≤ the high-water mark)
 
     cents = _centroids_of(spark, vdir)
     books = _codebooks_of(spark, vdir)
@@ -88,7 +97,8 @@ def ivfpq_ingest_batch(
         id_col=id_col,
         vec_col="residual",
         extra_cols=("list_id",),
-    )
+    ).localCheckpoint(eager=True)  # encode ONCE: the touched-lists
+    # collect and the append both read the materialized increment
     # the anti-join target: only the lists this increment touches —
     # a bounded localization (≤ n_lists ints), pruned at the source
     touched = [
@@ -106,8 +116,11 @@ def ivfpq_ingest_batch(
         )
     # ledger last: a crash anywhere above replays into the anti-join,
     # which inserts only what is still missing
+    done[run_id] = batch_id
     fs.write_text_atomic(
-        spark, _ledger_path(vdir), "\n".join([*done, entry])
+        spark,
+        _ledger_path(vdir),
+        "\n".join(f"{r} {b}" for r, b in sorted(done.items())),
     )
 
 

@@ -247,6 +247,36 @@ def test_span_gate_drops_planted_template_residue(spark, sf_dir, tmp_path):
         assert math.isclose(got[lang][2], expect[lang][2], rel_tol=1e-12)
 
 
+def test_span_gate_null_coverage_passes_not_drops(spark, sf_dir, duck):
+    """A survivor too short for any n-gram carries NULL dup_frac and
+    must PASS the gate (an evidence gap is not evidence of duplication
+    — the semantic gate's missing-embedding rule). At n larger than
+    every document, ALL coverage is NULL, so the span-gated rollup must
+    equal the certified rollup exactly — on BOTH engines."""
+    from filmdatawarehouse_spark.queries.pipeline import (
+        curate_documents,
+        curate_documents_span_gated,
+        curate_documents_span_gated_oracle,
+    )
+
+    base = {
+        r.lang_pred: (r.n_docs, r.total_tokens)
+        for r in curate_documents(spark, sf_dir).collect()
+    }
+    gated = {
+        r.lang_pred: (r.n_docs, r.total_tokens)
+        for r in curate_documents_span_gated(spark, sf_dir, n=500).collect()
+    }
+    assert gated == base
+    oracle = {
+        lang: (int(nd), int(tt))
+        for lang, nd, tt, _ in duck.execute(
+            curate_documents_span_gated_oracle(n=500)
+        ).fetchall()
+    }
+    assert oracle == base
+
+
 def test_plan_exchanges_carry_hashes_and_ids_only(spark, sf_dir):
     """No gram STRING crosses an exchange: grams are hashed in the same
     narrow stage as the explode, so every Exchange's input schema is

@@ -119,6 +119,26 @@ def test_semdedup_threshold_endpoints(spark, emb):
     assert 1 <= len(one_per) <= 8
 
 
+def test_semdedup_generic_id_type(spark):
+    """The schema is derived from the id column's own type — string ids
+    must work end-to-end, dup_of carrying the kept STRING id."""
+    rows = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [0.0, 1.0, 0.0, 0.0]),
+        ("c", [1.0, 1e-6, 0.0, 0.0]),  # near-dup of a
+    ]
+    emb = spark.createDataFrame(rows, "doc_key string, v array<double>")
+    out = {
+        r.doc_key: (r.keep, r.dup_of)
+        for r in semantic_dedup(
+            emb, n_clusters=2, threshold=0.99, n_iters=1,
+            id_col="doc_key", vec_col="v",
+        ).collect()
+    }
+    assert out["a"] == (True, None)
+    assert out["c"] == (False, "a")
+
+
 def test_semdedup_oversized_cluster_refuses(spark, emb):
     """A cluster past cluster_cap must raise with sizing guidance, not
     run a quadratic task."""

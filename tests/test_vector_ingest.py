@@ -164,7 +164,7 @@ def test_ingest_fragmentation_compacts_in_place(spark, corpus, tmp_path):
     ledger = fs.read_text(
         spark, _ledger_path(ivfpq_version_dir(spark, idx))
     )
-    assert ledger is not None and "frag-0" in ledger  # commit state intact
+    assert ledger is not None and "frag 9" in ledger  # high-water intact
 
 
 def test_ingest_empty_batch_marks_ledger_only(spark, corpus, tmp_path):
@@ -179,4 +179,4 @@ def test_ingest_empty_batch_marks_ledger_only(spark, corpus, tmp_path):
     ivfpq_ingest_batch(empty, 0, idx, run_id="quiet")
     assert sorted(_ids(spark, idx)) == before
     vdir = ivfpq_version_dir(spark, idx)
-    assert "quiet-0" in (fs.read_text(spark, _ledger_path(vdir)) or "")
+    assert "quiet 0" in (fs.read_text(spark, _ledger_path(vdir)) or "")

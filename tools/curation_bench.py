@@ -37,9 +37,16 @@ def main() -> None:
     spark = get_spark("curation-bench")
 
     def timed(fn):
+        from filmdatawarehouse_spark.operators.cache import release_managed
+
         t = time.time()
         rows = fn(spark, sf_dir).collect()
-        return round(time.time() - t, 4), sum(r.n_docs for r in rows)
+        elapsed = round(time.time() - t, 4)
+        # every gate manages persist'd frames (docs, kept) — release them
+        # so each query is timed COLD, not against the previous query's
+        # cached fragments (the cache.py bench-loop contract)
+        release_managed()
+        return elapsed, sum(r.n_docs for r in rows)
 
     out = {"sf_dir": sf_dir}
     for name, fn in [
