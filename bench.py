@@ -332,9 +332,6 @@ def main() -> None:
     warm: dict[str, float] = {}
     warm_errors: dict[str, str] = dict(cold_errors)  # don't retry known-broken
     run_suite(warm, warm_errors, release_each=False)
-    release_managed()
-
-    overhead_post = job_overhead_ms()
 
     # Runtime plan fingerprints (VERDICT r10 item 7): PLANS.json pins
     # STATIC sf0.001 shapes; the one regression class it cannot see is
@@ -345,30 +342,30 @@ def main() -> None:
     # `tools/plan_audit.py --check` diffs the same cost features vs the
     # committed record. Each capture re-executes the query once via the
     # plan's own execute() (JVM-side row count, nothing collected).
+    #
+    # Captured TWICE (VERDICT r12 item 8 — the one r12 perf anomaly was
+    # warm-only and the cold-state fingerprints couldn't see it):
+    #   plans_runtime_warm — BEFORE release_managed(), with the warm
+    #     pass's persisted frames still in the CacheManager, so
+    #     cache-induced plan differences (InMemoryRelation substitution,
+    #     AQE re-plans around cached sizes) land in the record;
+    #   plans_runtime      — after release, the cold-state shape the
+    #     committed history already tracks.
     tools_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools"
     )
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
 
-    plans_runtime: dict[str, dict] = {}
-    try:
-        from plan_audit import EXCHANGE_HEAVY, final_plan_section, fingerprint
+    def capture_plans(capture_names: list[str]) -> dict[str, dict]:
+        from plan_audit import final_plan_section, fingerprint
 
-        slowest8 = [
-            n for n, _ in sorted(warm.items(), key=lambda kv: -kv[1])[:8]
-        ]
-        # r12 (VERDICT r11 item 6): the AQE-regression class lives where
-        # the exchanges are, not necessarily in the slowest tail —
-        # always fingerprint the SMJ/multi-exchange set too
-        for name in slowest8 + [
-            n for n in EXCHANGE_HEAVY
-            if n not in slowest8 and n in registry
-        ]:
+        plans: dict[str, dict] = {}
+        for name in capture_names:
             try:
                 qe = registry[name][0](spark, sf_dir)._jdf.queryExecution()
                 qe.executedPlan().execute().count()  # finalize AQE
-                plans_runtime[name] = fingerprint(
+                plans[name] = fingerprint(
                     final_plan_section(qe.executedPlan().toString())
                 )
             except Exception as exc:  # noqa: BLE001 — keep benching
@@ -376,8 +373,31 @@ def main() -> None:
                     f"bench: runtime plan capture failed for {name}: {exc}",
                     file=sys.stderr,
                 )
+        return plans
+
+    plans_runtime: dict[str, dict] = {}
+    plans_runtime_warm: dict[str, dict] = {}
+    try:
+        from plan_audit import EXCHANGE_HEAVY
+
+        slowest8 = [
+            n for n, _ in sorted(warm.items(), key=lambda kv: -kv[1])[:8]
+        ]
+        # r12 (VERDICT r11 item 6): the AQE-regression class lives where
+        # the exchanges are, not necessarily in the slowest tail —
+        # always fingerprint the SMJ/multi-exchange set too
+        capture_names = slowest8 + [
+            n for n in EXCHANGE_HEAVY
+            if n not in slowest8 and n in registry
+        ]
+        plans_runtime_warm = capture_plans(capture_names)
+        release_managed()
+        plans_runtime = capture_plans(capture_names)
     except Exception as exc:  # noqa: BLE001
         print(f"bench: runtime plan capture unavailable: {exc}", file=sys.stderr)
+    release_managed()
+
+    overhead_post = job_overhead_ms()
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -391,6 +411,8 @@ def main() -> None:
     }
     if plans_runtime:
         out["plans_runtime"] = plans_runtime
+    if plans_runtime_warm:
+        out["plans_runtime_warm"] = plans_runtime_warm
     if cold_errors or warm_errors:
         out["errors"] = warm_errors
         out["n_errors"] = len(warm_errors)

@@ -88,7 +88,17 @@ def _residuals(
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x /= np.sqrt((x * x).sum(axis=1))[:, None]
+            norms = np.sqrt((x * x).sum(axis=1))
+            if not np.all(norms > 0.0):  # refuse-don't-guess (ADVICE
+                # r12): NaN residuals would silently corrupt codebook
+                # training and every later ADC score
+                bad = pdf[id_col].to_numpy()[norms == 0.0][:5]
+                raise ValueError(
+                    f"zero-norm {vec_col} for {id_col} in {list(bad)}: "
+                    "the zero vector cannot be unit-normalized — filter "
+                    "or impute these rows before indexing"
+                )
+            x /= norms[:, None]
             a = np.argmax(x @ c.T, axis=1)
             out = pdf[[id_col]].copy()
             out["list_id"] = a.astype("int32")
@@ -246,6 +256,15 @@ def ivfpq_search(
     # id columns take the INDEX's id type (build/append accept any id
     # type via pq_encode's dynamic schema; the search must match it)
     id_t = stored.schema[id_col].dataType.simpleString()
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    if q_id_t != id_t:  # refuse-don't-guess (ADVICE r12): a mismatched
+        # id type makes the numpy self-match mask (nids != qids) never
+        # match and the output coercion undefined — never a wrong answer
+        raise TypeError(
+            f"queries.{id_col} is {q_id_t} but the stored index keys "
+            f"are {id_t}: cast the query frame's id column to the "
+            "index's id type before searching"
+        )
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, score double"
     cents = _centroids_of(spark, vdir)
     books = _codebooks_of(spark, vdir)

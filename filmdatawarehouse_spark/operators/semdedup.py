@@ -76,7 +76,18 @@ def semantic_dedup(
             )
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        x /= np.sqrt((x * x).sum(axis=1))[:, None]
+        norms = np.sqrt((x * x).sum(axis=1))
+        if not np.all(norms > 0.0):  # refuse-don't-guess (ADVICE r12):
+            # a zero vector has no direction — normalizing yields NaN
+            # rows whose cosines are silently False (always kept) and
+            # whose NaN scores corrupt argmax assignment
+            bad = pdf[id_col].to_numpy()[norms == 0.0][:5]
+            raise ValueError(
+                f"zero-norm {vec_col} for {id_col} in {list(bad)}: "
+                "cosine similarity is undefined for the zero vector — "
+                "filter or impute these rows before semantic_dedup"
+            )
+        x /= norms[:, None]
         n = len(pdf)
         keep = np.zeros(n, dtype=bool)
         # object list, not an int64 buffer: dup_of carries the id

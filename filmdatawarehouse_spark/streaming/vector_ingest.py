@@ -73,7 +73,7 @@ def ivfpq_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
     index_path: str,
-    run_id: str = "api",
+    run_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -82,7 +82,16 @@ def ivfpq_ingest_batch(
     argument). Encoding is bit-identical to ``ivfpq_index_append``:
     assign against the stored coarse centroids, PQ-encode the residuals
     with the stored codebooks — one zero-shuffle scan of the increment.
-    An empty batch only marks the ledger."""
+    An empty batch only marks the ledger.
+
+    ``run_id`` is REQUIRED (ADVICE r12): it is the idempotence key the
+    ledger high-water mark is scoped to. A shared default (the old
+    ``"api"``) silently no-ops any second caller — or a caller that
+    restarted its batch numbering — whose batch_id is at or below the
+    recorded mark, before the anti-join ever runs. Callers that want
+    replay protection pin a stable id; callers that don't, pass a fresh
+    ``uuid4().hex`` per logical stream (what the streaming entry point
+    does)."""
     spark = batch_df.sparkSession
     vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all I/O
     done = _applied(spark, vdir)

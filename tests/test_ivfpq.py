@@ -270,3 +270,26 @@ def test_ivfpq_search_plan_single_exchange(spark, emb, built):
     tree = plan.split("\n\n")[0]
     assert tree.count("MapInPandas") >= 1
     assert tree.count("Exchange") == 1
+
+
+def test_ivfpq_zero_norm_vector_refuses(spark, tmp_path):
+    """ADVICE r12: a zero vector cannot be unit-normalized — NaN
+    residuals would silently corrupt codebook training and every later
+    ADC score. Build must raise, naming the offending id."""
+    rows = [(i, [float(i + 1)] * 8) for i in range(7)] + [(9, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="zero-norm"):
+        ivfpq_index_build(
+            emb, str(tmp_path / "idx"), n_lists=2, m=2, n_codes=2, n_iters=1
+        )
+
+
+def test_ivfpq_search_id_type_mismatch_refuses(spark, emb, built):
+    """ADVICE r12: a query frame whose id column's type differs from the
+    stored index keys would make the numpy self-match mask silently never
+    match — the search must raise instead."""
+    bad = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id").cast("string")
+    )
+    with pytest.raises(TypeError, match="stored index keys"):
+        ivfpq_search(spark, built, bad, k=5)

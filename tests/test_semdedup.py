@@ -227,3 +227,18 @@ def test_semdedup_plan_one_exchange_into_grouped_stage(spark, emb):
     tree = plan.split("\n\n")[0]
     assert "FlatMapGroupsInPandas" in tree or "FlatMapGroupsIn" in tree
     assert tree.count("Exchange") == 1
+
+
+def test_semdedup_zero_norm_vector_refuses(spark):
+    """ADVICE r12: an all-zero embedding has no direction — normalizing
+    yields NaN rows whose cosines are silently False (always kept).
+    The greedy pass must raise, naming the offending id."""
+    rows = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("z", [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "doc_key string, v array<double>")
+    with pytest.raises(Exception, match="zero-norm"):
+        semantic_dedup(
+            emb, n_clusters=1, n_iters=1, id_col="doc_key", vec_col="v"
+        ).collect()
