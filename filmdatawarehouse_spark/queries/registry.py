@@ -60,61 +60,62 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # rotation tool reports the headroom (capacity - active) so growth is
 # planned, not discovered at an over-committed rotation.
 # --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- r09-certified (staleness deadline)
-    "text_normalize_dedup",
-    "embedding_norm_hist",
-    "events_funnel",
-    "text_prefix_filter_pairs",
-    "text_hof_stats",
-    "asof_join_events",
-    "snapshot_diff_customers",
-    "ntile_order_value",
-    "corr_qty_price",
-    "window_rank_family",
-    "regional_supplier_revenue",
-    "customer_rfm",
-    "orders_abc_pareto",
-    "pricing_summary",
-    "shipping_priority",
-    "skew_profile_custkey",
-    "promo_revenue_monthly",
-    "priority_lines_by_status",
-    "pipeline_curate_documents",
-    "join_bigbig_rollup",
-    "decontaminate_docs",
-    "stratified_sample_events",
-    "pack_sequences",
-    "redact_pii_docs",
-    "corpus_merge_priority",
-    "text_repetition_metrics",
-    "text_repetition_gate",
-    "dedup_incremental",
-    "incremental_daily_rollup",
-    "orders_upsert_merge",
-    "embedding_quantize_codes",
-    "embedding_quantize_error",
-    "chunk_documents",
-    "events_ohlc_hourly",
-    "events_range_window",
-    "events_zscore_outliers",
-    "events_daily_streaks",
-    "events_first_touch",
-    "events_mode_type",
-    "events_hour_heatmap",
-    "events_hourly_anomalies",
-    "events_transitions",
-    "graph_bfs_hops",
-    "stream_sessions_final",
-    "stream_sessions_capped",
-    "stream_dedup_final",
-    "stream_interval_join",
-    "stream_heavy_hitters",
-    # -- r10-certified (filler slot)
-    "scan_project",
-    "clean_dropna_dedup",
+    # -- r10-certified (staleness deadline)
+    "filter_pushdown",
+    "dim_date_generate",
+    "derive_date_id",
+    "derive_month_key",
+    "join_inner_equi",
+    "fact_daily_orders",
+    "fact_monthly_totals",
+    "monthly_revenue",
+    "top10_parts",
+    "filtered_daily_series",
+    "sql_passthrough",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters_star",
+    "dedup_embedding_ann_recall",
+    "similarity_topk",
+    "similarity_range",
+    "similarity_ann_recall",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_word_freq",
+    "text_vocab_encode",
+    "text_word_entropy_native",
+    "text_bigram_lm",
+    "events_sliding_window",
+    "events_session_window",
+    "events_user_totals",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "profile_orders",
+    "events_gaps",
+    "events_json_props",
+    "unpivot_part",
+    "events_locf_fill",
+    "latest_order_per_customer",
+    "grouping_sets_orders",
+    "range_join_events",
+    "events_hourly_gapfill",
+    "join_bigbig_bucketed",
+    "weighted_sample_docs",
+    "corpus_mix_sample",
+    "stream_merge_upsert",
+    # -- driver-never-seen (new this round)
+    "ivfpq_recall",
+    "semdedup_planted",
+    # -- r11-certified (filler slot)
+    "text_heavy_hitters",
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (
@@ -161,6 +162,7 @@ RETIRED: tuple[str, ...] = (
     "text_word_entropy",
     "similarity_ann_ivf",
     "rollup_order_stats",
+    "events_tumbling_window",
 )
 
 RETIRED_NOTES: dict[str, str] = {
@@ -221,6 +223,20 @@ RETIRED_NOTES: dict[str, str] = {
         "flags, arbitrary set lists) stay active: each certifies a "
         "capability the cube row does not. Stays registered and locally "
         "oracle-verified every pytest run."
+    ),
+    "events_tumbling_window": (
+        "Certified by `events_sliding_window` (green r10): both queries "
+        "run the IDENTICAL aggregates (decimal-exact count + value sum "
+        "per event_type) through the same `F.window` expression on the "
+        "same events table — a tumbling window IS the slide=width "
+        "special case of Spark's TimeWindow, so the sliding row "
+        "exercises a strict superset of the assignment machinery "
+        "(multi-window membership included) on the same determinism "
+        "contract and output schema (streaming/windows.py:20,45). "
+        "Retired r13 to fund the second reserved-slot gate "
+        "(`semdedup_planted`) without saturating window capacity. Stays "
+        "registered, in the bench headline, and locally oracle-verified "
+        "every pytest run."
     ),
 }
 
@@ -286,6 +302,7 @@ def all_queries() -> dict[str, Entry]:
         stream_sessions_final_oracle,
     )
     from filmdatawarehouse_spark.queries.timeseries import TIMESERIES_QUERIES
+    from filmdatawarehouse_spark.queries.vector_gates import VECTOR_GATE_QUERIES
     from filmdatawarehouse_spark.queries.warehouse_shapes import (
         WAREHOUSE_SHAPE_QUERIES,
     )
@@ -309,6 +326,10 @@ def all_queries() -> dict[str, Entry]:
     registry.update(QUALITY_QUERIES)
     registry.update(BASKET_QUERIES)
     registry.update(GRAPH_QUERIES)
+    # r13: the two RESERVED window slots, spent on the r12 vector-numeric
+    # family's quality gates (the module banner names why a pytest
+    # oracle is insufficient, per the growth policy below)
+    registry.update(VECTOR_GATE_QUERIES)
     registry["stream_sessions_final"] = (
         stream_sessions_final,
         stream_sessions_final_oracle(),
