@@ -18,9 +18,10 @@ flip uses ``FileContext.rename(..., Options.Rename.OVERWRITE)`` —
   designed against);
 - S3A and other object stores: rename is COPY+DELETE — not atomic.
   There a reader can observe a missing pointer for the copy window;
-  run single-writer and treat pointer-read retries as required, or
-  target a transactional table format instead (the module banners of
-  the two consumers say the same).
+  ``read_text_retry`` (r13) bounds that exposure for every pointer
+  consumer (MERGE pointer, IVF/IVF-PQ pointer, ingest ledger), but
+  writers must STILL run single-writer — or target a transactional
+  table format instead.
 
 Everything here is driver-side py4j with O(1) or O(#versions) calls per
 commit — never per data file (py4j costs ~5ms per call; the pointer
@@ -97,6 +98,37 @@ def read_text(spark: SparkSession, path: str) -> str | None:
         return "\n".join(lines)
     finally:
         stream.close()
+
+
+def read_text_retry(
+    spark: SparkSession,
+    path: str,
+    attempts: int = 3,
+    base_delay_s: float = 0.05,
+) -> str | None:
+    """``read_text`` with bounded retry on ABSENT-or-EMPTY — the pointer
+    consumers' defense for stores where ``rename(OVERWRITE)`` is
+    copy+delete (module banner: S3A and friends). There a reader can
+    observe the pointer missing — or half-copied — for the flip window;
+    a single raw read would misreport an established table as "no
+    commits yet". Retries cover ONLY that window: any other error
+    re-raises immediately (``read_text``'s contract), and after
+    ``attempts`` reads the last observation is returned, so a genuinely
+    new table still reads as absent — just ~0.15 s slower on its very
+    first batch (exponential backoff: 0.05/0.1 s between the 3 reads,
+    orders of magnitude past a small pointer file's copy window).
+    Retries are a READER-side mitigation; the single-writer requirement
+    on non-atomic-rename stores stands (SCALING.md)."""
+    import time
+
+    text: str | None = None
+    for i in range(max(1, attempts)):
+        text = read_text(spark, path)
+        if text is not None and text.strip():
+            return text
+        if i + 1 < attempts:
+            time.sleep(base_delay_s * (2**i))
+    return text
 
 
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:

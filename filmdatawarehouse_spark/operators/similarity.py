@@ -405,7 +405,7 @@ def _ivf_pointer_pair(spark, index_path: str) -> tuple[str, str | None]:
     single-line pointers from r11 read as (current, None))."""
     from filmdatawarehouse_spark.io import fs
 
-    text = fs.read_text(spark, _ivf_pointer_path(index_path))
+    text = fs.read_text_retry(spark, _ivf_pointer_path(index_path))
     if text is None:
         raise ValueError(
             f"no IVF index at {index_path} (missing {IVF_POINTER} pointer)"

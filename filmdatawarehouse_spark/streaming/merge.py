@@ -123,7 +123,7 @@ def _read_pointer(
     directory heuristic for them. All pointer I/O goes through the
     Hadoop FileSystem (``io.fs``) since r12 so the table path may live
     on HDFS/S3A, not just the driver's local disk."""
-    text = fs.read_text(spark, _pointer_path(table_path))
+    text = fs.read_text_retry(spark, _pointer_path(table_path))
     if text is None:
         return None, None
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]

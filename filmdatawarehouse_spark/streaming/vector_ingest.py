@@ -58,7 +58,7 @@ def _applied(spark: SparkSession, version_dir: str) -> dict[str, int]:
     ascending ids within a run, so the high-water mark is the complete
     idempotence state and the ledger stays O(#runs) over a version's
     lifetime instead of growing (and being rewritten) per batch."""
-    text = fs.read_text(spark, _ledger_path(version_dir))
+    text = fs.read_text_retry(spark, _ledger_path(version_dir))
     out: dict[str, int] = {}
     if text is None:
         return out
