@@ -234,7 +234,22 @@ def build_compact(out: dict, full_path: str) -> str:
     if "n_errors" in out:
         compact["n_errors"] = out["n_errors"]
     if "anchor_drift" in out:
-        compact["anchor_drift_median"] = out["anchor_drift"]["median"]
+        # run-over-run median when the on-disk prev record was comparable;
+        # else the vs-committed median (r13: a cross-SF prev record used
+        # to leave anchor_drift holding ONLY vs_committed, and the bare
+        # ["median"] crashed the emitter AFTER the full record was
+        # written — stdout empty, stderr discarded, exit 0 via the tail
+        # pipe: the exact silent-protocol-break this function exists to
+        # prevent)
+        med = out["anchor_drift"].get("median")
+        if med is None:
+            med = (
+                out["anchor_drift"]
+                .get("vs_committed", {})
+                .get("median")
+            )
+        if med is not None:
+            compact["anchor_drift_median"] = med
     if "scale_sweep" in out:
         compact["scale_sweep_current"] = out["scale_sweep"]["current"]
     line = json.dumps(compact)

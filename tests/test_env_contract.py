@@ -151,3 +151,33 @@ def test_committed_anchor_drift_reads_git_not_disk():
         bench.committed_anchor_drift(warm, anchors, sf, ref="HEAD~10000")
         is None
     )
+
+
+def test_bench_stdout_survives_vs_committed_only_anchor_drift():
+    """r13 regression: when the previous on-disk record was a DIFFERENT
+    SF (cross-SF ratios refused), anchor_drift holds ONLY the
+    vs_committed block — the emitter must fall back to its median, not
+    crash after the full record is already on disk (stdout empty,
+    stderr discarded, exit 0 through the tail pipe: a silent protocol
+    break the driver would record as parsed=null)."""
+    import importlib
+    import json
+
+    bench = importlib.import_module("bench")
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q": 1.0},
+        "queries_warm": {"q": 1.0},
+        "value_warm": 1.0,
+        "sf": 0.1,
+        "anchor_drift": {"vs_committed": {"median": 0.9, "ratios_warm": {}}},
+    }
+    line = bench.build_compact(out, "/root/repo/BENCH_full.json")
+    assert json.loads(line)["anchor_drift_median"] == 0.9
+    # and an anchor_drift with NO median anywhere simply omits the field
+    out["anchor_drift"] = {"vs_committed": {}}
+    line = bench.build_compact(out, "/root/repo/BENCH_full.json")
+    assert "anchor_drift_median" not in json.loads(line)
