@@ -184,13 +184,27 @@ def check_runtime() -> tuple[list[str], str]:
         return [], "runtime check skipped: records are different SFs"
     gated = {k for k, _ in COST_FEATURES}
     regressions = []
-    for name in sorted(set(cur) & set(base)):
-        for feat in sorted(gated):
-            b, c = base[name].get(feat, 0), cur[name].get(feat, 0)
-            if c > b:
-                regressions.append(f"{name}: runtime {feat} {b} -> {c}")
-    n = len(set(cur) & set(base))
-    return regressions, f"runtime check: {n} overlapping fingerprints"
+    overlaps = []
+    # r13 (VERDICT r12 item 8): bench.py now records the same fingerprint
+    # set captured on the WARM pass too (persisted frames still in the
+    # CacheManager) — diff both axes, since the one r12 perf anomaly was
+    # warm-only and invisible to the cold-state fingerprints.
+    for axis in ("plans_runtime", "plans_runtime_warm"):
+        cur, base = disk.get(axis), committed.get(axis)
+        if not cur or not base:
+            continue  # warm block only exists once two records carry it
+        overlaps.append(f"{axis}: {len(set(cur) & set(base))}")
+        for name in sorted(set(cur) & set(base)):
+            for feat in sorted(gated):
+                b, c = base[name].get(feat, 0), cur[name].get(feat, 0)
+                if c > b:
+                    regressions.append(
+                        f"{name}: {axis.removeprefix('plans_')} "
+                        f"{feat} {b} -> {c}"
+                    )
+    return regressions, (
+        "runtime check overlapping fingerprints — " + "; ".join(overlaps)
+    )
 
 
 def main() -> int:
