@@ -256,6 +256,13 @@ def _changes_between(
         if prev is not None
         else spark.createDataFrame([], new.schema)
     )
+    # r13: across an additive schema evolution the previous snapshot
+    # lacks the new column(s) — null-fill them so the diff stays
+    # computable and HONEST: a key whose new value is non-null reads as
+    # an update (null→value under eqNullSafe), null→null as unchanged
+    for f in new.schema.fields:
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
     cols = (
         [c for c in new.columns if c not in keys]
         if compare_cols is None
@@ -274,6 +281,7 @@ def merged_frame(
     batch_df: DataFrame,
     keys: list[str],
     seq_col: str | None = None,
+    schema_evolution: str = "strict",
 ) -> DataFrame:
     """The MERGE plan: base ∪ batch with a priority column, ONE
     ``groupBy(keys)`` + ``max_by(struct, (seq, prio))`` — a single
@@ -281,7 +289,25 @@ def merged_frame(
     sort (plan-pinned by tests/test_stream_merge.py). Survivorship is
     lexicographic (seq, prio): greatest ``seq_col`` wins, batch beats
     base on ties; without ``seq_col``, batch always beats base.
-    Within-batch duplicates resolve in the same aggregate."""
+    Within-batch duplicates resolve in the same aggregate.
+
+    Schema drift (r13): a batch whose columns differ from the snapshot
+    used to be handled WRONG in both directions — a dropped column was
+    silently projected away (the merged snapshot lost it for EVERY row,
+    not just the batch's), an added column died on an opaque unresolved-
+    column error. Now:
+
+    - a batch missing snapshot columns is REFUSED in every mode (a
+      stream cannot retract a column; project the snapshot explicitly
+      if that is really the intent);
+    - a batch ADDING value columns is refused under ``"strict"`` (the
+      default) and accepted under ``schema_evolution="additive"`` —
+      snapshot rows null-fill the new columns and the merged snapshot
+      carries the widened schema from this batch on (the standard
+      mergeSchema semantics). Keys and ``seq_col`` are never evolvable:
+      null keys would silently re-group history and null seqs would
+      corrupt survivorship, so those additions are refused outright.
+    """
     cols = batch_df.columns
     # internal-name collision guard (the total_col pattern from
     # operators/prefix.py): withColumn would silently REPLACE a caller
@@ -292,6 +318,11 @@ def merged_frame(
             raise ValueError(
                 f"batch_df must not contain reserved column {reserved!r}"
             )
+    if schema_evolution not in ("strict", "additive"):
+        raise ValueError(
+            f"unknown schema_evolution {schema_evolution!r}: "
+            "expected 'strict' or 'additive'"
+        )
     value_cols = [c for c in cols if c not in keys]
     if not value_cols:
         raise ValueError(
@@ -305,8 +336,32 @@ def merged_frame(
     )
     src = batch_df.withColumn("_prio", F.lit(1))
     if base is not None:
+        batch_set = set(cols)
+        dropped = [c for c in base.columns if c not in batch_set]
+        added = [c for c in cols if c not in set(base.columns)]
+        if dropped:
+            raise ValueError(
+                f"batch_df is missing snapshot column(s) {dropped}: a "
+                "MERGE batch cannot retract columns — null-fill them in "
+                "the batch, or project the snapshot explicitly"
+            )
+        bad_added = [c for c in added if c in keys or c == seq_col]
+        if bad_added:
+            raise ValueError(
+                f"batch_df adds key/seq column(s) {bad_added} absent "
+                "from the snapshot: keys and the survivorship column "
+                "are not evolvable (null history would re-group rows / "
+                "corrupt survivorship)"
+            )
+        if added and schema_evolution != "additive":
+            raise ValueError(
+                f"batch_df adds column(s) {added} not in the snapshot; "
+                "pass schema_evolution='additive' to widen the table "
+                "(snapshot rows null-fill the new columns)"
+            )
         src = (
-            base.select(*cols).withColumn("_prio", F.lit(0)).unionByName(src)
+            base.withColumn("_prio", F.lit(0))
+            .unionByName(src, allowMissingColumns=bool(added))
         )
     return (
         src.groupBy(*keys)
@@ -323,6 +378,7 @@ def merge_upsert_batch(
     seq_col: str | None = None,
     run_id: str = "api",
     on_changes=None,
+    schema_evolution: str = "strict",
 ) -> None:
     """Idempotently MERGE one micro-batch into the snapshot table.
 
@@ -343,7 +399,14 @@ def merge_upsert_batch(
     — is re-fed; downstream must be idempotent on (batch_id, keys), the
     standard CDC consumer contract. A consumer exception fails the
     micro-batch for replay — it is part of the batch's work, not a
-    fire-and-forget."""
+    fire-and-forget.
+
+    ``schema_evolution`` ('strict' | 'additive', r13) is
+    ``merged_frame``'s drift policy: 'additive' lets a batch WIDEN the
+    table with new value columns (snapshot rows null-fill; the CDC diff
+    stays computable across the boundary — old side null-filled, so
+    null→value reads as an update). Missing columns and key/seq
+    additions are refused in every mode."""
     spark = batch_df.sparkSession
     snap = _snapshot_name(run_id, batch_id)
     prev = current_snapshot(spark, table_path)
@@ -361,7 +424,9 @@ def merge_upsert_batch(
             )
         return
     base = read_merge_table(spark, table_path)
-    merged = merged_frame(base, batch_df, keys, seq_col)
+    merged = merged_frame(
+        base, batch_df, keys, seq_col, schema_evolution=schema_evolution
+    )
 
     root = table_path.rstrip("/")
     merged.write.mode("overwrite").parquet(f"{root}/{snap}")
@@ -400,19 +465,21 @@ def write_stream_merge_upsert(
     seq_col: str | None = None,
     run_id: str | None = None,
     on_changes=None,
+    schema_evolution: str = "strict",
 ):
     """Start the exactly-once MERGE sink for ``df`` (returns the started
     StreamingQuery; availableNow so a restart drains new input and
     stops). Each start gets a fresh run identity unless the caller pins
     one — see the module docstring for why batch ids alone are not an
     idempotence key. ``on_changes`` attaches the per-batch CDC consumer
-    (at-least-once; see ``merge_upsert_batch``)."""
+    (at-least-once; see ``merge_upsert_batch``); ``schema_evolution``
+    ('strict' | 'additive') is ``merged_frame``'s drift policy."""
     rid = run_id or uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_upsert_batch(
             batch_df, batch_id, table_path, keys, seq_col, run_id=rid,
-            on_changes=on_changes,
+            on_changes=on_changes, schema_evolution=schema_evolution,
         )
 
     return (
