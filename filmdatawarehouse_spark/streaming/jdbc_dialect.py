@@ -68,6 +68,15 @@ class JdbcMergeDialect:
         qkeys = ", ".join(self.quote(k) for k in keys)
         return f"CREATE INDEX {target}_key_idx ON {target} ({qkeys})"
 
+    # --- additive schema evolution (r13) ----------------------------------
+    def add_column(self, target: str, col: str, ddl_type: str) -> str:
+        """Widen ``target`` with one nullable column. The ANSI form is
+        shared by Derby and MySQL 8; the type string comes from the
+        staging table's own metadata (``jdbc_merge._column_ddl_type``),
+        so the widened column carries exactly the type Spark's JDBC
+        writer chose for the batch."""
+        return f"ALTER TABLE {target} ADD COLUMN {self.quote(col)} {ddl_type}"
+
     # --- condition fragments (shared across dialects) --------------------
     def _fragments(self, keys: list[str], seq_col: str | None):
         q = self.quote

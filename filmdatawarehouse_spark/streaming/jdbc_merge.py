@@ -111,6 +111,53 @@ def _table_exists(conn, table: str, dialect: JdbcMergeDialect) -> bool:
         rs.close()
 
 
+def _columns_rs(conn, table: str, dialect: JdbcMergeDialect):
+    md = conn.getMetaData()
+    esc = md.getSearchStringEscape()
+    pattern = dialect.fold_unquoted(table).replace("_", f"{esc}_")
+    return md.getColumns(None, conn.getSchema(), pattern, None)
+
+
+def _table_columns(conn, table: str, dialect: JdbcMergeDialect) -> list[str]:
+    """COLUMN_NAMEs of ``table`` (current schema, metadata order, stored
+    case — which matches batch column names because every table this
+    sink touches was created with dialect-quoted, case-preserved column
+    identifiers)."""
+    rs = _columns_rs(conn, table, dialect)
+    out: list[str] = []
+    try:
+        while rs.next():
+            out.append(rs.getString("COLUMN_NAME"))
+    finally:
+        rs.close()
+    return out
+
+
+def _column_ddl_type(
+    conn, table: str, col: str, dialect: JdbcMergeDialect
+) -> str:
+    """The column's DDL type string reconstructed from metadata — asked
+    of the STAGING table Spark just wrote, so the widened target column
+    carries exactly the store-side type the JDBC writer chose for the
+    batch (length for char types, precision/scale for decimals)."""
+    rs = _columns_rs(conn, table, dialect)
+    try:
+        while rs.next():
+            if rs.getString("COLUMN_NAME") == col:
+                t = rs.getString("TYPE_NAME")
+                size = rs.getInt("COLUMN_SIZE")
+                digits = rs.getInt("DECIMAL_DIGITS")
+                up = t.upper()
+                if up in ("VARCHAR", "CHAR", "CHARACTER VARYING", "CHARACTER"):
+                    return f"{t}({size})"
+                if up in ("DECIMAL", "NUMERIC"):
+                    return f"{t}({size},{digits})"
+                return t
+    finally:
+        rs.close()
+    raise ValueError(f"column {col!r} not found in {table}")
+
+
 def _ensure_ledger(conn, dialect: JdbcMergeDialect) -> None:
     if not _table_exists(conn, LEDGER_TABLE, dialect):
         _execute(
@@ -151,6 +198,7 @@ def merge_jdbc_batch(
     *,
     run_id: str,
     dialect: JdbcMergeDialect | None = None,
+    schema_evolution: str = "strict",
     **jdbc_options: str,
 ) -> None:
     """Idempotently apply one micro-batch to a transactional JDBC target
@@ -168,9 +216,28 @@ def merge_jdbc_batch(
     ledger with never-matched rows. The caller must pin a run identity
     with the right scope: stable across retries of one logical stream
     (what ``write_stream_merge_jdbc`` does with its per-start uuid),
-    distinct across independent writers."""
+    distinct across independent writers.
+
+    ``schema_evolution`` ('strict' | 'additive', r13) mirrors the
+    snapshot sink's drift policy (``merge.merged_frame``): a batch
+    missing target columns REFUSES in every mode (its superseding
+    DELETE + narrower INSERT would silently lose the column per key);
+    a batch adding value columns refuses under 'strict' and, under
+    'additive', widens the target with ``ALTER TABLE ADD COLUMN``
+    typed from the staging table's own metadata (existing rows read
+    NULL). The ALTER runs on a SEPARATE autocommit connection BEFORE
+    the merge transaction — MySQL DDL implicitly commits, so putting
+    it inside the transaction would silently break the trio+ledger
+    atomicity there; a crash between the ALTER and the transaction
+    replays convergently (the re-probe finds the column present and
+    alters nothing). Keys and ``seq_col`` are never evolvable."""
     from filmdatawarehouse_spark.streaming.merge import merged_frame
 
+    if schema_evolution not in ("strict", "additive"):
+        raise ValueError(
+            f"unknown schema_evolution {schema_evolution!r}: "
+            "expected 'strict' or 'additive'"
+        )
     spark = batch_df.sparkSession
     dl = dialect or dialect_for_url(url)
     # staging is per-RUN: a fixed name could be overwritten by a zombie
@@ -180,16 +247,44 @@ def merge_jdbc_batch(
     # its own scratch table only
     staging = f"{table}_stg_{run_id}"
     survivors = merged_frame(None, batch_df, keys, seq_col)
+    cols = survivors.columns
 
     # cheap ledger probe BEFORE the staging write: a crash-after-commit
     # replay would otherwise pay a full distributed JDBC overwrite of
     # the batch just to discover it is a no-op (autocommit connection —
-    # the ledger CREATE, if needed, commits immediately)
+    # the ledger CREATE, if needed, commits immediately). Schema drift
+    # is checked here too — a strict refusal should not pay the staging
+    # write either.
+    added: list[str] = []
     probe = _connect(spark, url, driver, jdbc_options)
     try:
         _ensure_ledger(probe, dl)
         if _ledger_has(probe, table, run_id, batch_id):
             return  # already applied: skip the staging write too
+        if _table_exists(probe, table, dl):
+            tcols = _table_columns(probe, table, dl)
+            batch_set = set(cols)
+            dropped = [c for c in tcols if c not in batch_set]
+            added = [c for c in cols if c not in set(tcols)]
+            if dropped:
+                raise ValueError(
+                    f"batch is missing target column(s) {dropped}: a "
+                    "MERGE batch cannot retract columns — null-fill "
+                    "them in the batch"
+                )
+            bad = [c for c in added if c in keys or c == seq_col]
+            if bad:
+                raise ValueError(
+                    f"batch adds key/seq column(s) {bad} absent from "
+                    "the target: keys and the survivorship column are "
+                    "not evolvable"
+                )
+            if added and schema_evolution != "additive":
+                raise ValueError(
+                    f"batch adds column(s) {added} not in the target; "
+                    "pass schema_evolution='additive' to widen it "
+                    "(existing rows read NULL)"
+                )
     finally:
         probe.close()
 
@@ -204,6 +299,23 @@ def merge_jdbc_batch(
         writer = writer.option(k, v)
     writer.mode("overwrite").save()
 
+    if added:
+        # additive widening on its own AUTOCOMMIT connection (docstring:
+        # MySQL DDL implicitly commits — inside the merge transaction it
+        # would break trio+ledger atomicity there); typed from staging's
+        # own metadata, which the JDBC writer just created
+        ddl_conn = _connect(spark, url, driver, jdbc_options)
+        try:
+            for c in added:
+                _execute(
+                    ddl_conn,
+                    dl.add_column(
+                        table, c, _column_ddl_type(ddl_conn, staging, c, dl)
+                    ),
+                )
+        finally:
+            ddl_conn.close()
+
     conn = _connect(spark, url, driver, jdbc_options)
     try:
         conn.setAutoCommit(False)
@@ -211,7 +323,6 @@ def merge_jdbc_batch(
         if _ledger_has(conn, table, run_id, batch_id):
             conn.rollback()  # crash-after-commit replay: already applied
             return
-        cols = survivors.columns
         if not _table_exists(conn, table, dl):
             # first batch: create the target with staging's exact shape,
             # plus a key index — the DELETE/INSERT below probe the target
@@ -276,11 +387,13 @@ def write_stream_merge_jdbc(
     driver: str | None = None,
     run_id: str | None = None,
     dialect: JdbcMergeDialect | None = None,
+    schema_evolution: str = "strict",
     **jdbc_options: str,
 ):
     """Start the transactional exactly-once JDBC MERGE sink (availableNow;
     returns the started StreamingQuery). Each start gets a fresh run
-    identity unless the caller pins one (see module docstring)."""
+    identity unless the caller pins one (see module docstring).
+    ``schema_evolution`` is ``merge_jdbc_batch``'s drift policy."""
     import uuid
 
     rid = run_id or uuid.uuid4().hex[:12]
@@ -289,7 +402,7 @@ def write_stream_merge_jdbc(
         merge_jdbc_batch(
             batch_df, batch_id, url, table, keys,
             seq_col=seq_col, driver=driver, run_id=rid, dialect=dialect,
-            **jdbc_options,
+            schema_evolution=schema_evolution, **jdbc_options,
         )
 
     return (

@@ -50,7 +50,8 @@ def _table_rows(spark, table):
         .option("dbtable", table)
         .load()
     )
-    return {r.k: (r.status, r.price, r.seq) for r in back.collect()}
+    cols = [c for c in back.columns if c != "k"]  # dynamic: evolution test
+    return {r.k: tuple(r[c] for c in cols) for r in back.collect()}
 
 
 def test_mysql_merge_ledger_replay_seq_matrix(spark):
@@ -140,3 +141,43 @@ def test_mysql_merge_null_keys_never_duplicate(spark):
     assert rows[None] == ("U", 2.0, 1)  # one NULL-key row, updated
     assert rows[1] == ("A", 10.0, 0)
     assert len(rows) == 2
+
+
+def test_mysql_merge_additive_schema_evolution(spark):
+    """r13 drift policy on live MySQL — the dialect this design exists
+    for: MySQL DDL implicitly commits, so the widening ALTER runs on
+    its own autocommit connection BEFORE the merge transaction (see
+    merge_jdbc_batch's docstring). Widen, merge, replay, and refuse a
+    post-evolution narrow batch."""
+    from filmdatawarehouse_spark.streaming.jdbc_merge import merge_jdbc_batch
+
+    table = f"merged_evo_{uuid.uuid4().hex[:8]}"
+    b0 = spark.createDataFrame([(1, "A", 10.0, 0)], SCHEMA)
+    merge_jdbc_batch(
+        b0, 0, MYSQL_URL, table, ["k"], seq_col="seq",
+        driver=MYSQL_DRIVER, run_id="r",
+    )
+    wide = spark.createDataFrame(
+        [(1, "U", 11.0, 1, "eu"), (2, "A", 20.0, 1, None)],
+        "k long, status string, price double, seq long, region string",
+    )
+    merge_jdbc_batch(
+        wide, 1, MYSQL_URL, table, ["k"], seq_col="seq",
+        driver=MYSQL_DRIVER, run_id="r", schema_evolution="additive",
+    )
+    rows = _table_rows(spark, table)  # (status, price, seq, region)
+    assert rows[1] == ("U", 11.0, 1, "eu")
+    assert rows[2] == ("A", 20.0, 1, None)
+    # replay no-ops on the ledger
+    merge_jdbc_batch(
+        wide, 1, MYSQL_URL, table, ["k"], seq_col="seq",
+        driver=MYSQL_DRIVER, run_id="r", schema_evolution="additive",
+    )
+    assert _table_rows(spark, table) == rows
+    # narrow batch post-evolution refuses
+    b2 = spark.createDataFrame([(3, "A", 30.0, 2)], SCHEMA)
+    with pytest.raises(ValueError, match="missing target column"):
+        merge_jdbc_batch(
+            b2, 2, MYSQL_URL, table, ["k"], seq_col="seq",
+            driver=MYSQL_DRIVER, run_id="r",
+        )
