@@ -19,9 +19,11 @@ flip uses ``FileContext.rename(..., Options.Rename.OVERWRITE)`` —
 - S3A and other object stores: rename is COPY+DELETE — not atomic.
   There a reader can observe a missing pointer for the copy window;
   ``read_text_retry`` (r13) bounds that exposure for every pointer
-  consumer (MERGE pointer, IVF/IVF-PQ pointer, ingest ledger), but
-  writers must STILL run single-writer — or target a transactional
-  table format instead.
+  consumer (MERGE pointer, IVF/IVF-PQ pointer, ingest ledger). A
+  SECOND WRITER is fenced by ``io.lease`` (r14): every pointer-flip
+  protocol acquires a lease with a fencing token and re-verifies it
+  at commit time, so concurrent writers refuse loudly instead of
+  interleaving flips — or target a transactional table format.
 
 Everything here is driver-side py4j with O(1) or O(#versions) calls per
 commit — never per data file (py4j costs ~5ms per call; the pointer
@@ -100,6 +102,24 @@ def read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+# Schemes whose rename IS atomic (module banner): an absent/empty read
+# there is the truth, never a flip window — retrying can only delay the
+# caller. viewfs delegates to hdfs mounts.
+_ATOMIC_RENAME_SCHEMES = frozenset({"file", "hdfs", "viewfs"})
+
+
+def _scheme(spark: SparkSession, path: str) -> str | None:
+    """The resolved FileSystem scheme for ``path`` ("file", "hdfs",
+    "s3a", ...), or None when resolution itself fails (the caller then
+    assumes the conservative non-atomic case). Factored out so tests
+    can simulate an object store on a local path."""
+    try:
+        _, fs_ = _jpath(spark, path)
+        return str(fs_.getScheme())
+    except Exception:  # noqa: BLE001 — detection must never mask the read
+        return None
+
+
 def read_text_retry(
     spark: SparkSession,
     path: str,
@@ -114,20 +134,27 @@ def read_text_retry(
     commits yet". Retries cover ONLY that window: any other error
     re-raises immediately (``read_text``'s contract), and after
     ``attempts`` reads the last observation is returned, so a genuinely
-    new table still reads as absent — just ~0.15 s slower on its very
-    first batch (exponential backoff: 0.05/0.1 s between the 3 reads,
-    orders of magnitude past a small pointer file's copy window).
-    Retries are a READER-side mitigation; the single-writer requirement
-    on non-atomic-rename stores stands (SCALING.md)."""
+    new table still reads as absent (exponential backoff: 0.05/0.1 s
+    between the 3 reads, orders of magnitude past a small pointer
+    file's copy window).
+
+    On ATOMIC-rename schemes (local/HDFS/viewfs) an absent read is the
+    truth and the retry can never help, so it is skipped (ADVICE r13):
+    a legitimately-first read of a new table's pointer costs one read,
+    not a ~0.15 s backoff. Retries are a READER-side mitigation; a
+    second WRITER is fenced by ``io.lease``."""
     import time
 
-    text: str | None = None
-    for i in range(max(1, attempts)):
+    text = read_text(spark, path)
+    if text is not None and text.strip():
+        return text
+    if _scheme(spark, path) in _ATOMIC_RENAME_SCHEMES:
+        return text  # absence is the truth here, not a flip window
+    for i in range(1, max(1, attempts)):
+        time.sleep(base_delay_s * (2 ** (i - 1)))
         text = read_text(spark, path)
         if text is not None and text.strip():
             return text
-        if i + 1 < attempts:
-            time.sleep(base_delay_s * (2**i))
     return text
 
 
@@ -151,6 +178,46 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     opts = gw.new_array(ren, 1)
     opts[0] = ren.OVERWRITE
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(p), opts)
+
+
+def create_text_exclusive(
+    spark: SparkSession, path: str, text: str
+) -> bool:
+    """Create ``path`` holding ``text`` IFF it does not already exist;
+    False when it does (``FileSystem.create(overwrite=false)``). This is
+    the lease-acquisition primitive (``io.lease``): atomic create-if-
+    absent on HDFS (NameNode-serialized); on the local FS it is a
+    check-then-create inside the Hadoop client — fine for a driver-side
+    protocol; on object stores without conditional PUT two racers can
+    both "succeed" with last-write-wins, which is exactly why the lease
+    protocol NEVER trusts acquisition alone: the fencing token is
+    re-verified at commit time, and only the token matching the lease
+    file's current content commits."""
+    p, fs = _jpath(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        name = type(e).__name__
+        java = str(getattr(e, "java_exception", "")) or str(e)
+        if "AlreadyExists" in name or "AlreadyExists" in java:
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def mtime_ms(spark: SparkSession, path: str) -> int | None:
+    """The file's modification time in epoch milliseconds, or None when
+    it does not exist (the lease-expiry clock — see ``io.lease`` for
+    why TTL is advisory and the fencing token is the correctness
+    mechanism)."""
+    p, fs = _jpath(spark, path)
+    if not fs.exists(p):
+        return None
+    return int(fs.getFileStatus(p).getModificationTime())
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:

@@ -149,11 +149,16 @@ def ivfpq_index_build(
     flip. Build cost is the flat index's k-means plus ``n_iters + 1``
     residual scans (each one matmul per batch); what it buys every later
     search is the module-banner I/O shape: probed-lists-only file reads
-    of m-byte codes instead of dim-float vectors."""
+    of m-byte codes instead of dim-float vectors. Runs under the
+    index-root writer fence (r14, shared with ``ivf_index_build``): a
+    concurrent build/append/ingest refuses instead of interleaving."""
     import uuid
+
+    from filmdatawarehouse_spark.io import lease
 
     spark = emb.sparkSession
     token = f"v-{uuid.uuid4().hex[:8]}"
+    fence = lease.acquire(spark, index_path, owner=f"build-{token}")
     vdir = f"{index_path.rstrip('/')}/{token}"
     cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
     res = _residuals(emb, cents, id_col, vec_col)
@@ -195,7 +200,8 @@ def ivfpq_index_build(
         .partitionBy("list_id")
         .parquet(f"{vdir}/codes")
     )
-    _commit_index_version(spark, index_path, token)
+    _commit_index_version(spark, index_path, token, lease_token=fence)
+    lease.release(spark, index_path, fence)
 
 
 def ivfpq_index_append(
@@ -203,27 +209,40 @@ def ivfpq_index_append(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    owner: str | None = None,
 ) -> None:
     """Add vectors WITHOUT retraining: assign against the stored coarse
     centroids, encode residuals with the stored codebooks (both one
     zero-shuffle scan of the increment only), append into the matching
     list partitions of the committed version. Same caveats as
     ``ivf_index_append``: recall-gate as the rebuild trigger, wrap the
-    caller in a MERGE ledger when the increment source redelivers."""
+    caller in a MERGE ledger when the increment source redelivers —
+    and the same r14 writer fence at the index root (``owner`` is the
+    crash-re-entry identity; default fresh per call)."""
+    import uuid
+
+    from filmdatawarehouse_spark.io import lease
+
     spark = new_emb.sparkSession
+    fence = lease.acquire(
+        spark, index_path, owner=owner or f"append-{uuid.uuid4().hex[:8]}"
+    )
     vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all three
     cents = _centroids_of(spark, vdir)
     books = _codebooks_of(spark, vdir)
     res = _residuals(new_emb, cents, id_col, vec_col)
+    encoded = pq_encode(
+        res, books, id_col=id_col, vec_col="residual",
+        extra_cols=("list_id",),
+    )
+    lease.verify(spark, index_path, fence)
     (
-        pq_encode(
-            res, books, id_col=id_col, vec_col="residual",
-            extra_cols=("list_id",),
-        )
+        encoded
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(f"{vdir}/codes")
     )
+    lease.release(spark, index_path, fence)
 
 
 def ivfpq_search(

@@ -371,15 +371,22 @@ def _ivf_pointer_path(index_path: str) -> str:
     return f"{index_path.rstrip('/')}/{IVF_POINTER}"
 
 
-def _commit_index_version(spark, index_path: str, token: str) -> None:
+def _commit_index_version(
+    spark, index_path: str, token: str, lease_token: str | None = None
+) -> None:
     """Atomic pointer flip + keep-two prune, shared by every persisted
     index family (flat IVF here; IVF-PQ in ``operators.ivfpq``). Line 2
     of the pointer records the RETAINED previous version — the keep-two
     contract concurrent readers rely on (see ``ivf_index_build``). Any
     older ``v-*`` dir is pruned best-effort: a failed delete is garbage
-    for the next commit's prune, never corruption."""
-    from filmdatawarehouse_spark.io import fs
+    for the next commit's prune, never corruption. ``lease_token``
+    (r14): the caller's writer-fence token, re-verified immediately
+    before the flip so a superseded builder refuses instead of
+    committing over the winner (``io.lease``)."""
+    from filmdatawarehouse_spark.io import fs, lease
 
+    if lease_token is not None:
+        lease.verify(spark, index_path, lease_token)
     root = index_path.rstrip("/")
     try:
         prev, _ = _ivf_pointer_pair(spark, index_path)
@@ -497,13 +504,19 @@ def ivf_index_build(
     An APPEND concurrent with a rebuild is NOT merged: the rebuild
     indexes exactly the ``emb`` it was given, so rows appended into the
     superseded version survive there (retained, readable) but are
-    absent from the new current version — run appends and rebuilds
-    single-writer, and include every increment in the rebuild's input.
+    absent from the new current version — include every increment in
+    the rebuild's input. Single-writer is ENFORCED since r14: builds
+    and appends acquire the ``io.lease`` writer fence at the index
+    root, so the concurrent case REFUSES (``WriterFencedError``)
+    instead of silently losing the append.
     """
     import uuid
 
+    from filmdatawarehouse_spark.io import lease
+
     spark = emb.sparkSession
     token = f"v-{uuid.uuid4().hex[:8]}"
+    fence = lease.acquire(spark, index_path, owner=f"build-{token}")
     vdir = f"{index_path.rstrip('/')}/{token}"
     cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
     (
@@ -524,8 +537,10 @@ def ivf_index_build(
         .partitionBy("list_id")
         .parquet(f"{vdir}/vectors")
     )
-    # atomic commit: keep-two pointer flip + prune (shared helper)
-    _commit_index_version(spark, index_path, token)
+    # atomic commit: keep-two pointer flip + prune, refusing if the
+    # writer fence was taken over during the build (shared helper)
+    _commit_index_version(spark, index_path, token, lease_token=fence)
+    lease.release(spark, index_path, fence)
 
 
 def ivf_index_append(
@@ -533,6 +548,7 @@ def ivf_index_append(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    owner: str | None = None,
 ) -> None:
     """Add vectors to an existing index WITHOUT retraining: assign against
     the stored centroids (one zero-shuffle scan of the increment only)
@@ -542,16 +558,34 @@ def ivf_index_append(
     trigger, not a row-count heuristic. Plain parquet append is
     at-least-once under replay: wrap the caller in the streaming MERGE
     ledger (or diff ids against the index) when the increment source
-    redelivers."""
+    redelivers.
+
+    Writer fencing (r14): the resolve→assign→append cycle runs under
+    the ``io.lease`` writer fence at the index root, re-verified just
+    before the append — a second concurrent append (or an append racing
+    a rebuild: the silently-lost-rows case the build docstring
+    documents) refuses with ``WriterFencedError``. ``owner`` is the
+    logical writer identity for crash re-entry (a replaying caller
+    passes its stable run id); default is a fresh identity per call."""
+    import uuid
+
+    from filmdatawarehouse_spark.io import lease
+
     spark = new_emb.sparkSession
+    fence = lease.acquire(
+        spark, index_path, owner=owner or f"append-{uuid.uuid4().hex[:8]}"
+    )
     vdir = ivf_index_version_dir(spark, index_path)  # resolved ONCE for both
     cents = _centroids_of(spark, vdir)
+    assigned = _assign_lists(new_emb, cents, id_col, vec_col)
+    lease.verify(spark, index_path, fence)
     (
-        _assign_lists(new_emb, cents, id_col, vec_col)
+        assigned
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(f"{vdir}/vectors")
     )
+    lease.release(spark, index_path, fence)
 
 
 def ivf_index_search(

@@ -63,7 +63,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filmdatawarehouse_spark.io import fs
+from filmdatawarehouse_spark.io import fs, lease
 
 POINTER = "_LATEST"
 
@@ -379,6 +379,7 @@ def merge_upsert_batch(
     run_id: str = "api",
     on_changes=None,
     schema_evolution: str = "strict",
+    lease_ttl_s: float = lease.DEFAULT_TTL_S,
 ) -> None:
     """Idempotently MERGE one micro-batch into the snapshot table.
 
@@ -406,7 +407,17 @@ def merge_upsert_batch(
     table with new value columns (snapshot rows null-fill; the CDC diff
     stays computable across the boundary — old side null-filled, so
     null→value reads as an update). Missing columns and key/seq
-    additions are refused in every mode."""
+    additions are refused in every mode.
+
+    Writer fencing (r14): the read→merge→flip cycle runs under the
+    ``io.lease`` writer lease (owner = ``run_id``), re-verified
+    immediately before the pointer flip — a SECOND concurrent writer
+    refuses with ``WriterFencedError`` instead of interleaving flips
+    and losing the other's merge (the lost-update a stale ``base``
+    read would cause). A crash replay under the SAME run_id re-acquires
+    instantly; a different writer waits out ``lease_ttl_s`` (or an
+    operator breaks the lease). The committed-replay fast path below
+    is read-only and stays unfenced."""
     spark = batch_df.sparkSession
     snap = _snapshot_name(run_id, batch_id)
     prev = current_snapshot(spark, table_path)
@@ -423,6 +434,9 @@ def merge_upsert_batch(
                 batch_id,
             )
         return
+    # fence BEFORE the base read: a stale base merged under a raced
+    # flip is the lost-update failure mode, not just a torn pointer
+    token = lease.acquire(spark, table_path, owner=run_id, ttl_s=lease_ttl_s)
     base = read_merge_table(spark, table_path)
     merged = merged_frame(
         base, batch_df, keys, seq_col, schema_evolution=schema_evolution
@@ -430,6 +444,10 @@ def merge_upsert_batch(
 
     root = table_path.rstrip("/")
     merged.write.mode("overwrite").parquet(f"{root}/{snap}")
+    # still-the-writer check at the last possible moment: a lease taken
+    # over during the snapshot write (TTL expiry / operator break) must
+    # refuse HERE, before the irreversible flip
+    lease.verify(spark, table_path, token)
     # line 2 records the retained previous snapshot so CDC consumers
     # get a consistent (current, previous) pair from one atomic read;
     # the write is temp-file + rename through the Hadoop FileSystem
@@ -455,6 +473,10 @@ def merge_upsert_batch(
             _changes_between(spark, table_path, keys, None, snap, prev),
             batch_id,
         )
+    # release on the SUCCESS path only: a failed batch leaves the lease
+    # for its own replay (same run_id re-acquires instantly); a foreign
+    # writer waits out the TTL — crash semantics, documented above
+    lease.release(spark, table_path, token)
 
 
 def write_stream_merge_upsert(
@@ -466,6 +488,7 @@ def write_stream_merge_upsert(
     run_id: str | None = None,
     on_changes=None,
     schema_evolution: str = "strict",
+    lease_ttl_s: float = lease.DEFAULT_TTL_S,
 ):
     """Start the exactly-once MERGE sink for ``df`` (returns the started
     StreamingQuery; availableNow so a restart drains new input and
@@ -473,13 +496,17 @@ def write_stream_merge_upsert(
     one — see the module docstring for why batch ids alone are not an
     idempotence key. ``on_changes`` attaches the per-batch CDC consumer
     (at-least-once; see ``merge_upsert_batch``); ``schema_evolution``
-    ('strict' | 'additive') is ``merged_frame``'s drift policy."""
+    ('strict' | 'additive') is ``merged_frame``'s drift policy. Each
+    batch runs under the ``io.lease`` writer fence keyed on the run
+    identity — a second concurrent stream on the same table refuses
+    loudly (``merge_upsert_batch``'s r14 contract)."""
     rid = run_id or uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_upsert_batch(
             batch_df, batch_id, table_path, keys, seq_col, run_id=rid,
             on_changes=on_changes, schema_evolution=schema_evolution,
+            lease_ttl_s=lease_ttl_s,
         )
 
     return (

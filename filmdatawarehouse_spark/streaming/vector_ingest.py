@@ -22,9 +22,12 @@ guarantee than a ledger alone can give:
 
 The ledger lives per-version: a rebuild starts a fresh one, consistent
 with the build contract (a rebuild indexes exactly the input it was
-given — run ingest and rebuilds single-writer, and include ingested
-rows in the rebuild's input; see ``ivf_index_build``'s concurrency
-note, which ``ivfpq_index_build`` shares).
+given — include ingested rows in the rebuild's input; see
+``ivf_index_build``'s concurrency note, which ``ivfpq_index_build``
+shares). Since r14 "single-writer" is ENFORCED, not requested: ingest
+batches, appends, and rebuilds all acquire the ``io.lease`` writer
+fence at the index root, so a second concurrent writer refuses loudly
+instead of interleaving (VERDICT r13 item 1).
 
 Unique ids are an index invariant (one row per ``vec_id``), which is
 what makes the anti-join the correct convergence rule.
@@ -36,7 +39,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from filmdatawarehouse_spark.io import fs
+from filmdatawarehouse_spark.io import fs, lease
 from filmdatawarehouse_spark.operators.ivfpq import (
     _codebooks_of,
     _residuals,
@@ -76,6 +79,7 @@ def ivfpq_ingest_batch(
     run_id: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lease_ttl_s: float = lease.DEFAULT_TTL_S,
 ) -> None:
     """Idempotently ingest one micro-batch of vectors into the committed
     IVF-PQ index version (see the module banner for the exactly-once
@@ -91,12 +95,24 @@ def ivfpq_ingest_batch(
     recorded mark, before the anti-join ever runs. Callers that want
     replay protection pin a stable id; callers that don't, pass a fresh
     ``uuid4().hex`` per logical stream (what the streaming entry point
-    does)."""
+    does).
+
+    Writer fencing (r14): the ledger-read→anti-join→append→ledger-write
+    cycle runs under the ``io.lease`` writer lease at the INDEX root
+    (owner = ``run_id``), re-verified before the append and before the
+    ledger write. Two concurrent ingest streams would otherwise both
+    anti-join against the same pre-append state and both insert the
+    same "missing" rows — duplicate codes the uniqueness invariant
+    forbids. The root-level lease also excludes an ingest racing a
+    rebuild (``ivf_index_build``'s concurrency note)."""
     spark = batch_df.sparkSession
+    token = lease.acquire(spark, index_path, owner=run_id, ttl_s=lease_ttl_s)
     vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all I/O
     done = _applied(spark, vdir)
     if batch_id <= done.get(run_id, -1):
-        return  # clean replay of a committed batch (≤ the high-water mark)
+        # clean replay of a committed batch (≤ the high-water mark)
+        lease.release(spark, index_path, token)
+        return
 
     cents = _centroids_of(spark, vdir)
     books = _codebooks_of(spark, vdir)
@@ -120,17 +136,22 @@ def ivfpq_ingest_batch(
             .select(id_col)
         )
         missing = inc.join(existing, id_col, "left_anti")
+        # still-the-writer check before the irreversible append: a lease
+        # taken over during the encode must refuse HERE, not duplicate
+        lease.verify(spark, index_path, token)
         missing.write.mode("append").partitionBy("list_id").parquet(
             f"{vdir}/codes"
         )
     # ledger last: a crash anywhere above replays into the anti-join,
     # which inserts only what is still missing
     done[run_id] = batch_id
+    lease.verify(spark, index_path, token)
     fs.write_text_atomic(
         spark,
         _ledger_path(vdir),
         "\n".join(f"{r} {b}" for r, b in sorted(done.items())),
     )
+    lease.release(spark, index_path, token)
 
 
 def write_stream_ivfpq_ingest(
@@ -140,18 +161,21 @@ def write_stream_ivfpq_ingest(
     run_id: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lease_ttl_s: float = lease.DEFAULT_TTL_S,
 ):
     """Start the exactly-once vector-ingest sink for ``df`` (returns the
     started StreamingQuery; availableNow so a restart drains new input
     and stops). Each start gets a fresh run identity unless the caller
     pins one — batch ids alone are not an idempotence key across
-    checkpoint loss (the MERGE sink's rationale, shared)."""
+    checkpoint loss (the MERGE sink's rationale, shared). Each batch
+    runs under the index-root writer fence keyed on the run identity
+    (``ivfpq_ingest_batch``'s r14 contract)."""
     rid = run_id or uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ivfpq_ingest_batch(
             batch_df, batch_id, index_path, run_id=rid,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, lease_ttl_s=lease_ttl_s,
         )
 
     return (

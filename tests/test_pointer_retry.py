@@ -26,7 +26,10 @@ def blackout(monkeypatch):
     """Patch ``fs.read_text`` so that, while ARMED, the next call
     returns None (the missing-pointer observation between delete and
     re-create) and disarms; every other call delegates to the real
-    read. Tests arm it only after their setup commits."""
+    read. Tests arm it only after their setup commits. Also reports a
+    non-atomic-rename scheme (r14: ``read_text_retry`` skips retries on
+    local/HDFS where absence is the truth — these tests simulate an
+    object store on a local path, so the scheme must lie with them)."""
     real = fs.read_text
     state = {"armed": False, "fired": 0}
 
@@ -38,6 +41,7 @@ def blackout(monkeypatch):
         return real(spark, path)
 
     monkeypatch.setattr(fs, "read_text", flaky)
+    monkeypatch.setattr(fs, "_scheme", lambda spark, path: "s3a")
     return state
 
 
@@ -102,11 +106,10 @@ def test_ingest_ledger_survives_flip_blackout(spark, tmp_path, blackout):
     assert blackout["fired"] == 1 and not blackout["armed"]
 
 
-def test_absent_pointer_still_reads_absent_and_bounded(spark, tmp_path):
-    """A genuinely new table must still read as absent — after exactly
-    ``attempts`` underlying reads, never an unbounded loop."""
-    import unittest.mock as mock
-
+def test_absent_pointer_still_reads_absent_and_bounded(spark, tmp_path, monkeypatch):
+    """On a NON-atomic-rename store a genuinely new table must still
+    read as absent — after exactly ``attempts`` underlying reads, never
+    an unbounded loop."""
     calls = {"n": 0}
     real = fs.read_text
 
@@ -114,7 +117,32 @@ def test_absent_pointer_still_reads_absent_and_bounded(spark, tmp_path):
         calls["n"] += 1
         return real(spark_, path)
 
-    with mock.patch.object(fs, "read_text", counting):
-        out = fs.read_text_retry(spark, str(tmp_path / "nope"), attempts=3)
+    monkeypatch.setattr(fs, "read_text", counting)
+    monkeypatch.setattr(fs, "_scheme", lambda spark_, path: "s3a")
+    out = fs.read_text_retry(spark, str(tmp_path / "nope"), attempts=3)
     assert out is None
     assert calls["n"] == 3
+
+
+def test_atomic_scheme_absent_read_skips_retry(spark, tmp_path, monkeypatch):
+    """ADVICE r13: on atomic-rename schemes (local FS here) an absent
+    pointer is the truth — ONE underlying read, no backoff sleep, so a
+    new table's legitimately-first pointer read is not taxed ~0.15 s."""
+    calls = {"n": 0}
+    real = fs.read_text
+
+    def counting(spark_, path):
+        calls["n"] += 1
+        return real(spark_, path)
+
+    monkeypatch.setattr(fs, "read_text", counting)
+    out = fs.read_text_retry(spark, str(tmp_path / "nope"), attempts=3)
+    assert out is None
+    assert calls["n"] == 1
+
+
+def test_atomic_scheme_detection_is_local_file(spark, tmp_path):
+    """The detection itself: a local path resolves to the "file" scheme
+    (in the atomic set); detection failure returns None (conservative —
+    retries stay on)."""
+    assert fs._scheme(spark, str(tmp_path / "x")) == "file"

@@ -1,0 +1,283 @@
+"""Writer fencing: two concurrent writers on one table — exactly one
+commits per lease generation, the other refuses loudly (r14, VERDICT
+r13 item 1).
+
+``io/lease.py`` is the mechanism (lease file + fencing token verified
+at commit time); these tests drive it three ways:
+
+- lease-level: acquire/refuse/re-enter/steal/verify semantics;
+- sink-level: the MERGE sink, the IVF-PQ ingest batch, and the IVF
+  append each REFUSE under a foreign lease, and the committed state is
+  untouched by the refused writer;
+- interleave-level: a second writer commits in the middle of the first
+  writer's batch (injected between the first writer's acquire and its
+  pointer flip via a takeover) — the superseded writer's verify
+  refuses BEFORE the flip, and the table holds exactly the surviving
+  writer's generation.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from filmdatawarehouse_spark.io import fs, lease
+from filmdatawarehouse_spark.io.lease import WriterFencedError
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+# ---------------------------------------------------------------- lease
+
+
+def test_acquire_release_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a")
+    lease.verify(spark, root, tok)
+    lease.release(spark, root, tok)
+    # released: a different owner may acquire immediately
+    tok2 = lease.acquire(spark, root, owner="b")
+    lease.verify(spark, root, tok2)
+
+
+def test_second_writer_refuses_while_held(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lease.acquire(spark, root, owner="a")
+    with pytest.raises(WriterFencedError, match="held by 'a'"):
+        lease.acquire(spark, root, owner="b")
+
+
+def test_same_owner_reenters_and_rotates_token(spark, tmp_path):
+    """Crash replay: the SAME logical writer re-acquires instantly, and
+    the abandoned token can no longer pass verify."""
+    root = str(tmp_path / "t")
+    old = lease.acquire(spark, root, owner="a")
+    new = lease.acquire(spark, root, owner="a")  # replay after a crash
+    assert new != old
+    lease.verify(spark, root, new)
+    with pytest.raises(WriterFencedError):
+        lease.verify(spark, root, old)
+
+
+def test_expired_lease_is_taken_over_and_fences_the_original(spark, tmp_path):
+    """TTL takeover: a foreign writer may steal an expired lease; the
+    original (paused, not dead) then refuses at verify — the GC-pause
+    fencing story."""
+    root = str(tmp_path / "t")
+    old = lease.acquire(spark, root, owner="a")
+    time.sleep(0.05)
+    new = lease.acquire(spark, root, owner="b", ttl_s=0.01)
+    lease.verify(spark, root, new)
+    with pytest.raises(WriterFencedError):
+        lease.verify(spark, root, old)
+    # and the superseded writer's release refuses too (surfaces the
+    # interleave) without removing the new holder's lease
+    with pytest.raises(WriterFencedError):
+        lease.release(spark, root, old)
+    lease.verify(spark, root, new)
+
+
+def test_break_lease_is_the_operator_override(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a")
+    assert lease.break_lease(spark, root) is True
+    assert lease.break_lease(spark, root) is False
+    with pytest.raises(WriterFencedError):
+        lease.verify(spark, root, tok)
+    lease.acquire(spark, root, owner="b")  # door is open again
+
+
+def test_release_after_break_is_a_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a")
+    lease.break_lease(spark, root)
+    lease.release(spark, root, tok)  # nothing of ours left — no raise
+
+
+def test_owner_must_be_nonempty(spark, tmp_path):
+    with pytest.raises(ValueError, match="non-empty"):
+        lease.acquire(spark, str(tmp_path / "t"), owner="  ")
+
+
+# ----------------------------------------------------------- MERGE sink
+
+
+def test_merge_refuses_under_foreign_lease(spark, tmp_path):
+    from filmdatawarehouse_spark.streaming.merge import (
+        current_snapshot,
+        merge_upsert_batch,
+    )
+
+    table = str(tmp_path / "t")
+    merge_upsert_batch(_batch(spark, [(1, "a")]), 0, table, keys=["k"],
+                       run_id="A")
+    assert current_snapshot(spark, table) == "v-A-0"
+    lease.acquire(spark, table, owner="B")
+    with pytest.raises(WriterFencedError):
+        merge_upsert_batch(_batch(spark, [(2, "b")]), 1, table, keys=["k"],
+                           run_id="A")
+    # the refused writer changed nothing
+    assert current_snapshot(spark, table) == "v-A-0"
+
+
+def test_merge_replay_reenters_its_own_crashed_lease(spark, tmp_path):
+    """A crash between commit steps leaves the lease behind; the
+    foreachBatch replay (same run_id) must proceed immediately, not
+    wait out a TTL."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        current_snapshot,
+        merge_upsert_batch,
+    )
+
+    table = str(tmp_path / "t")
+    lease.acquire(spark, table, owner="A")  # the crashed attempt's lease
+    merge_upsert_batch(_batch(spark, [(1, "a")]), 0, table, keys=["k"],
+                       run_id="A")
+    assert current_snapshot(spark, table) == "v-A-0"
+    # success path released the lease: a new writer may enter
+    lease.acquire(spark, table, owner="B")
+
+
+def test_merge_interleave_exactly_one_commits(spark, tmp_path, monkeypatch):
+    """The two-concurrent-writers simulation: writer B commits in the
+    middle of writer A's batch (injected after A's acquire, via a
+    takeover of A's lease). A's commit-time verify must refuse BEFORE
+    the pointer flip, and the table must hold exactly B's generation —
+    no silent interleave, no torn pointer."""
+    import filmdatawarehouse_spark.streaming.merge as merge_mod
+
+    table = str(tmp_path / "t")
+    merge_mod.merge_upsert_batch(
+        _batch(spark, [(1, "seed")]), 0, table, keys=["k"], run_id="seed"
+    )
+
+    real_read = merge_mod.read_merge_table
+    state = {"armed": True}
+
+    def hijack(spark_, path):
+        # runs AFTER A's acquire (A reads its base under the lease):
+        # simulate B taking over — operator broke A's stuck lease, B
+        # acquired and committed its own batch — then let A continue
+        if state["armed"] and path == table:
+            state["armed"] = False
+            lease.break_lease(spark_, table)
+            merge_mod.merge_upsert_batch(
+                _batch(spark_, [(2, "B")]), 0, table, keys=["k"], run_id="B"
+            )
+            lease.acquire(spark_, table, owner="B-stream")
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(merge_mod, "read_merge_table", hijack)
+    with pytest.raises(WriterFencedError):
+        merge_mod.merge_upsert_batch(
+            _batch(spark, [(3, "A")]), 1, table, keys=["k"], run_id="A"
+        )
+    # exactly one generation committed: B's, and A's refused flip left
+    # B's pointer + snapshot intact
+    assert merge_mod.current_snapshot(spark, table) == "v-B-0"
+    rows = {
+        (r.k, r.v)
+        for r in merge_mod.read_merge_table(spark, table).collect()
+    }
+    assert rows == {(1, "seed"), (2, "B")}
+
+
+# ------------------------------------------------------- vector writers
+
+
+def _tiny_emb(spark, n=20, offset=0):
+    rows = [
+        (i + offset, [float((i * 5 + j) % 7) + 1.0 for j in range(8)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, tmp_path_factory):
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_index_build
+
+    idx = str(tmp_path_factory.mktemp("fence") / "idx")
+    ivfpq_index_build(_tiny_emb(spark), idx, n_lists=2, m=2, n_codes=4,
+                      n_iters=1)
+    return idx
+
+
+def test_ingest_refuses_under_foreign_lease(spark, pq_index):
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_version_dir
+    from filmdatawarehouse_spark.streaming.vector_ingest import (
+        _applied,
+        ivfpq_ingest_batch,
+    )
+
+    tok = lease.acquire(spark, pq_index, owner="other-stream")
+    try:
+        with pytest.raises(WriterFencedError):
+            ivfpq_ingest_batch(
+                _tiny_emb(spark, n=2, offset=100), 0, pq_index, run_id="r1"
+            )
+    finally:
+        lease.release(spark, pq_index, tok)
+    # the refused batch marked nothing
+    vdir = ivfpq_version_dir(spark, pq_index)
+    assert "r1" not in _applied(spark, vdir)
+
+
+def test_ingest_commits_and_releases_after_the_holder_leaves(spark, pq_index):
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_version_dir
+    from filmdatawarehouse_spark.streaming.vector_ingest import (
+        _applied,
+        ivfpq_ingest_batch,
+    )
+
+    ivfpq_ingest_batch(
+        _tiny_emb(spark, n=2, offset=100), 0, pq_index, run_id="r1"
+    )
+    vdir = ivfpq_version_dir(spark, pq_index)
+    assert _applied(spark, vdir) == {"r1": 0}
+    # lease released on success: the next writer enters freely
+    tok = lease.acquire(spark, pq_index, owner="next")
+    lease.release(spark, pq_index, tok)
+
+
+def test_ivf_append_refuses_under_foreign_lease(spark, tmp_path):
+    from filmdatawarehouse_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_append,
+        ivf_index_vectors_path,
+    )
+
+    idx = str(tmp_path / "flat")
+    ivf_index_build(_tiny_emb(spark), idx, n_lists=2, n_iters=1)
+    before = spark.read.parquet(ivf_index_vectors_path(spark, idx)).count()
+    tok = lease.acquire(spark, idx, owner="rebuild-in-flight")
+    try:
+        with pytest.raises(WriterFencedError):
+            ivf_index_append(_tiny_emb(spark, n=3, offset=100), idx)
+    finally:
+        lease.release(spark, idx, tok)
+    assert (
+        spark.read.parquet(ivf_index_vectors_path(spark, idx)).count()
+        == before
+    )
+    # and with the lease gone, the same append commits
+    ivf_index_append(_tiny_emb(spark, n=3, offset=100), idx)
+    assert (
+        spark.read.parquet(ivf_index_vectors_path(spark, idx)).count()
+        == before + 3
+    )
+
+
+def test_build_refuses_under_foreign_lease(spark, tmp_path):
+    from filmdatawarehouse_spark.operators.similarity import ivf_index_build
+
+    idx = str(tmp_path / "flat")
+    lease.acquire(spark, idx, owner="other-builder")
+    with pytest.raises(WriterFencedError):
+        ivf_index_build(_tiny_emb(spark), idx, n_lists=2, n_iters=1)
+    assert not fs.exists(spark, f"{idx}/INDEX")  # nothing committed
