@@ -12,9 +12,10 @@ BENCH_full.json next to this file:
             "anchor_drift_median": <ratio>}     # last two only when present
   file:    complete cold ("queries") + warm ("queries_warm") dicts,
            "errors", and "anchor_drift" — the scan-bound anchor queries'
-           warm ratio vs the previous committed BENCH_full.json, so
-           round-over-round environment drift is recorded in the harness
-           instead of being re-derived from git each round — plus
+           warm AND cold (r14) ratios vs the previous committed
+           BENCH_full.json, so round-over-round environment drift is
+           recorded in the harness on both axes instead of being
+           re-derived from git each round — plus
            "job_overhead_ms" (median trivial-job wall time before/after
            the suite): the second drift axis the scan-bound anchors are
            blind to, since a session with inflated per-job fixed cost
@@ -162,8 +163,19 @@ HEADLINE = [
 ]
 
 
+def _anchor_ratios(
+    cur: dict[str, float], prev: dict[str, float], anchors: tuple[str, ...]
+) -> dict[str, float]:
+    return {
+        a: round(cur[a] / prev[a], 4)
+        for a in anchors
+        if cur.get(a) and prev.get(a)
+    }
+
+
 def committed_anchor_drift(
     warm: dict[str, float],
+    cold: dict[str, float],
     anchors: tuple[str, ...],
     sf: float,
     ref: str = "HEAD",
@@ -176,7 +188,14 @@ def committed_anchor_drift(
     bench runs left round-over-round attribution to hand-chained math.
     This reads the record at ``ref`` via git so "drift-adjusted vs last
     round" is a recorded number. Returns None when no comparable
-    committed record exists (fresh repo, different SF, no anchors)."""
+    committed record exists (fresh repo, different SF, no anchors).
+
+    Both axes since r14 (VERDICT r13 item 2): warm ratios were the only
+    drift divisor while driver COLD totals crept 84→92 s across three
+    rounds with no way to split environment drift from real regression —
+    the cold anchors (same queries, release-each runs: scan + JVM first-
+    materialization cost included) make cold movement attributable the
+    same way."""
     import statistics
     import subprocess
 
@@ -195,19 +214,22 @@ def committed_anchor_drift(
         return None
     if committed.get("sf") != sf:
         return None  # cross-SF ratios are meaningless
-    cw = committed.get("queries_warm", {})
-    ratios = {
-        a: round(warm[a] / cw[a], 4)
-        for a in anchors
-        if warm.get(a) and cw.get(a)
-    }
+    ratios = _anchor_ratios(warm, committed.get("queries_warm", {}), anchors)
     if not ratios:
         return None
-    return {
+    out = {
         "ratios_warm": ratios,
         "median": round(statistics.median(ratios.values()), 4),
         "committed_value_warm": committed.get("value_warm"),
     }
+    cold_ratios = _anchor_ratios(cold, committed.get("queries", {}), anchors)
+    if cold_ratios:
+        out["ratios_cold"] = cold_ratios
+        out["median_cold"] = round(
+            statistics.median(cold_ratios.values()), 4
+        )
+        out["committed_value_cold"] = committed.get("value")
+    return out
 
 
 def build_compact(out: dict, full_path: str) -> str:
@@ -348,6 +370,12 @@ def main() -> None:
     warm_errors: dict[str, str] = dict(cold_errors)  # don't retry known-broken
     run_suite(warm, warm_errors, release_each=False)
 
+    # overhead_post RIGHT after the warm suite (ADVICE r13): the r13
+    # layout measured it after the plan captures re-executed ~13 queries
+    # twice, which broke pre/post drift comparability with the committed
+    # history — this position matches every record up to r12.
+    overhead_post = job_overhead_ms()
+
     # Runtime plan fingerprints (VERDICT r10 item 7): PLANS.json pins
     # STATIC sf0.001 shapes; the one regression class it cannot see is
     # AQE re-planning at real data sizes — the class the r10
@@ -411,8 +439,6 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: runtime plan capture unavailable: {exc}", file=sys.stderr)
     release_managed()
-
-    overhead_post = job_overhead_ms()
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -481,22 +507,27 @@ def main() -> None:
             prev = json.load(f)
         if prev.get("sf") != sf:  # cross-SF ratios are meaningless
             raise ValueError("previous record is a different SF")
-        prev_warm = prev.get("queries_warm", {})
-        ratios = {
-            a: round(warm[a] / prev_warm[a], 4)
-            for a in anchors
-            if warm.get(a) and prev_warm.get(a)
-        }
+        ratios = _anchor_ratios(warm, prev.get("queries_warm", {}), anchors)
         if ratios:
             out["anchor_drift"] = {
                 "ratios_warm_vs_prev": ratios,
                 "median": round(statistics.median(ratios.values()), 4),
                 "prev_value_warm": prev.get("value_warm"),
             }
+            # cold axis (VERDICT r13 item 2): same anchors on the
+            # release-each pass, so cold-total creep divides into
+            # environment drift vs real regression like warm always did
+            cold_ratios = _anchor_ratios(cold, prev.get("queries", {}), anchors)
+            if cold_ratios:
+                out["anchor_drift"]["ratios_cold_vs_prev"] = cold_ratios
+                out["anchor_drift"]["median_cold"] = round(
+                    statistics.median(cold_ratios.values()), 4
+                )
+                out["anchor_drift"]["prev_value_cold"] = prev.get("value")
     except (OSError, ValueError, KeyError):
         pass
 
-    vs_committed = committed_anchor_drift(warm, anchors, sf)
+    vs_committed = committed_anchor_drift(warm, cold, anchors, sf)
     if vs_committed:
         out.setdefault("anchor_drift", {})["vs_committed"] = vs_committed
 

@@ -89,7 +89,13 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index is built into a fresh process-temp directory per
     invocation (a few hundred KB at bench SFs — the price of certifying
     the PERSISTED path, storage layout included, rather than an
-    in-memory twin)."""
+    in-memory twin). The verdict row is MATERIALIZED before return so
+    the temp index can be removed in the same call (VERDICT r13 item 7:
+    repeated driver/bench/sweep runs used to accumulate
+    ``fdw-ivfpq-recall-*`` dirs — the repo's no-silent-residue policy) —
+    a one-row bounded collect, re-wrapped with the identical schema."""
+    import shutil
+
     from filmdatawarehouse_spark.operators.ivfpq import (
         ivfpq_index_build,
         ivfpq_search_refined,
@@ -98,32 +104,41 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < IVFPQ_N_QUERIES)
-    idx = tempfile.mkdtemp(prefix="fdw-ivfpq-recall-") + "/idx"
-    ivfpq_index_build(
-        emb, idx, n_lists=IVFPQ_N_LISTS, m=IVFPQ_M,
-        n_codes=IVFPQ_N_CODES, n_iters=4,
-    )
-    exact = cosine_topk(emb, q, k=IVFPQ_K).select("query_id", "neighbor_id")
-    approx = ivfpq_search_refined(
-        spark, idx, q, emb, k=IVFPQ_K,
-        shortlist=IVFPQ_SHORTLIST, n_probe=IVFPQ_N_PROBE,
-    ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    totals = exact.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("_n_exact"),
-    )
-    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
-    return totals.crossJoin(n_hits).select(
-        F.col("n_queries"),
-        F.lit(IVFPQ_K).cast("int").alias("k"),
-        (
-            F.col("_n_hits").cast("double") / F.col("_n_exact")
-            >= F.lit(IVFPQ_RECALL_BAR)
+    idx_root = tempfile.mkdtemp(prefix="fdw-ivfpq-recall-")
+    try:
+        idx = f"{idx_root}/idx"
+        ivfpq_index_build(
+            emb, idx, n_lists=IVFPQ_N_LISTS, m=IVFPQ_M,
+            n_codes=IVFPQ_N_CODES, n_iters=4,
         )
-        .cast("int")
-        .alias("recall_ok"),
-    )
+        exact = cosine_topk(emb, q, k=IVFPQ_K).select(
+            "query_id", "neighbor_id"
+        )
+        approx = ivfpq_search_refined(
+            spark, idx, q, emb, k=IVFPQ_K,
+            shortlist=IVFPQ_SHORTLIST, n_probe=IVFPQ_N_PROBE,
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        totals = exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("_n_exact"),
+        )
+        n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+        verdict = totals.crossJoin(n_hits).select(
+            F.col("n_queries"),
+            F.lit(IVFPQ_K).cast("int").alias("k"),
+            (
+                F.col("_n_hits").cast("double") / F.col("_n_exact")
+                >= F.lit(IVFPQ_RECALL_BAR)
+            )
+            .cast("int")
+            .alias("recall_ok"),
+        )
+        # one verdict row by construction: safe to collect, and required
+        # — a lazy return would read the index AFTER the cleanup below
+        return spark.createDataFrame(verdict.collect(), verdict.schema)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
 
 
 ORACLES["ivfpq_recall"] = f"""
@@ -151,6 +166,18 @@ def q_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filmdatawarehouse_spark.operators.semdedup import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # planted ids must sort ABOVE every original id or the is_planted
+    # classification silently corrupts counts and attribution (ADVICE
+    # r13): refuse loudly at a corpus whose ids reach the offset — a
+    # bounded one-row agg, the refuse-don't-guess policy
+    max_id = emb.agg(F.max("vec_id").alias("m")).first()["m"]
+    if max_id is not None and max_id >= PLANTED_OFFSET:
+        raise ValueError(
+            f"embeddings vec_id reaches {max_id} >= PLANTED_OFFSET "
+            f"{PLANTED_OFFSET}: planted ids would collide with originals "
+            "and corrupt the gate — raise PLANTED_OFFSET above the "
+            "corpus id range"
+        )
     planted = emb.filter(F.col("vec_id") < N_PLANTED).select(
         (F.col("vec_id") + F.lit(PLANTED_OFFSET)).alias("vec_id"),
         F.transform(

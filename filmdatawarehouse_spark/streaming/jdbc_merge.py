@@ -103,8 +103,7 @@ def _table_exists(conn, table: str, dialect: JdbcMergeDialect) -> bool:
     md = conn.getMetaData()
     esc = md.getSearchStringEscape()
     pattern = dialect.fold_unquoted(table).replace("_", f"{esc}_")
-    schema = conn.getSchema()
-    rs = md.getTables(None, schema, pattern, None)
+    rs = md.getTables(conn.getCatalog(), conn.getSchema(), pattern, None)
     try:
         return rs.next()
     finally:
@@ -112,10 +111,20 @@ def _table_exists(conn, table: str, dialect: JdbcMergeDialect) -> bool:
 
 
 def _columns_rs(conn, table: str, dialect: JdbcMergeDialect):
+    # Catalog AND schema pinned to the connection's current ones
+    # (ADVICE r13): MySQL Connector/J exposes the current database as
+    # the CATALOG and returns null from getSchema(), so a null-catalog
+    # lookup there depends on the driver's nullCatalogMeansCurrent
+    # default — with non-default settings a same-named table in another
+    # database would leak phantom dropped/added columns into the
+    # drift-refusal/ALTER logic. Passing both pins the lookup on
+    # catalog-termed (MySQL) and schema-termed (Derby/Postgres) stores
+    # alike; a null from either getter means "that axis is unused
+    # here", which is exactly the wildcard the API expects.
     md = conn.getMetaData()
     esc = md.getSearchStringEscape()
     pattern = dialect.fold_unquoted(table).replace("_", f"{esc}_")
-    return md.getColumns(None, conn.getSchema(), pattern, None)
+    return md.getColumns(conn.getCatalog(), conn.getSchema(), pattern, None)
 
 
 def _table_columns(conn, table: str, dialect: JdbcMergeDialect) -> list[str]:

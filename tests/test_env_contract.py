@@ -139,16 +139,21 @@ def test_committed_anchor_drift_reads_git_not_disk():
     committed = _json.loads(blob.stdout)
     sf = committed["sf"]
     cw = committed["queries_warm"]
-    # doubled warm times -> every ratio exactly 2.0 against the committed
+    cc = committed["queries"]
+    # doubled warm times -> every ratio exactly 2.0 against the committed;
+    # tripled cold times -> the r14 cold axis lands alongside at 3.0
     warm = {a: 2 * cw[a] for a in anchors if a in cw}
-    got = bench.committed_anchor_drift(warm, anchors, sf)
+    cold = {a: 3 * cc[a] for a in anchors if a in cc}
+    got = bench.committed_anchor_drift(warm, cold, anchors, sf)
     assert got is not None
     assert got["median"] == 2.0
     assert got["committed_value_warm"] == committed["value_warm"]
+    assert got["median_cold"] == 3.0
+    assert got["committed_value_cold"] == committed["value"]
 
-    assert bench.committed_anchor_drift(warm, anchors, sf + 999) is None
+    assert bench.committed_anchor_drift(warm, cold, anchors, sf + 999) is None
     assert (
-        bench.committed_anchor_drift(warm, anchors, sf, ref="HEAD~10000")
+        bench.committed_anchor_drift(warm, cold, anchors, sf, ref="HEAD~10000")
         is None
     )
 

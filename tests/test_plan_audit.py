@@ -97,3 +97,36 @@ def test_committed_baseline_covers_headline_and_matches_cheap_plans(
             .toString()
         )
         assert pa.fingerprint(plan) == committed[name], name
+
+
+def test_check_runtime_diffs_warm_axis_when_cold_absent():
+    """ADVICE r13: a record carrying only plans_runtime_warm (the cold
+    capture failed after the warm one succeeded) must still get its
+    warm-axis diff — presence is per axis, not an early return on the
+    cold block."""
+    pa = _tool()
+    warm_only_disk = {
+        "sf": 0.1,
+        "plans_runtime_warm": {"q": {"exchange_hash": 3}},
+    }
+    committed = {
+        "sf": 0.1,
+        "plans_runtime": {"q": {"exchange_hash": 1}},
+        "plans_runtime_warm": {"q": {"exchange_hash": 1}},
+    }
+    regressions, note = pa.check_runtime(warm_only_disk, committed)
+    assert regressions == ["q: runtime_warm exchange_hash 1 -> 3"]
+    assert "plans_runtime_warm: 1" in note
+
+    # and when NO axis overlaps, the skip is explicit
+    regressions, note = pa.check_runtime({"sf": 0.1}, committed)
+    assert regressions == [] and "skipped" in note
+
+
+def test_check_runtime_cross_sf_records_skip():
+    pa = _tool()
+    regressions, note = pa.check_runtime(
+        {"sf": 0.01, "plans_runtime": {"q": {"sort": 9}}},
+        {"sf": 0.1, "plans_runtime": {"q": {"sort": 0}}},
+    )
+    assert regressions == [] and "different SFs" in note

@@ -144,7 +144,9 @@ def diff(
     return regressions, improvements
 
 
-def check_runtime() -> tuple[list[str], str]:
+def check_runtime(
+    disk: dict | None = None, committed: dict | None = None
+) -> tuple[list[str], str]:
     """(regressions, note) from diffing the on-disk BENCH_full.json's
     ``plans_runtime`` block (VERDICT r10 item 7: POST-execution
     isFinalPlan=true fingerprints of the 8 bench-slowest queries at the
@@ -153,46 +155,50 @@ def check_runtime() -> tuple[list[str], str]:
     AQE re-planning at real data sizes (the class the r10
     shingle-census incident lived in). Missing blocks are a note, not a
     failure: the comparison only exists once two bench records carry
-    fingerprints at the same SF."""
+    fingerprints at the same SF. ``disk``/``committed`` are injectable
+    for tests; by default they load from BENCH_full.json and
+    HEAD:BENCH_full.json."""
     import subprocess
 
-    try:
-        with open(os.path.join(REPO, "BENCH_full.json")) as f:
-            disk = json.load(f)
-    except (OSError, ValueError) as e:
-        return [], f"runtime check skipped: no readable BENCH_full.json ({e})"
-    try:
-        blob = subprocess.run(
-            ["git", "-C", REPO, "show", "HEAD:BENCH_full.json"],
-            capture_output=True,
-            text=True,
-            timeout=30,
-        )
-        if blob.returncode != 0:
-            return [], "runtime check skipped: no committed BENCH_full.json"
-        committed = json.loads(blob.stdout)
-    except (OSError, ValueError, subprocess.SubprocessError) as e:
-        return [], f"runtime check skipped: git show failed ({e})"
-    cur, base = disk.get("plans_runtime"), committed.get("plans_runtime")
-    if not cur or not base:
-        return [], (
-            "runtime check skipped: plans_runtime absent from "
-            + ("both records" if not cur and not base else
-               "the on-disk record" if not cur else "the committed record")
-        )
+    if disk is None:
+        try:
+            with open(os.path.join(REPO, "BENCH_full.json")) as f:
+                disk = json.load(f)
+        except (OSError, ValueError) as e:
+            return [], (
+                f"runtime check skipped: no readable BENCH_full.json ({e})"
+            )
+    if committed is None:
+        try:
+            blob = subprocess.run(
+                ["git", "-C", REPO, "show", "HEAD:BENCH_full.json"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            )
+            if blob.returncode != 0:
+                return [], (
+                    "runtime check skipped: no committed BENCH_full.json"
+                )
+            committed = json.loads(blob.stdout)
+        except (OSError, ValueError, subprocess.SubprocessError) as e:
+            return [], f"runtime check skipped: git show failed ({e})"
     if disk.get("sf") != committed.get("sf"):
         return [], "runtime check skipped: records are different SFs"
     gated = {k for k, _ in COST_FEATURES}
     regressions = []
     overlaps = []
-    # r13 (VERDICT r12 item 8): bench.py now records the same fingerprint
-    # set captured on the WARM pass too (persisted frames still in the
+    # r13 (VERDICT r12 item 8): bench.py records the same fingerprint set
+    # captured on the WARM pass too (persisted frames still in the
     # CacheManager) — diff both axes, since the one r12 perf anomaly was
-    # warm-only and invisible to the cold-state fingerprints.
+    # warm-only and invisible to the cold-state fingerprints. Presence is
+    # checked PER AXIS (ADVICE r13): a record whose cold capture failed
+    # after the warm capture succeeded must still get its warm-axis diff,
+    # not an early "plans_runtime absent" skip.
     for axis in ("plans_runtime", "plans_runtime_warm"):
         cur, base = disk.get(axis), committed.get(axis)
         if not cur or not base:
-            continue  # warm block only exists once two records carry it
+            continue  # an axis only diffs once two records carry it
         overlaps.append(f"{axis}: {len(set(cur) & set(base))}")
         for name in sorted(set(cur) & set(base)):
             for feat in sorted(gated):
@@ -202,6 +208,11 @@ def check_runtime() -> tuple[list[str], str]:
                         f"{name}: {axis.removeprefix('plans_')} "
                         f"{feat} {b} -> {c}"
                     )
+    if not overlaps:
+        return [], (
+            "runtime check skipped: no runtime-fingerprint axis present "
+            "in both records"
+        )
     return regressions, (
         "runtime check overlapping fingerprints — " + "; ".join(overlaps)
     )
