@@ -20,7 +20,14 @@ from ``kmeans_centroids`` (seeded init, fixed iteration count);
 assignment is argmax cosine with ties to the LOWEST list; the greedy
 pass visits ids ASCENDING and a dropped row records ``dup_of`` = the
 FIRST kept row attaining its maximum cosine (numpy argmax order —
-lowest kept id among ties).
+lowest kept id among ties). The threshold is INCLUSIVE: a row whose
+max cosine to a kept cluster-mate is EXACTLY ``threshold`` is DROPPED
+(``sims >= threshold`` — the boundary belongs to the duplicate side,
+matching the paper's "within epsilon" ball). Cosines are computed on
+float64-normalized vectors — inputs need not be unit-norm, and the
+realized boundary is the post-normalization dot product.
+``tests/test_semdedup.py`` pins both sides of the boundary at ±1e-6
+and the exact-equality case (VERDICT r13 item 4).
 
 Plan shape: one zero-shuffle assignment scan (centroids in the task
 closure) + ONE hash exchange on cluster_id into the grouped Arrow

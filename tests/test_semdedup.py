@@ -242,3 +242,74 @@ def test_semdedup_zero_norm_vector_refuses(spark):
         semantic_dedup(
             emb, n_clusters=1, n_iters=1, id_col="doc_key", vec_col="v"
         ).collect()
+
+
+# ---- threshold boundary (VERDICT r13 item 4) ------------------------------
+# semdedup_planted certifies cosine ≈ 1-1e-13 duplicates — far above the
+# threshold; these pin behavior AT the boundary, where a >= vs >
+# regression or a normalization drift would otherwise pass every gate.
+
+
+def _two_vec_verdict(spark, v1, threshold=0.95):
+    """Run semantic_dedup on {id 0: [1,0], id 1: v1} in one cluster and
+    return id 1's (keep, dup_of) — the boundary row's verdict."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float(x) for x in v1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, n_clusters=1, threshold=threshold, n_iters=1
+        ).collect()
+    }
+    assert out[0].keep  # the anchor is always kept (visited first)
+    return out[1].keep, out[1].dup_of
+
+
+def test_semdedup_boundary_exactly_at_threshold_drops(spark):
+    """The documented side of the boundary: cosine EXACTLY == threshold
+    is a duplicate (inclusive >=). The pair is constructed so the
+    operator's own float64 normalization realizes the dot product as
+    exactly np.float64(0.95): v0=[1,0] is exactly unit, and v1=[0.95,y]
+    with y nudged (a few ulps) until fl(sqrt(0.95² + y²)) == 1.0 — then
+    normalization divides by exactly 1.0 and the cosine is the raw
+    0.95 coordinate."""
+    c = np.float64(0.95)
+    y = np.sqrt(np.float64(1.0) - c * c)
+    for _ in range(64):
+        if np.sqrt(c * c + y * y) == np.float64(1.0):
+            break
+        y = np.nextafter(y, np.float64(0.0))
+    else:
+        pytest.fail("could not construct an exactly-unit [0.95, y]")
+    # the realized cosine is exactly the threshold — this IS the boundary
+    assert (np.array([c, y]) / np.sqrt(c * c + y * y))[0] == c
+    keep, dup_of = _two_vec_verdict(spark, [c, y])
+    assert not keep, "cosine == threshold must DROP (inclusive >=)"
+    assert dup_of == 0
+
+
+def test_semdedup_boundary_epsilon_below_keeps(spark):
+    """cosine = 0.95 - 1e-6: kept (below the ball)."""
+    c = 0.95 - 1e-6
+    keep, dup_of = _two_vec_verdict(spark, [c, float(np.sqrt(1 - c * c))])
+    assert keep and dup_of is None
+
+
+def test_semdedup_boundary_epsilon_above_drops(spark):
+    """cosine = 0.95 + 1e-6: dropped, attributed to the anchor."""
+    c = 0.95 + 1e-6
+    keep, dup_of = _two_vec_verdict(spark, [c, float(np.sqrt(1 - c * c))])
+    assert not keep and dup_of == 0
+
+
+def test_semdedup_boundary_is_scale_invariant(spark):
+    """Cosines are computed on the operator's own float64-normalized
+    vectors: scaling an input must not move a near-boundary verdict
+    (a normalization drift — e.g. normalizing only one side — would)."""
+    for c, want_keep in ((0.95 - 1e-6, True), (0.95 + 1e-6, False)):
+        raw = np.array([c, float(np.sqrt(1 - c * c))])
+        for scale in (1.0, 7.25, 1e-3):
+            keep, _ = _two_vec_verdict(spark, list(raw * scale))
+            assert keep is want_keep, (c, scale)
