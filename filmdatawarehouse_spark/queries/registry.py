@@ -60,62 +60,61 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # rotation tool reports the headroom (capacity - active) so growth is
 # planned, not discovered at an over-committed rotation.
 # --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- r10-certified (staleness deadline)
-    "filter_pushdown",
-    "dim_date_generate",
-    "derive_date_id",
-    "derive_month_key",
-    "join_inner_equi",
-    "fact_daily_orders",
-    "fact_monthly_totals",
-    "monthly_revenue",
-    "top10_parts",
-    "filtered_daily_series",
-    "sql_passthrough",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters_star",
-    "dedup_embedding_ann_recall",
-    "similarity_topk",
-    "similarity_range",
-    "similarity_ann_recall",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_word_freq",
-    "text_vocab_encode",
-    "text_word_entropy_native",
-    "text_bigram_lm",
-    "events_sliding_window",
-    "events_session_window",
-    "events_user_totals",
-    "skew_salted_group_count",
-    "skew_salted_join",
-    "profile_orders",
-    "events_gaps",
-    "events_json_props",
-    "unpivot_part",
-    "events_locf_fill",
-    "latest_order_per_customer",
-    "grouping_sets_orders",
-    "range_join_events",
-    "events_hourly_gapfill",
-    "join_bigbig_bucketed",
-    "weighted_sample_docs",
-    "corpus_mix_sample",
-    "stream_merge_upsert",
-    # -- driver-never-seen (new this round)
-    "ivfpq_recall",
-    "semdedup_planted",
-    # -- r11-certified (filler slot)
-    "text_heavy_hitters",
+    # -- r11-certified (staleness deadline)
+    "text_sparse_cosine_pairs",
+    "text_containment_pairs",
+    "text_unigram_logprob",
+    "dedup_edit_distance",
+    "dedup_triangles",
+    "text_tfidf",
+    "events_running_totals",
+    "sketch_accuracy",
+    "corpus_split",
+    "text_pmi_bigrams",
+    "multimodal_frame_meta",
+    "multimodal_byte_stats_native",
+    "multimodal_payload_meta",
+    "set_ops_customers",
+    "count_distinct",
+    "scd2_point_in_time",
+    "scd2_customer_dim",
+    "cube_order_stats",
+    "percentile_order_value",
+    "above_customer_avg",
+    "window_value_family",
+    "events_time_rollup",
+    "revenue_forecast_q6",
+    "returned_items_topk",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "orders_exists_late_lines",
+    "part_min_price_per_type",
+    "customers_anti_orders",
+    "orders_rollup_totals",
+    "events_pivot_type_daily",
+    "acctbal_histogram",
+    "text_topk_per_lang",
+    "split_contamination_rate",
+    "skew_profile_custkey_approx",
+    "docs_mad_outliers_approx",
+    "events_distinct_users_approx",
+    "bloom_prefilter_join",
+    "corpus_shuffle_shards",
+    "events_cohort_retention",
+    "events_rolling_actives",
+    "events_wow_growth",
+    "events_sessions_capped",
+    "dq_checks",
+    "docs_mad_outliers",
+    "basket_part_pairs",
+    # -- r12-certified (filler slot)
+    "scan_project",
+    "clean_dropna_dedup",
+    "text_normalize_dedup",
+    "embedding_norm_hist",
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (
@@ -163,6 +162,12 @@ RETIRED: tuple[str, ...] = (
     "similarity_ann_ivf",
     "rollup_order_stats",
     "events_tumbling_window",
+    # r14 wave (VERDICT r13 item 3: open >= 4 slots of forward slack
+    # before the ceiling binds) — each strictly dominated per the notes
+    "anti_join_customers",
+    "semi_join_suppliers",
+    "pivot_orders",
+    "text_repetition_gate",
 )
 
 RETIRED_NOTES: dict[str, str] = {
@@ -237,6 +242,53 @@ RETIRED_NOTES: dict[str, str] = {
         "(`semdedup_planted`) without saturating window capacity. Stays "
         "registered, in the bench headline, and locally oracle-verified "
         "every pytest run."
+    ),
+    "anti_join_customers": (
+        "Certified by `customers_anti_orders` (green r11): the TPC-H "
+        "Q22 shape runs the IDENTICAL machinery — a LEFT ANTI join of "
+        "customer against a filter-pushed orders probe on "
+        "c_custkey = o_custkey with a projected customer output — plus "
+        "a broadcast scalar-subquery threshold on top, so its "
+        "hash-pinned rows exercise a strict superset of what this "
+        "plain anti join certified (the anti-join node, the pushed "
+        "probe filter, null-safe non-membership). Stays registered and "
+        "locally oracle-verified every pytest run."
+    ),
+    "semi_join_suppliers": (
+        "Certified by `orders_exists_late_lines` (green r11): the "
+        "TPC-H Q4 EXISTS shape compiles to the SAME LEFT SEMI join "
+        "node with a strictly RICHER condition (equi key + non-equi "
+        "lateness residual) and an aggregation consumer on top. The "
+        "retired query chained two plain equi semi joins — two "
+        "applications of the operator the survivor certifies with "
+        "more per-node machinery; chaining adds no new plan feature "
+        "(each semi node plans independently). Stays registered and "
+        "locally oracle-verified every pytest run."
+    ),
+    "pivot_orders": (
+        "Certified by `events_pivot_type_daily` (green r11): the same "
+        "known-value-list pivot COMPILATION (conditional count-when "
+        "aggregation, one partial+final exchange — its docstring cites "
+        "this query as the pattern) over the corpus-sized events "
+        "stream with a derived day key and a row-total column — a "
+        "strict superset of this 3x5 order-status pivot, the exact "
+        "`window_topn_per_group` precedent (same capability, bigger "
+        "shape). The single-pass plan property stays pinned by "
+        "test_plan_hygiene.test_pivot_is_single_pass. Stays registered "
+        "and locally oracle-verified every pytest run."
+    ),
+    "text_repetition_gate": (
+        "Certified by `text_repetition_metrics` (green r12): the gate "
+        "is a PURE FUNCTION of the metrics panel — three literal <= "
+        "comparisons on dup_word_frac / top_bigram_frac / "
+        "dup_5gram_frac at fixed thresholds "
+        "(operators/repetition.py:147) — so the metrics row's "
+        "hash-pinned fraction VALUES determine every keep decision "
+        "exactly; a gate regression without a metrics regression would "
+        "require the comparison operator itself to break, which every "
+        "other certified query exercises. The composed pipeline gate "
+        "(`pipeline_curate_documents`) also fires it end-to-end. Stays "
+        "registered and locally oracle-verified every pytest run."
     ),
 }
 
