@@ -380,6 +380,7 @@ def merge_upsert_batch(
     on_changes=None,
     schema_evolution: str = "strict",
     lease_ttl_s: float = lease.DEFAULT_TTL_S,
+    lease_owner: str | None = None,
 ) -> None:
     """Idempotently MERGE one micro-batch into the snapshot table.
 
@@ -410,13 +411,19 @@ def merge_upsert_batch(
     additions are refused in every mode.
 
     Writer fencing (r14): the read→merge→flip cycle runs under the
-    ``io.lease`` writer lease (owner = ``run_id``), re-verified
-    immediately before the pointer flip — a SECOND concurrent writer
-    refuses with ``WriterFencedError`` instead of interleaving flips
-    and losing the other's merge (the lost-update a stale ``base``
-    read would cause). A crash replay under the SAME run_id re-acquires
-    instantly; a different writer waits out ``lease_ttl_s`` (or an
-    operator breaks the lease). The committed-replay fast path below
+    ``io.lease`` writer lease, re-verified immediately before the
+    pointer flip — a SECOND concurrent writer refuses with
+    ``WriterFencedError`` instead of interleaving flips and losing the
+    other's merge (the lost-update a stale ``base`` read would cause).
+    ``lease_owner`` is the crash-re-entry identity (default:
+    ``run_id``). It matters that the owner be STABLE across the
+    restarts of one logical writer: the streaming wrapper passes its
+    checkpoint location (stable per stream, unique by Spark's own
+    checkpoint exclusivity), because run identities are deliberately
+    fresh per start (the idempotence contract) and a crash-restart
+    under a fresh owner would wait out the TTL on its own leftover
+    lease. A genuinely different writer waits out ``lease_ttl_s`` (or
+    an operator breaks the lease). The committed-replay fast path below
     is read-only and stays unfenced."""
     spark = batch_df.sparkSession
     snap = _snapshot_name(run_id, batch_id)
@@ -436,7 +443,9 @@ def merge_upsert_batch(
         return
     # fence BEFORE the base read: a stale base merged under a raced
     # flip is the lost-update failure mode, not just a torn pointer
-    token = lease.acquire(spark, table_path, owner=run_id, ttl_s=lease_ttl_s)
+    token = lease.acquire(
+        spark, table_path, owner=lease_owner or run_id, ttl_s=lease_ttl_s
+    )
     base = read_merge_table(spark, table_path)
     merged = merged_frame(
         base, batch_df, keys, seq_col, schema_evolution=schema_evolution
@@ -497,8 +506,12 @@ def write_stream_merge_upsert(
     idempotence key. ``on_changes`` attaches the per-batch CDC consumer
     (at-least-once; see ``merge_upsert_batch``); ``schema_evolution``
     ('strict' | 'additive') is ``merged_frame``'s drift policy. Each
-    batch runs under the ``io.lease`` writer fence keyed on the run
-    identity — a second concurrent stream on the same table refuses
+    batch runs under the ``io.lease`` writer fence keyed on the
+    CHECKPOINT location — stable across restarts of this logical stream
+    (run identities are fresh per start by design, so a crashed
+    stream's restart re-enters its own leftover lease instantly instead
+    of waiting out the TTL) and exclusive by Spark's own checkpoint
+    locking — so a second concurrent stream on the same table refuses
     loudly (``merge_upsert_batch``'s r14 contract)."""
     rid = run_id or uuid.uuid4().hex[:12]
 
@@ -506,7 +519,7 @@ def write_stream_merge_upsert(
         merge_upsert_batch(
             batch_df, batch_id, table_path, keys, seq_col, run_id=rid,
             on_changes=on_changes, schema_evolution=schema_evolution,
-            lease_ttl_s=lease_ttl_s,
+            lease_ttl_s=lease_ttl_s, lease_owner=f"ckpt:{checkpoint_dir}",
         )
 
     return (
@@ -523,6 +536,9 @@ def merge_upsert_batch_partitioned(
     keys: list[str],
     partition_col: str | list[str],
     seq_col: str | None = None,
+    owner: str | None = None,
+    lease_ttl_s: float = lease.DEFAULT_TTL_S,
+    fence_token: str | None = None,
 ) -> None:
     """Partition-pruned MERGE: O(touched partitions) per batch instead of
     the snapshot sink's O(table) — the scale path for LARGE upsert
@@ -562,8 +578,32 @@ def merge_upsert_batch_partitioned(
     those leaf partitions. The table's real layout must match the list
     exactly — the same flatten hazard ``io.maintenance
     .compact_partitions`` documents applies to any writer.
+
+    Writer fencing (r14): replay-convergence makes ONE writer's
+    redeliveries safe, but TWO concurrent writers still race the
+    read→merge→overwrite cycle — both read the same base, each
+    overwrites the touched partitions WITHOUT the other's rows (the
+    classic lost update), so this sink takes the same ``io.lease``
+    fence as the snapshot sink: acquire before the base read, verify
+    before the dynamic overwrite. ``owner`` is the crash-re-entry
+    identity (a replaying caller passes its stable run id; default is a
+    fresh identity per call); ``fence_token`` lets a caller that
+    ALREADY holds the table lease (the streaming sink, which must also
+    cover its post-merge compaction — see
+    ``write_stream_merge_partitioned``) pass it through instead of
+    deadlocking on a second acquire — the lease is then verified here
+    but released by its owner. The lease file (``_WRITER_LEASE``) is
+    underscore-prefixed, so Spark's default path filter hides it from
+    the table scan and partition discovery.
     """
     spark = batch_df.sparkSession
+    own_lease = fence_token is None
+    token = fence_token or lease.acquire(
+        spark,
+        table_path,
+        owner=owner or f"mergep-{uuid.uuid4().hex[:8]}",
+        ttl_s=lease_ttl_s,
+    )
     pcols = (
         [partition_col] if isinstance(partition_col, str)
         else list(partition_col)
@@ -619,6 +659,9 @@ def merge_upsert_batch_partitioned(
     merged = merged_frame(base, batch_df, keys, seq_col).localCheckpoint(
         eager=True
     )
+    # still-the-writer check before the irreversible overwrite: a lease
+    # taken over during the merge must refuse HERE (r14 fence contract)
+    lease.verify(spark, table_path, token)
     # dynamic overwrite is set PER WRITE, never on the session conf: a
     # save/set/restore of the session-global flag races a concurrent
     # sink in the same session, whose overwrite could then run in
@@ -629,6 +672,8 @@ def merge_upsert_batch_partitioned(
         .partitionBy(*pcols)
         .parquet(table_path)
     )
+    if own_lease:
+        lease.release(spark, table_path, token)
 
 
 def write_stream_merge_partitioned(
@@ -639,11 +684,20 @@ def write_stream_merge_partitioned(
     checkpoint_dir: str,
     seq_col: str | None = None,
     compact_target_bytes: int | None = None,
+    lease_ttl_s: float = lease.DEFAULT_TTL_S,
 ):
     """Start the partition-pruned MERGE sink (availableNow; returns the
-    started StreamingQuery). No run identity needed: every delivery
-    re-merges its touched partitions and convergence is the idempotence
-    mechanism (use ``seq_col`` so that holds at any delivery order).
+    started StreamingQuery). No run identity is needed for IDEMPOTENCE
+    (every delivery re-merges its touched partitions and convergence is
+    the mechanism; use ``seq_col`` so that holds at any delivery order),
+    but the CHECKPOINT location serves as the writer-fence owner (stable
+    across restarts of this logical stream — a crashed batch's restart
+    re-enters its own leftover lease instantly — and exclusive by
+    Spark's checkpoint locking): each batch holds the table lease across
+    BOTH the merge and the follow-up compaction — compaction racing a
+    concurrent writer's overwrite could write back the pre-merge files
+    it had just read (resurrected rows), so it must run under the same
+    lease generation, not after release.
 
     ``compact_target_bytes``: the merged overwrite writes one file per
     (task, partition) pair, so a stream of micro-batches fragments ITS
@@ -659,21 +713,30 @@ def write_stream_merge_partitioned(
     volumes the scheduled form amortizes re-reads across many batches.
     """
 
+    owner = f"ckpt:{checkpoint_dir}"
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        token = lease.acquire(
+            spark, table_path, owner=owner, ttl_s=lease_ttl_s
+        )
         merge_upsert_batch_partitioned(
-            batch_df, table_path, keys, partition_col, seq_col
+            batch_df, table_path, keys, partition_col, seq_col,
+            fence_token=token,
         )
         if compact_target_bytes is not None:
             from filmdatawarehouse_spark.io.maintenance import (
                 compact_partitions,
             )
 
+            lease.verify(spark, table_path, token)
             compact_partitions(
-                batch_df.sparkSession,
+                spark,
                 table_path,
                 partition_col,
                 target_bytes=compact_target_bytes,
             )
+        lease.release(spark, table_path, token)
 
     return (
         df.writeStream.foreachBatch(sink)

@@ -80,6 +80,7 @@ def ivfpq_ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lease_ttl_s: float = lease.DEFAULT_TTL_S,
+    lease_owner: str | None = None,
 ) -> None:
     """Idempotently ingest one micro-batch of vectors into the committed
     IVF-PQ index version (see the module banner for the exactly-once
@@ -98,15 +99,21 @@ def ivfpq_ingest_batch(
     does).
 
     Writer fencing (r14): the ledger-read→anti-join→append→ledger-write
-    cycle runs under the ``io.lease`` writer lease at the INDEX root
-    (owner = ``run_id``), re-verified before the append and before the
-    ledger write. Two concurrent ingest streams would otherwise both
-    anti-join against the same pre-append state and both insert the
-    same "missing" rows — duplicate codes the uniqueness invariant
-    forbids. The root-level lease also excludes an ingest racing a
-    rebuild (``ivf_index_build``'s concurrency note)."""
+    cycle runs under the ``io.lease`` writer lease at the INDEX root,
+    re-verified before the append and before the ledger write. Two
+    concurrent ingest streams would otherwise both anti-join against
+    the same pre-append state and both insert the same "missing" rows —
+    duplicate codes the uniqueness invariant forbids. The root-level
+    lease also excludes an ingest racing a rebuild
+    (``ivf_index_build``'s concurrency note). ``lease_owner`` is the
+    crash-re-entry identity (default ``run_id``); the streaming wrapper
+    passes its CHECKPOINT location so a crashed stream's restart —
+    whose run identity is fresh by design — re-enters its own leftover
+    lease instantly instead of waiting out the TTL."""
     spark = batch_df.sparkSession
-    token = lease.acquire(spark, index_path, owner=run_id, ttl_s=lease_ttl_s)
+    token = lease.acquire(
+        spark, index_path, owner=lease_owner or run_id, ttl_s=lease_ttl_s
+    )
     vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all I/O
     done = _applied(spark, vdir)
     if batch_id <= done.get(run_id, -1):
@@ -168,7 +175,9 @@ def write_stream_ivfpq_ingest(
     and stops). Each start gets a fresh run identity unless the caller
     pins one — batch ids alone are not an idempotence key across
     checkpoint loss (the MERGE sink's rationale, shared). Each batch
-    runs under the index-root writer fence keyed on the run identity
+    runs under the index-root writer fence keyed on the CHECKPOINT
+    location — stable across restarts of this logical stream, so a
+    crash replay re-enters its own lease instantly
     (``ivfpq_ingest_batch``'s r14 contract)."""
     rid = run_id or uuid.uuid4().hex[:12]
 
@@ -176,6 +185,7 @@ def write_stream_ivfpq_ingest(
         ivfpq_ingest_batch(
             batch_df, batch_id, index_path, run_id=rid,
             id_col=id_col, vec_col=vec_col, lease_ttl_s=lease_ttl_s,
+            lease_owner=f"ckpt:{checkpoint_dir}",
         )
 
     return (

@@ -281,3 +281,78 @@ def test_build_refuses_under_foreign_lease(spark, tmp_path):
     with pytest.raises(WriterFencedError):
         ivf_index_build(_tiny_emb(spark), idx, n_lists=2, n_iters=1)
     assert not fs.exists(spark, f"{idx}/INDEX")  # nothing committed
+
+
+def test_partitioned_merge_refuses_under_foreign_lease(spark, tmp_path):
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    b0 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "k int, v string, day string"
+    )
+    merge_upsert_batch_partitioned(b0, table, keys=["k"],
+                                   partition_col="day")
+    tok = lease.acquire(spark, table, owner="other-stream")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "CHANGED", "d1")], "k int, v string, day string"
+        )
+        with pytest.raises(WriterFencedError):
+            merge_upsert_batch_partitioned(b1, table, keys=["k"],
+                                           partition_col="day")
+    finally:
+        lease.release(spark, table, tok)
+    rows = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
+    assert rows == {(1, "a"), (2, "b")}  # refused writer changed nothing
+    # door open again: the same batch commits
+    b1 = spark.createDataFrame(
+        [(1, "CHANGED", "d1")], "k int, v string, day string"
+    )
+    merge_upsert_batch_partitioned(b1, table, keys=["k"],
+                                   partition_col="day")
+    rows = {(r.k, r.v) for r in spark.read.parquet(table).collect()}
+    assert rows == {(1, "CHANGED"), (2, "b")}
+
+
+def test_partitioned_merge_lease_file_invisible_to_scan(spark, tmp_path):
+    """The _WRITER_LEASE file lives at the table root; Spark's default
+    path filter must hide it from the scan and partition discovery (a
+    visible one would break every read of the table)."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    b0 = spark.createDataFrame([(1, "a", "d1")], "k int, v string, day string")
+    merge_upsert_batch_partitioned(b0, table, keys=["k"], partition_col="day")
+    lease.acquire(spark, table, owner="held-during-read")
+    got = spark.read.parquet(table)
+    assert {(r.k, r.v, r.day) for r in got.collect()} == {(1, "a", "d1")}
+
+
+def test_partitioned_merge_fence_token_passthrough(spark, tmp_path):
+    """A caller already holding the lease (the streaming sink, covering
+    merge + compaction under ONE generation) passes its token through:
+    the merge verifies it but does not release — the owner does."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    tok = lease.acquire(spark, table, owner="stream")
+    b0 = spark.createDataFrame([(1, "a", "d1")], "k int, v string, day string")
+    merge_upsert_batch_partitioned(
+        b0, table, keys=["k"], partition_col="day", fence_token=tok
+    )
+    lease.verify(spark, table, tok)  # still held after the merge
+    lease.release(spark, table, tok)
+    # and a FOREIGN token refuses before the overwrite
+    tok2 = lease.acquire(spark, table, owner="stream2")
+    with pytest.raises(WriterFencedError):
+        merge_upsert_batch_partitioned(
+            b0, table, keys=["k"], partition_col="day",
+            fence_token="not-the-token",
+        )
+    lease.release(spark, table, tok2)
