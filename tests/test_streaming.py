@@ -824,10 +824,14 @@ def _has_protobuf():
     # r13 closure attempt (VERDICT r12 item 7): `pip install protobuf`
     # was tried in the round sandbox and REFUSED by the environment —
     # no network route to the package index (DNS: "Name or service not
-    # known"), so no wheel can arrive. The gate below therefore remains
-    # an environment gate, not a silent skip; the rotation tool's
-    # round-start reminder (tools/rotate_window.py) still fires the
-    # moment protobuf appears in a future container.
+    # known"), so no wheel can arrive. Re-attempted r14 (VERDICT r13
+    # item 6) with the same result: DNS resolution of the index host
+    # fails ("Name or service not known"), `getent hosts pypi.org`
+    # empty, and no mysqld/mysql binaries exist for the MERGE e2e leg
+    # either. The gate below therefore remains an environment gate, not
+    # a silent skip; the rotation tool's round-start reminder
+    # (tools/rotate_window.py) still fires the moment protobuf appears
+    # in a future container.
     try:
         import google.protobuf  # noqa: F401
 
