@@ -21,6 +21,7 @@ PORTABLE_MODULES = [
     PKG / "operators" / "ivfpq.py",  # persisted IVF-PQ index (r12)
     PKG / "streaming" / "vector_ingest.py",  # IVF-PQ ingest ledger (r12)
     PKG / "io" / "fs.py",
+    PKG / "io" / "lease.py",  # writer fence (r14) — same portability bar
     PKG / "io" / "sinks.py",  # compact_parquet swap (r12)
     PKG / "io" / "maintenance.py",  # the original Hadoop-FS precedent
 ]

@@ -74,17 +74,22 @@ def time_jdbc(spark, n, tag) -> float:
     url = f"jdbc:derby:memory:mergebench{tag};create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     table = "t"
+    rid = f"bench{tag}"  # run_id REQUIRED since the r13 ledger change;
+    # identifier-safe (it is embedded in the staging table name)
     merge_jdbc_batch(
-        base_frame(spark, n), 0, url, table, ["k"], "seq", driver=drv
+        base_frame(spark, n), 0, url, table, ["k"], "seq", driver=drv,
+        run_id=rid,
     )
     merge_jdbc_batch(
-        delta_frame(spark, n, 1), 1, url, table, ["k"], "seq", driver=drv
+        delta_frame(spark, n, 1), 1, url, table, ["k"], "seq", driver=drv,
+        run_id=rid,
     )
     times = []
     for i in range(2, 5):
         t0 = time.perf_counter()
         merge_jdbc_batch(
-            delta_frame(spark, n, i), i, url, table, ["k"], "seq", driver=drv
+            delta_frame(spark, n, i), i, url, table, ["k"], "seq",
+            driver=drv, run_id=rid,
         )
         times.append(time.perf_counter() - t0)
     # drop the in-memory Derby DB so earlier sizes don't stay resident in
