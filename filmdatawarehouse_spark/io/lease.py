@@ -37,13 +37,19 @@ carrying a FENCING TOKEN, with three rules:
 
 Residual windows, stated honestly:
 
-- verify→commit is not atomic: a steal landing in those few
-  milliseconds can interleave one commit. Both pointer flips are
-  themselves atomic renames and every snapshot directory is immutable
-  once written, so the damage is bounded to "the superseded writer's
-  flip wins the pointer" — never a torn table; the loser's NEXT verify
-  (or release) surfaces the interleave. Shrinking this window to zero
-  needs a store with compare-and-swap (a transactional table format).
+- the commit step itself (a pointer flip, a ledger write — or, for the
+  append/overwrite writers, an entire Spark write JOB) is not atomic
+  with the verify that precedes it. For a LIVE writer this window is
+  closed by the heartbeat (``start_heartbeat``: the sinks refresh the
+  lease mtime at ttl/3 for as long as they hold it, so a live writer
+  is never takeover-ELIGIBLE no matter how long its job runs); what
+  remains is the operator-override case — a ``break_lease`` plus new
+  acquire landing inside a verify→commit gap can interleave one
+  commit. Pointer flips are atomic renames over immutable snapshot
+  dirs, so that worst case is "the superseded writer's flip wins the
+  pointer", never a torn table, and the loser's next verify (or
+  release) surfaces it. Shrinking it to zero needs a store with
+  compare-and-swap (a transactional table format).
 - the TTL clock is the driver's wall clock; cross-driver skew makes
   expiry approximate. That only affects LIVENESS (how soon a crashed
   writer's lease can be taken over) — correctness rides on the token.
@@ -78,11 +84,15 @@ def _lease_path(root: str) -> str:
 
 def _parse(text: str | None) -> tuple[str, str]:
     """(token, owner) from the lease body; empty strings when absent or
-    malformed (a malformed lease is treated as held-by-unknown: it can
-    be taken over on expiry, never silently matched)."""
+    malformed — including whitespace-only content, a possible torn/
+    mid-copy observation (a malformed lease is treated as
+    held-by-unknown: it can be taken over on expiry, never silently
+    matched)."""
     if not text:
         return "", ""
     parts = text.split(None, 1)
+    if not parts:
+        return "", ""
     return parts[0], (parts[1].strip() if len(parts) > 1 else "")
 
 
@@ -113,12 +123,13 @@ def acquire(
     for _ in range(2):  # one retry if the holder releases mid-probe
         if fs.create_text_exclusive(spark, path, body):
             return token
-        held_token, held_owner = _parse(fs.read_text(spark, path))
-        if not held_token:
-            # released (or torn) between the create and the read — loop
-            # to try the exclusive create again
+        text = fs.read_text(spark, path)
+        if text is None:
+            # released between the create and the read — loop to try
+            # the exclusive create again
             continue
-        if held_owner == owner:
+        held_token, held_owner = _parse(text)
+        if held_token and held_owner == owner:
             fs.write_text_atomic(spark, path, body)
             return token
         mt = fs.mtime_ms(spark, path)
@@ -126,12 +137,17 @@ def acquire(
             continue  # released between the read and the stat — retry
         age_s = (time.time() * 1000 - mt) / 1000
         if age_s > ttl_s:
-            # expired foreign lease: take over (fencing token rotates,
-            # so the previous holder can no longer pass verify)
+            # expired lease — foreign OR torn/empty (a writer that died
+            # between create and body-write leaves a zero-byte lease;
+            # it must age out like any other crash, not lock the table
+            # forever): take over. The fencing token rotates, so a
+            # previous holder that was merely paused can no longer pass
+            # verify.
             fs.write_text_atomic(spark, path, body)
             return token
         raise WriterFencedError(
-            f"writer lease at {path} is held by {held_owner!r} "
+            f"writer lease at {path} is held by "
+            f"{held_owner or '<torn/unreadable lease>'!r} "
             f"(age {age_s:.1f}s <= ttl {ttl_s}s); a second concurrent "
             "writer on one table is refused — stop the other writer, "
             "wait out the ttl, or break_lease() after confirming it "
@@ -178,6 +194,66 @@ def release(spark: SparkSession, root: str, token: str) -> None:
             "two writers are active on one table; stop one"
         )
     fs.delete(spark, path, recursive=False)
+
+
+def release_quiet(spark: SparkSession, root: str, token: str) -> None:
+    """Best-effort release for FAILURE paths: never raises. The caller's
+    original error must propagate — a takeover discovered here is the
+    thief's protocol to surface, and a leaked lease would fence the
+    caller's own corrected retry out for the full TTL (fresh-owner API
+    calls cannot re-enter the way a run-identity stream can)."""
+    try:
+        release(spark, root, token)
+    except Exception:  # noqa: BLE001 — failure-path cleanup only
+        pass
+
+
+def start_heartbeat(
+    spark: SparkSession,
+    root: str,
+    token: str,
+    interval_s: float,
+) -> "callable":
+    """Refresh the held lease's mtime every ``interval_s`` from a daemon
+    thread; returns a ``stop()`` callable. This is what keeps a LIVE
+    writer from becoming takeover-eligible mid-batch: the TTL clock
+    runs from the lease file's mtime, and acquire alone stamps it once —
+    a snapshot/append/overwrite job longer than the TTL would otherwise
+    open the takeover window while the writer is still working (the
+    both-writers-land failure the fence exists to prevent). The refresh
+    is read-verify-rewrite with the held token: if the token no longer
+    matches (takeover after a real stall, operator break), the thread
+    stops silently and the writer's own next ``verify`` raises the loud
+    refusal. A refresh racing a takeover by milliseconds resolves to
+    one winner either way — whichever write lands last holds the file,
+    and the other side's verify fails. Size ``interval_s`` well under
+    the TTL (the sinks use ttl/3)."""
+    import threading
+
+    stop_ev = threading.Event()
+
+    def beat() -> None:
+        while not stop_ev.wait(interval_s):
+            try:
+                held_token, held_owner = _parse(
+                    fs.read_text(spark, _lease_path(root))
+                )
+                if held_token != token:
+                    return  # taken over / broken: the verify will refuse
+                fs.write_text_atomic(
+                    spark, _lease_path(root), f"{token} {held_owner}"
+                )
+            except Exception:  # noqa: BLE001 — refresh is best-effort;
+                return  # verify remains the correctness gate
+
+    t = threading.Thread(target=beat, daemon=True, name="fdw-lease-heartbeat")
+    t.start()
+
+    def stop() -> None:
+        stop_ev.set()
+        t.join(timeout=10)
+
+    return stop
 
 
 def break_lease(spark: SparkSession, root: str) -> bool:

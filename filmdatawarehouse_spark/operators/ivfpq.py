@@ -159,48 +159,58 @@ def ivfpq_index_build(
     spark = emb.sparkSession
     token = f"v-{uuid.uuid4().hex[:8]}"
     fence = lease.acquire(spark, index_path, owner=f"build-{token}")
-    vdir = f"{index_path.rstrip('/')}/{token}"
-    cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
-    res = _residuals(emb, cents, id_col, vec_col)
-    books = pq_train(
-        res, m=m, n_codes=n_codes, n_iters=n_iters,
-        id_col=id_col, vec_col="residual",
+    # heartbeat + release-on-failure: same rationale as ivf_index_build
+    stop_hb = lease.start_heartbeat(
+        spark, index_path, fence, lease.DEFAULT_TTL_S / 3.0
     )
-    (
-        spark.createDataFrame(
-            [
-                (i, [float(x) for x in cents[i]])
-                for i in range(cents.shape[0])
-            ],
-            "list_id int, centroid array<double>",
+    try:
+        vdir = f"{index_path.rstrip('/')}/{token}"
+        cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
+        res = _residuals(emb, cents, id_col, vec_col)
+        books = pq_train(
+            res, m=m, n_codes=n_codes, n_iters=n_iters,
+            id_col=id_col, vec_col="residual",
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{vdir}/centroids")
-    )
-    (
-        spark.createDataFrame(
-            [
-                (j, c, [float(x) for x in books[j, c]])
-                for j in range(books.shape[0])
-                for c in range(books.shape[1])
-            ],
-            "sub int, code int, centroid array<double>",
+        (
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in cents[i]])
+                    for i in range(cents.shape[0])
+                ],
+                "list_id int, centroid array<double>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{vdir}/centroids")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{vdir}/codebooks")
-    )
-    (
-        pq_encode(
-            res, books, id_col=id_col, vec_col="residual",
-            extra_cols=("list_id",),
+        (
+            spark.createDataFrame(
+                [
+                    (j, c, [float(x) for x in books[j, c]])
+                    for j in range(books.shape[0])
+                    for c in range(books.shape[1])
+                ],
+                "sub int, code int, centroid array<double>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{vdir}/codebooks")
         )
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(f"{vdir}/codes")
-    )
-    _commit_index_version(spark, index_path, token, lease_token=fence)
+        (
+            pq_encode(
+                res, books, id_col=id_col, vec_col="residual",
+                extra_cols=("list_id",),
+            )
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{vdir}/codes")
+        )
+        _commit_index_version(spark, index_path, token, lease_token=fence)
+    except BaseException:
+        stop_hb()
+        lease.release_quiet(spark, index_path, fence)
+        raise
+    stop_hb()
     lease.release(spark, index_path, fence)
 
 
@@ -227,21 +237,31 @@ def ivfpq_index_append(
     fence = lease.acquire(
         spark, index_path, owner=owner or f"append-{uuid.uuid4().hex[:8]}"
     )
-    vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all three
-    cents = _centroids_of(spark, vdir)
-    books = _codebooks_of(spark, vdir)
-    res = _residuals(new_emb, cents, id_col, vec_col)
-    encoded = pq_encode(
-        res, books, id_col=id_col, vec_col="residual",
-        extra_cols=("list_id",),
+    # heartbeat + release-on-failure: same rationale as ivf_index_append
+    stop_hb = lease.start_heartbeat(
+        spark, index_path, fence, lease.DEFAULT_TTL_S / 3.0
     )
-    lease.verify(spark, index_path, fence)
-    (
-        encoded
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(f"{vdir}/codes")
-    )
+    try:
+        vdir = ivfpq_version_dir(spark, index_path)  # ONCE for all three
+        cents = _centroids_of(spark, vdir)
+        books = _codebooks_of(spark, vdir)
+        res = _residuals(new_emb, cents, id_col, vec_col)
+        encoded = pq_encode(
+            res, books, id_col=id_col, vec_col="residual",
+            extra_cols=("list_id",),
+        )
+        lease.verify(spark, index_path, fence)
+        (
+            encoded
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(f"{vdir}/codes")
+        )
+    except BaseException:
+        stop_hb()
+        lease.release_quiet(spark, index_path, fence)
+        raise
+    stop_hb()
     lease.release(spark, index_path, fence)
 
 

@@ -517,29 +517,42 @@ def ivf_index_build(
     spark = emb.sparkSession
     token = f"v-{uuid.uuid4().hex[:8]}"
     fence = lease.acquire(spark, index_path, owner=f"build-{token}")
-    vdir = f"{index_path.rstrip('/')}/{token}"
-    cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
-    (
-        spark.createDataFrame(
-            [
-                (i, [float(x) for x in cents[i]])
-                for i in range(cents.shape[0])
-            ],
-            "list_id int, centroid array<double>",
+    # heartbeat while held: training + the vectors write are long jobs —
+    # a live build must never become takeover-eligible mid-write, and a
+    # FAILED build must release rather than fence its own retry out
+    # (fresh-owner leases cannot re-enter; r14 review)
+    stop_hb = lease.start_heartbeat(
+        spark, index_path, fence, lease.DEFAULT_TTL_S / 3.0
+    )
+    try:
+        vdir = f"{index_path.rstrip('/')}/{token}"
+        cents = kmeans_centroids(emb, n_lists, n_iters, id_col, vec_col)
+        (
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in cents[i]])
+                    for i in range(cents.shape[0])
+                ],
+                "list_id int, centroid array<double>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{vdir}/centroids")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{vdir}/centroids")
-    )
-    (
-        _assign_lists(emb, cents, id_col, vec_col)
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(f"{vdir}/vectors")
-    )
-    # atomic commit: keep-two pointer flip + prune, refusing if the
-    # writer fence was taken over during the build (shared helper)
-    _commit_index_version(spark, index_path, token, lease_token=fence)
+        (
+            _assign_lists(emb, cents, id_col, vec_col)
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{vdir}/vectors")
+        )
+        # atomic commit: keep-two pointer flip + prune, refusing if the
+        # writer fence was taken over during the build (shared helper)
+        _commit_index_version(spark, index_path, token, lease_token=fence)
+    except BaseException:
+        stop_hb()
+        lease.release_quiet(spark, index_path, fence)
+        raise
+    stop_hb()
     lease.release(spark, index_path, fence)
 
 
@@ -575,16 +588,27 @@ def ivf_index_append(
     fence = lease.acquire(
         spark, index_path, owner=owner or f"append-{uuid.uuid4().hex[:8]}"
     )
-    vdir = ivf_index_version_dir(spark, index_path)  # resolved ONCE for both
-    cents = _centroids_of(spark, vdir)
-    assigned = _assign_lists(new_emb, cents, id_col, vec_col)
-    lease.verify(spark, index_path, fence)
-    (
-        assigned
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(f"{vdir}/vectors")
+    # heartbeat while held (the append is a whole Spark job) + release
+    # on failure (a fresh-owner lease cannot be re-entered by a retry)
+    stop_hb = lease.start_heartbeat(
+        spark, index_path, fence, lease.DEFAULT_TTL_S / 3.0
     )
+    try:
+        vdir = ivf_index_version_dir(spark, index_path)  # ONCE for both
+        cents = _centroids_of(spark, vdir)
+        assigned = _assign_lists(new_emb, cents, id_col, vec_col)
+        lease.verify(spark, index_path, fence)
+        (
+            assigned
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(f"{vdir}/vectors")
+        )
+    except BaseException:
+        stop_hb()
+        lease.release_quiet(spark, index_path, fence)
+        raise
+    stop_hb()
     lease.release(spark, index_path, fence)
 
 

@@ -446,45 +446,75 @@ def merge_upsert_batch(
     token = lease.acquire(
         spark, table_path, owner=lease_owner or run_id, ttl_s=lease_ttl_s
     )
-    base = read_merge_table(spark, table_path)
-    merged = merged_frame(
-        base, batch_df, keys, seq_col, schema_evolution=schema_evolution
+    # heartbeat for as long as we hold the lease: the TTL clock runs
+    # from the lease mtime, and the snapshot write below is a whole
+    # Spark job — without refreshes a batch longer than the TTL becomes
+    # takeover-eligible WHILE STILL WRITING (r14 review)
+    stop_hb = lease.start_heartbeat(
+        spark, table_path, token, lease_ttl_s / 3.0
     )
-
-    root = table_path.rstrip("/")
-    merged.write.mode("overwrite").parquet(f"{root}/{snap}")
-    # still-the-writer check at the last possible moment: a lease taken
-    # over during the snapshot write (TTL expiry / operator break) must
-    # refuse HERE, before the irreversible flip
-    lease.verify(spark, table_path, token)
-    # line 2 records the retained previous snapshot so CDC consumers
-    # get a consistent (current, previous) pair from one atomic read;
-    # the write is temp-file + rename through the Hadoop FileSystem
-    # (atomic on local/HDFS; see io.fs for the object-store caveat)
-    fs.write_text_atomic(
-        spark,
-        _pointer_path(table_path),
-        snap if prev is None else f"{snap}\n{prev}",
-    )
-    # best-effort prune, RETAINING the previous snapshot so a reader that
-    # resolved it just before this commit can still finish its query (a
-    # crash here just leaves garbage for the next batch's prune — never
-    # corrupts the committed snapshot)
-    keep = {snap, prev}
-    for d in fs.list_child_dirs(spark, root):
-        if d.startswith("v-") and d not in keep:
-            try:
-                fs.delete(spark, f"{root}/{d}")
-            except Exception:
-                pass  # best-effort: next batch's prune retries
-    if on_changes is not None:
-        on_changes(
-            _changes_between(spark, table_path, keys, None, snap, prev),
-            batch_id,
+    try:
+        # re-read the pointer UNDER the lease: a commit landing between
+        # the unfenced probe above and the acquire would otherwise make
+        # this writer retain a stale `prev` — pruning the REAL previous
+        # snapshot (keep-two breach for concurrent readers) and feeding
+        # the CDC consumer a diff against the wrong baseline
+        prev = current_snapshot(spark, table_path)
+        if prev == snap:
+            # our own (run, batch) landed between probe and lease (a
+            # concurrent replay of this very writer): re-enter the
+            # committed-replay fast path above
+            stop_hb()
+            lease.release(spark, table_path, token)
+            return merge_upsert_batch(
+                batch_df, batch_id, table_path, keys, seq_col, run_id,
+                on_changes, schema_evolution, lease_ttl_s, lease_owner,
+            )
+        base = read_merge_table(spark, table_path)
+        merged = merged_frame(
+            base, batch_df, keys, seq_col, schema_evolution=schema_evolution
         )
-    # release on the SUCCESS path only: a failed batch leaves the lease
-    # for its own replay (same run_id re-acquires instantly); a foreign
-    # writer waits out the TTL — crash semantics, documented above
+
+        root = table_path.rstrip("/")
+        merged.write.mode("overwrite").parquet(f"{root}/{snap}")
+        # still-the-writer check at the last possible moment: a lease
+        # broken + re-acquired during the snapshot write must refuse
+        # HERE, before the irreversible flip
+        lease.verify(spark, table_path, token)
+        # line 2 records the retained previous snapshot so CDC consumers
+        # get a consistent (current, previous) pair from one atomic read;
+        # the write is temp-file + rename through the Hadoop FileSystem
+        # (atomic on local/HDFS; see io.fs for the object-store caveat)
+        fs.write_text_atomic(
+            spark,
+            _pointer_path(table_path),
+            snap if prev is None else f"{snap}\n{prev}",
+        )
+        # best-effort prune, RETAINING the previous snapshot so a reader
+        # that resolved it just before this commit can still finish its
+        # query (a crash here just leaves garbage for the next batch's
+        # prune — never corrupts the committed snapshot)
+        keep = {snap, prev}
+        for d in fs.list_child_dirs(spark, root):
+            if d.startswith("v-") and d not in keep:
+                try:
+                    fs.delete(spark, f"{root}/{d}")
+                except Exception:
+                    pass  # best-effort: next batch's prune retries
+        if on_changes is not None:
+            on_changes(
+                _changes_between(spark, table_path, keys, None, snap, prev),
+                batch_id,
+            )
+    except BaseException:
+        # failure path: stop refreshing and best-effort release — a
+        # leaked lease would fence a fresh-owner retry out for the full
+        # TTL, and buys the replay nothing (a stable owner re-enters
+        # anyway; a crashed PROCESS still ages out via the TTL)
+        stop_hb()
+        lease.release_quiet(spark, table_path, token)
+        raise
+    stop_hb()
     lease.release(spark, table_path, token)
 
 
@@ -597,13 +627,8 @@ def merge_upsert_batch_partitioned(
     the table scan and partition discovery.
     """
     spark = batch_df.sparkSession
-    own_lease = fence_token is None
-    token = fence_token or lease.acquire(
-        spark,
-        table_path,
-        owner=owner or f"mergep-{uuid.uuid4().hex[:8]}",
-        ttl_s=lease_ttl_s,
-    )
+    # cheap argument validation BEFORE the lease: an invalid call must
+    # not leak a fresh-owner lease its corrected retry cannot re-enter
     pcols = (
         [partition_col] if isinstance(partition_col, str)
         else list(partition_col)
@@ -615,6 +640,46 @@ def merge_upsert_batch_partitioned(
         raise ValueError(
             f"partition column(s) must not be merge keys: {sorted(overlap)}"
         )
+    own_lease = fence_token is None
+    token = fence_token or lease.acquire(
+        spark,
+        table_path,
+        owner=owner or f"mergep-{uuid.uuid4().hex[:8]}",
+        ttl_s=lease_ttl_s,
+    )
+    # heartbeat only when WE own the lease (a caller-held token is the
+    # caller's to refresh — the streaming sink heartbeats across the
+    # whole merge+compaction span)
+    stop_hb = (
+        lease.start_heartbeat(spark, table_path, token, lease_ttl_s / 3.0)
+        if own_lease
+        else None
+    )
+    try:
+        _merge_partitioned_body(
+            spark, batch_df, table_path, keys, pcols, seq_col, token
+        )
+    except BaseException:
+        if own_lease:
+            stop_hb()
+            lease.release_quiet(spark, table_path, token)
+        raise
+    if own_lease:
+        stop_hb()
+        lease.release(spark, table_path, token)
+
+
+def _merge_partitioned_body(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    pcols: list[str],
+    seq_col: str | None,
+    token: str,
+) -> None:
+    """The prune→merge→overwrite cycle of the partitioned sink, run
+    UNDER the caller's lease (see ``merge_upsert_batch_partitioned``)."""
     touched = [
         tuple(r) for r in batch_df.select(*pcols).distinct().collect()
     ]
@@ -672,8 +737,6 @@ def merge_upsert_batch_partitioned(
         .partitionBy(*pcols)
         .parquet(table_path)
     )
-    if own_lease:
-        lease.release(spark, table_path, token)
 
 
 def write_stream_merge_partitioned(
@@ -720,22 +783,31 @@ def write_stream_merge_partitioned(
         token = lease.acquire(
             spark, table_path, owner=owner, ttl_s=lease_ttl_s
         )
-        merge_upsert_batch_partitioned(
-            batch_df, table_path, keys, partition_col, seq_col,
-            fence_token=token,
+        stop_hb = lease.start_heartbeat(
+            spark, table_path, token, lease_ttl_s / 3.0
         )
-        if compact_target_bytes is not None:
-            from filmdatawarehouse_spark.io.maintenance import (
-                compact_partitions,
+        try:
+            merge_upsert_batch_partitioned(
+                batch_df, table_path, keys, partition_col, seq_col,
+                fence_token=token,
             )
+            if compact_target_bytes is not None:
+                from filmdatawarehouse_spark.io.maintenance import (
+                    compact_partitions,
+                )
 
-            lease.verify(spark, table_path, token)
-            compact_partitions(
-                spark,
-                table_path,
-                partition_col,
-                target_bytes=compact_target_bytes,
-            )
+                lease.verify(spark, table_path, token)
+                compact_partitions(
+                    spark,
+                    table_path,
+                    partition_col,
+                    target_bytes=compact_target_bytes,
+                )
+        except BaseException:
+            stop_hb()
+            lease.release_quiet(spark, table_path, token)
+            raise
+        stop_hb()
         lease.release(spark, table_path, token)
 
     return (

@@ -109,55 +109,84 @@ def ivfpq_ingest_batch(
     crash-re-entry identity (default ``run_id``); the streaming wrapper
     passes its CHECKPOINT location so a crashed stream's restart —
     whose run identity is fresh by design — re-enters its own leftover
-    lease instantly instead of waiting out the TTL."""
+    lease instantly instead of waiting out the TTL. The committed-replay
+    fast path stays UNFENCED (read-only — the MERGE sink's contract,
+    shared): a replay of an already-applied batch must no-op even while
+    a rebuild holds the lease, not fail the stream."""
     spark = batch_df.sparkSession
+    # unfenced committed-replay probe (read-only fast path)
+    if batch_id <= _applied(
+        spark, ivfpq_version_dir(spark, index_path)
+    ).get(run_id, -1):
+        return  # clean replay of a committed batch (≤ the high-water mark)
     token = lease.acquire(
         spark, index_path, owner=lease_owner or run_id, ttl_s=lease_ttl_s
     )
-    vdir = ivfpq_version_dir(spark, index_path)  # resolved ONCE for all I/O
-    done = _applied(spark, vdir)
-    if batch_id <= done.get(run_id, -1):
-        # clean replay of a committed batch (≤ the high-water mark)
-        lease.release(spark, index_path, token)
-        return
-
-    cents = _centroids_of(spark, vdir)
-    books = _codebooks_of(spark, vdir)
-    inc = pq_encode(
-        _residuals(batch_df, cents, id_col, vec_col),
-        books,
-        id_col=id_col,
-        vec_col="residual",
-        extra_cols=("list_id",),
-    ).localCheckpoint(eager=True)  # encode ONCE: the touched-lists
-    # collect and the append both read the materialized increment
-    # the anti-join target: only the lists this increment touches —
-    # a bounded localization (≤ n_lists ints), pruned at the source
-    touched = [
-        r.list_id for r in inc.select("list_id").distinct().collect()
-    ]
-    if touched:
-        existing = (
-            spark.read.parquet(f"{vdir}/codes")
-            .filter(F.col("list_id").isin(touched))
-            .select(id_col)
-        )
-        missing = inc.join(existing, id_col, "left_anti")
-        # still-the-writer check before the irreversible append: a lease
-        # taken over during the encode must refuse HERE, not duplicate
-        lease.verify(spark, index_path, token)
-        missing.write.mode("append").partitionBy("list_id").parquet(
-            f"{vdir}/codes"
-        )
-    # ledger last: a crash anywhere above replays into the anti-join,
-    # which inserts only what is still missing
-    done[run_id] = batch_id
-    lease.verify(spark, index_path, token)
-    fs.write_text_atomic(
-        spark,
-        _ledger_path(vdir),
-        "\n".join(f"{r} {b}" for r, b in sorted(done.items())),
+    # heartbeat while held: the append below is a whole Spark job — a
+    # batch longer than the TTL must not become takeover-eligible while
+    # still writing (r14 review)
+    stop_hb = lease.start_heartbeat(
+        spark, index_path, token, lease_ttl_s / 3.0
     )
+    try:
+        # (re-)resolve UNDER the lease: the ledger is per-version, and a
+        # rebuild committing between the probe and the acquire would
+        # otherwise leave this batch encoding against a superseded
+        # version's centroids and marking the wrong version's ledger
+        vdir = ivfpq_version_dir(spark, index_path)
+        done = _applied(spark, vdir)
+        if batch_id <= done.get(run_id, -1):
+            stop_hb()
+            lease.release(spark, index_path, token)
+            return
+
+        cents = _centroids_of(spark, vdir)
+        books = _codebooks_of(spark, vdir)
+        inc = pq_encode(
+            _residuals(batch_df, cents, id_col, vec_col),
+            books,
+            id_col=id_col,
+            vec_col="residual",
+            extra_cols=("list_id",),
+        ).localCheckpoint(eager=True)  # encode ONCE: the touched-lists
+        # collect and the append both read the materialized increment
+        # the anti-join target: only the lists this increment touches —
+        # a bounded localization (≤ n_lists ints), pruned at the source
+        touched = [
+            r.list_id for r in inc.select("list_id").distinct().collect()
+        ]
+        if touched:
+            existing = (
+                spark.read.parquet(f"{vdir}/codes")
+                .filter(F.col("list_id").isin(touched))
+                .select(id_col)
+            )
+            missing = inc.join(existing, id_col, "left_anti")
+            # still-the-writer check before the irreversible append: a
+            # lease broken + re-acquired during the encode must refuse
+            # HERE, not duplicate
+            lease.verify(spark, index_path, token)
+            missing.write.mode("append").partitionBy("list_id").parquet(
+                f"{vdir}/codes"
+            )
+        # ledger last: a crash anywhere above replays into the anti-join,
+        # which inserts only what is still missing
+        done[run_id] = batch_id
+        lease.verify(spark, index_path, token)
+        fs.write_text_atomic(
+            spark,
+            _ledger_path(vdir),
+            "\n".join(f"{r} {b}" for r, b in sorted(done.items())),
+        )
+    except BaseException:
+        # failure path: stop refreshing and best-effort release — a
+        # leaked lease fences a fresh-owner retry out for the full TTL
+        # and buys the replay nothing (stable owners re-enter; a dead
+        # PROCESS ages out via the TTL)
+        stop_hb()
+        lease.release_quiet(spark, index_path, token)
+        raise
+    stop_hb()
     lease.release(spark, index_path, token)
 
 

@@ -356,3 +356,191 @@ def test_partitioned_merge_fence_token_passthrough(spark, tmp_path):
             fence_token="not-the-token",
         )
     lease.release(spark, table, tok2)
+
+
+# --------------------------- r14 self-review fixes (regression tests)
+
+
+def test_torn_lease_ages_out_not_permanent_lockout(spark, tmp_path):
+    """A writer that died between creating the lease file and writing
+    its body leaves a zero-byte lease. It must age out via the TTL like
+    any other crash — the old empty-token branch skipped the TTL path
+    and locked the table out forever."""
+    root = str(tmp_path / "t")
+    fs.mkdirs(spark, root)
+    fs.create_text_exclusive(spark, f"{root}/{lease.LEASE}", "")
+    # young torn lease: refused, naming the unreadable holder
+    with pytest.raises(WriterFencedError, match="torn/unreadable"):
+        lease.acquire(spark, root, owner="a", ttl_s=60.0)
+    # expired torn lease: taken over
+    time.sleep(0.05)
+    tok = lease.acquire(spark, root, owner="a", ttl_s=0.01)
+    lease.verify(spark, root, tok)
+
+
+def test_whitespace_lease_is_malformed_not_a_crash(spark, tmp_path):
+    """Whitespace-only lease content (a torn mid-copy observation) must
+    parse as held-by-unknown, not raise IndexError out of verify."""
+    assert lease._parse("  \t ") == ("", "")
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a")
+    fs.write_text_atomic(spark, f"{root}/{lease.LEASE}", "   ")
+    with pytest.raises(WriterFencedError):
+        lease.verify(spark, root, tok)
+
+
+def test_heartbeat_keeps_live_writer_takeover_proof(spark, tmp_path):
+    """The TTL clock runs from the lease mtime; the heartbeat refreshes
+    it, so a LIVE writer holding the lease longer than the TTL is never
+    takeover-eligible — stop the heartbeat and it ages out normally."""
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a", ttl_s=0.8)
+    stop = lease.start_heartbeat(spark, root, tok, interval_s=0.2)
+    try:
+        time.sleep(1.6)  # two TTLs elapse while the heartbeat runs
+        with pytest.raises(WriterFencedError):
+            lease.acquire(spark, root, owner="b", ttl_s=0.8)
+        lease.verify(spark, root, tok)  # still ours
+    finally:
+        stop()
+    time.sleep(1.0)  # no heartbeat: now it expires
+    tok_b = lease.acquire(spark, root, owner="b", ttl_s=0.8)
+    lease.verify(spark, root, tok_b)
+    with pytest.raises(WriterFencedError):
+        lease.verify(spark, root, tok)
+
+
+def test_heartbeat_stops_after_takeover_without_clobbering(spark, tmp_path):
+    """A heartbeat that observes a foreign token must stop refreshing —
+    never write its own token back over the new holder's."""
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a")
+    stop = lease.start_heartbeat(spark, root, tok, interval_s=0.1)
+    try:
+        lease.break_lease(spark, root)
+        tok_b = lease.acquire(spark, root, owner="b")
+        time.sleep(0.5)  # several beat intervals
+        lease.verify(spark, root, tok_b)  # b still holds
+        with pytest.raises(WriterFencedError):
+            lease.verify(spark, root, tok)
+    finally:
+        stop()
+
+
+def test_merge_retains_the_true_previous_under_a_raced_commit(
+    spark, tmp_path, monkeypatch
+):
+    """`prev` must be (re)read AFTER the lease is acquired: a commit
+    landing between the unfenced probe and the acquire would otherwise
+    make this writer prune the REAL previous snapshot (keep-two breach)
+    and record a stale retained pointer."""
+    import filmdatawarehouse_spark.streaming.merge as merge_mod
+
+    table = str(tmp_path / "t")
+    merge_mod.merge_upsert_batch(
+        _batch(spark, [(1, "x0")]), 0, table, keys=["k"], run_id="X"
+    )
+
+    real_acquire = merge_mod.lease.acquire
+    state = {"armed": True}
+
+    def racing_acquire(spark_, root, owner, ttl_s=lease.DEFAULT_TTL_S):
+        # writer B commits BETWEEN A's unfenced pointer probe and A's
+        # acquire (B's own merge re-enters here with armed already off)
+        if state["armed"] and owner == "A":
+            state["armed"] = False
+            merge_mod.merge_upsert_batch(
+                _batch(spark_, [(2, "b0")]), 0, table, keys=["k"],
+                run_id="B",
+            )
+        return real_acquire(spark_, root, owner, ttl_s)
+
+    monkeypatch.setattr(merge_mod.lease, "acquire", racing_acquire)
+    merge_mod.merge_upsert_batch(
+        _batch(spark, [(3, "a1")]), 1, table, keys=["k"], run_id="A"
+    )
+    monkeypatch.undo()
+    # A's pointer must retain B's snapshot (the true previous), and B's
+    # snapshot dir must survive the prune (keep-two for live readers)
+    from filmdatawarehouse_spark.streaming.merge import _read_pointer
+
+    cur, retained = _read_pointer(spark, table)
+    assert cur == "v-A-1"
+    assert retained == "v-B-0"
+    assert fs.is_dir(spark, f"{table}/v-B-0")
+    rows = {
+        (r.k, r.v)
+        for r in merge_mod.read_merge_table(spark, table).collect()
+    }
+    assert rows == {(1, "x0"), (2, "b0"), (3, "a1")}
+
+
+def test_failed_validation_does_not_leak_a_lease(spark, tmp_path):
+    """Argument validation precedes acquire, and a mid-body failure
+    releases: a corrected retry (or any other writer) must not be
+    fenced out for the TTL by the failed call's leftover lease."""
+    from filmdatawarehouse_spark.streaming.merge import (
+        merge_upsert_batch,
+        merge_upsert_batch_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    b = spark.createDataFrame([(1, "a", "d1")], "k int, v string, day string")
+    with pytest.raises(ValueError, match="must not be merge keys"):
+        merge_upsert_batch_partitioned(b, table, keys=["k", "day"],
+                                       partition_col="day")
+    tok = lease.acquire(spark, table, owner="next")  # no leftover lease
+    lease.release(spark, table, tok)
+
+    # mid-body failure in the snapshot sink (drift refusal) releases too
+    table2 = str(tmp_path / "t2")
+    merge_upsert_batch(_batch(spark, [(1, "a")]), 0, table2, keys=["k"],
+                       run_id="A")
+    drifted = spark.createDataFrame([(2, 9)], "k int, w int")  # drops v
+    with pytest.raises(ValueError, match="missing snapshot column"):
+        merge_upsert_batch(drifted, 1, table2, keys=["k"], run_id="A")
+    tok = lease.acquire(spark, table2, owner="next")
+    lease.release(spark, table2, tok)
+
+
+def test_ingest_committed_replay_noops_under_foreign_lease(spark, pq_index):
+    """The committed-replay fast path is read-only and UNFENCED (the
+    MERGE sink's contract): a replay of an already-applied batch must
+    no-op even while a rebuild holds the index lease — not fail."""
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_version_dir
+    from filmdatawarehouse_spark.streaming.vector_ingest import (
+        _applied,
+        ivfpq_ingest_batch,
+    )
+
+    ivfpq_ingest_batch(
+        _tiny_emb(spark, n=2, offset=200), 3, pq_index, run_id="rf"
+    )
+    vdir = ivfpq_version_dir(spark, pq_index)
+    assert _applied(spark, vdir)["rf"] == 3
+    tok = lease.acquire(spark, pq_index, owner="rebuild-in-flight")
+    try:
+        # committed replay: no-op, no WriterFencedError
+        ivfpq_ingest_batch(
+            _tiny_emb(spark, n=2, offset=200), 3, pq_index, run_id="rf"
+        )
+        # NEW batch still refuses while the lease is held
+        with pytest.raises(WriterFencedError):
+            ivfpq_ingest_batch(
+                _tiny_emb(spark, n=2, offset=300), 4, pq_index, run_id="rf"
+            )
+    finally:
+        lease.release(spark, pq_index, tok)
+
+
+def test_failed_build_releases_its_lease(spark, tmp_path):
+    """A build that fails mid-way must not fence its own retry out for
+    the TTL (build owners are fresh per call — they cannot re-enter)."""
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_index_build
+
+    idx = str(tmp_path / "idx")
+    too_few = _tiny_emb(spark, n=2)  # n_codes=4 > 2 vectors: pq_train raises
+    with pytest.raises(Exception, match="n_codes"):
+        ivfpq_index_build(too_few, idx, n_lists=2, m=2, n_codes=4, n_iters=1)
+    tok = lease.acquire(spark, idx, owner="retry")  # no leftover lease
+    lease.release(spark, idx, tok)
