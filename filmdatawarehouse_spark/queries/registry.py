@@ -60,61 +60,61 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # rotation tool reports the headroom (capacity - active) so growth is
 # planned, not discovered at an over-committed rotation.
 # --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- r11-certified (staleness deadline)
-    "text_sparse_cosine_pairs",
-    "text_containment_pairs",
-    "text_unigram_logprob",
-    "dedup_edit_distance",
-    "dedup_triangles",
-    "text_tfidf",
-    "events_running_totals",
-    "sketch_accuracy",
-    "corpus_split",
-    "text_pmi_bigrams",
-    "multimodal_frame_meta",
-    "multimodal_byte_stats_native",
-    "multimodal_payload_meta",
-    "set_ops_customers",
-    "count_distinct",
-    "scd2_point_in_time",
-    "scd2_customer_dim",
-    "cube_order_stats",
-    "percentile_order_value",
-    "above_customer_avg",
-    "window_value_family",
-    "events_time_rollup",
-    "revenue_forecast_q6",
-    "returned_items_topk",
-    "large_volume_customers",
-    "disjunctive_revenue",
-    "orders_exists_late_lines",
-    "part_min_price_per_type",
-    "customers_anti_orders",
-    "orders_rollup_totals",
-    "events_pivot_type_daily",
-    "acctbal_histogram",
-    "text_topk_per_lang",
-    "split_contamination_rate",
-    "skew_profile_custkey_approx",
-    "docs_mad_outliers_approx",
-    "events_distinct_users_approx",
-    "bloom_prefilter_join",
-    "corpus_shuffle_shards",
-    "events_cohort_retention",
-    "events_rolling_actives",
-    "events_wow_growth",
-    "events_sessions_capped",
-    "dq_checks",
-    "docs_mad_outliers",
-    "basket_part_pairs",
-    # -- r12-certified (filler slot)
-    "scan_project",
-    "clean_dropna_dedup",
-    "text_normalize_dedup",
-    "embedding_norm_hist",
+    # -- r12-certified (staleness deadline)
+    "events_funnel",
+    "text_prefix_filter_pairs",
+    "text_hof_stats",
+    "asof_join_events",
+    "snapshot_diff_customers",
+    "ntile_order_value",
+    "corr_qty_price",
+    "window_rank_family",
+    "regional_supplier_revenue",
+    "customer_rfm",
+    "orders_abc_pareto",
+    "pricing_summary",
+    "shipping_priority",
+    "skew_profile_custkey",
+    "promo_revenue_monthly",
+    "priority_lines_by_status",
+    "pipeline_curate_documents",
+    "join_bigbig_rollup",
+    "decontaminate_docs",
+    "stratified_sample_events",
+    "pack_sequences",
+    "redact_pii_docs",
+    "corpus_merge_priority",
+    "text_repetition_metrics",
+    "dedup_incremental",
+    "incremental_daily_rollup",
+    "orders_upsert_merge",
+    "embedding_quantize_codes",
+    "embedding_quantize_error",
+    "chunk_documents",
+    "events_ohlc_hourly",
+    "events_range_window",
+    "events_zscore_outliers",
+    "events_daily_streaks",
+    "events_first_touch",
+    "events_mode_type",
+    "events_hour_heatmap",
+    "events_hourly_anomalies",
+    "events_transitions",
+    "graph_bfs_hops",
+    "stream_sessions_final",
+    "stream_sessions_capped",
+    "stream_dedup_final",
+    "stream_interval_join",
+    "stream_heavy_hitters",
+    # -- r13-certified (filler slot)
+    "filter_pushdown",
+    "dim_date_generate",
+    "derive_date_id",
+    "derive_month_key",
+    "join_inner_equi",
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (
