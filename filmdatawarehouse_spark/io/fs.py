@@ -75,6 +75,20 @@ def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     )
 
 
+def list_child_files(spark: SparkSession, path: str) -> list[str]:
+    """Sorted NAMES of the immediate child FILES of ``path`` (empty when
+    the path is absent) — the generation-claim enumeration
+    (``io.lease.claim_generation``); one ``listStatus`` call."""
+    p, fs = _jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile()
+    )
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """The file's UTF-8 content, or None when it does not exist.
 
@@ -161,23 +175,42 @@ def read_text_retry(
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Atomically (re)place ``path`` with ``text``: write a sibling temp
     file, then ``FileContext.rename(OVERWRITE)`` it onto the target.
-    See the module banner for what "atomic" means per store."""
+    See the module banner for what "atomic" means per store.
+
+    The temp name is unique per write (ADVICE r14): the lease protocol
+    makes concurrent rewrites of ONE path routine (heartbeat vs
+    takeover, same-owner re-acquire), and a SHARED staging name let two
+    writers interleave create/write/rename and rename a body neither
+    intended. A unique name means each rename moves exactly the bytes
+    its writer staged; losers' temp files are deleted on failure (and a
+    crash-leaked temp is plain garbage, never read by any protocol)."""
+    import uuid as _uuid
+
     jvm = spark._jvm
     p, fs = _jpath(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp-commit")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        spark._jsc.hadoopConfiguration()
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}.tmp-{_uuid.uuid4().hex}"
     )
-    gw = spark.sparkContext._gateway
-    ren = jvm.org.apache.hadoop.fs.Options.Rename
-    opts = gw.new_array(ren, 1)
-    opts[0] = ren.OVERWRITE
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p), opts)
+    try:
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration()
+        )
+        gw = spark.sparkContext._gateway
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(p), opts)
+    except BaseException:
+        try:
+            fs.delete(tmp, False)
+        except Exception:  # noqa: BLE001 — cleanup must not mask the error
+            pass
+        raise
 
 
 def create_text_exclusive(
@@ -213,11 +246,40 @@ def mtime_ms(spark: SparkSession, path: str) -> int | None:
     """The file's modification time in epoch milliseconds, or None when
     it does not exist (the lease-expiry clock — see ``io.lease`` for
     why TTL is advisory and the fencing token is the correctness
-    mechanism)."""
+    mechanism). The exists→getFileStatus pair is a TOCTOU (ADVICE r14):
+    a lease released between the two calls must read as absent — the
+    caller's retry branch — not escape as a raw py4j not-found error,
+    so not-found from the stat itself is classified and folded into
+    None. Any other error re-raises."""
     p, fs = _jpath(spark, path)
     if not fs.exists(p):
         return None
-    return int(fs.getFileStatus(p).getModificationTime())
+    try:
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        name = type(e).__name__
+        java = str(getattr(e, "java_exception", "")) or str(e)
+        if "FileNotFound" in name or "FileNotFound" in java:
+            return None
+        raise
+
+
+def set_mtime_now(spark: SparkSession, path: str) -> bool:
+    """Refresh ``path``'s modification time to the current wall clock
+    WITHOUT touching its content (``FileSystem.setTimes``); False when
+    the store does not support it (object stores where mtime is
+    immutable PUT metadata) or the file is gone — the caller falls back
+    to a content rewrite. This is the heartbeat's preferred refresh
+    (``io.lease.start_heartbeat``): a takeover's token can never be
+    clobbered by a refresh that writes no bytes."""
+    import time as _time
+
+    p, fs = _jpath(spark, path)
+    try:
+        fs.setTimes(p, int(_time.time() * 1000), -1)
+        return True
+    except Exception:  # noqa: BLE001 — unsupported/raced: caller falls back
+        return False
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:

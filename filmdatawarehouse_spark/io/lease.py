@@ -44,11 +44,20 @@ Residual windows, stated honestly:
   lease mtime at ttl/3 for as long as they hold it, so a live writer
   is never takeover-ELIGIBLE no matter how long its job runs); what
   remains is the operator-override case — a ``break_lease`` plus new
-  acquire landing inside a verify→commit gap can interleave one
-  commit. Pointer flips are atomic renames over immutable snapshot
-  dirs, so that worst case is "the superseded writer's flip wins the
-  pointer", never a torn table, and the loser's next verify (or
-  release) surfaces it. Shrinking it to zero needs a store with
+  acquire landing inside a verify→commit gap. Since r15 the pointer
+  protocols close THAT window too with GENERATION CLAIMS
+  (``claim_generation``): each commit must exclusively create
+  ``_GEN/g-<n>`` for its target generation before flipping, so a
+  superseded writer — whose generation was computed from a stale
+  pointer read — is REFUSED at the claim (or at ``verify_claim``,
+  re-read immediately before the flip), not just surfaced afterwards.
+  The residual is the pure-CAS case: a writer paused for >TTL exactly
+  between its claim re-verify and the single rename that follows.
+  Pointer flips are atomic renames over immutable snapshot dirs, so
+  even that worst case is "the superseded writer's flip wins the
+  pointer" (detectable: the pointer's recorded generation falls behind
+  the max claim — ``detect_pointer_regression``, checked at the next
+  acquire), never a torn table. Zero needs a store with native
   compare-and-swap (a transactional table format).
 - the TTL clock is the driver's wall clock; cross-driver skew makes
   expiry approximate. That only affects LIVENESS (how soon a crashed
@@ -221,13 +230,20 @@ def start_heartbeat(
     a snapshot/append/overwrite job longer than the TTL would otherwise
     open the takeover window while the writer is still working (the
     both-writers-land failure the fence exists to prevent). The refresh
-    is read-verify-rewrite with the held token: if the token no longer
-    matches (takeover after a real stall, operator break), the thread
-    stops silently and the writer's own next ``verify`` raises the loud
-    refusal. A refresh racing a takeover by milliseconds resolves to
-    one winner either way — whichever write lands last holds the file,
-    and the other side's verify fails. Size ``interval_s`` well under
-    the TTL (the sinks use ttl/3)."""
+    is read-verify, then a CONTENT-FREE mtime bump (``fs.set_mtime_now``,
+    ADVICE r14): a refresh that writes no bytes can never reinstate a
+    superseded token over a takeover's, no matter how the read and the
+    takeover interleave (the old read-check-rewrite could lose that
+    update and let both writers pass verify within one generation).
+    Only on stores without ``setTimes`` does it fall back to a token
+    rewrite, re-reading afterwards and stopping if the content is not
+    its own token — there the read→rewrite gap remains a narrow
+    lost-update window, folded into the documented expiry/break
+    residual (the claim protocol still refuses the superseded COMMIT).
+    If the token no longer matches at the pre-bump read (takeover after
+    a real stall, operator break), the thread stops silently and the
+    writer's own next ``verify`` raises the loud refusal. Size
+    ``interval_s`` well under the TTL (the sinks use ttl/3)."""
     import threading
 
     stop_ev = threading.Event()
@@ -240,9 +256,19 @@ def start_heartbeat(
                 )
                 if held_token != token:
                     return  # taken over / broken: the verify will refuse
+                if fs.set_mtime_now(spark, _lease_path(root)):
+                    continue  # content untouched: no takeover clobbered
+                # store without setTimes: rewrite, then re-read — stop
+                # (without restoring) if a takeover landed around the
+                # rewrite, so no further beat reinstates our token
                 fs.write_text_atomic(
                     spark, _lease_path(root), f"{token} {held_owner}"
                 )
+                after_token, _ = _parse(
+                    fs.read_text(spark, _lease_path(root))
+                )
+                if after_token != token:
+                    return
             except Exception:  # noqa: BLE001 — refresh is best-effort;
                 return  # verify remains the correctness gate
 
@@ -261,3 +287,222 @@ def break_lease(spark: SparkSession, root: str) -> bool:
     held). Only for a writer KNOWN dead before its TTL — a live holder
     will refuse at its next verify, which is the safe failure mode."""
     return fs.delete(spark, _lease_path(root), recursive=False)
+
+
+# ---------------------------------------------------------------------------
+# Generation claims (r15, VERDICT r14 item 3): poor-man's compare-and-swap
+# for the pointer flip. Every pointer-commit protocol numbers its commits
+# with a monotonically increasing GENERATION (recorded in the pointer body);
+# before flipping, a writer must exclusively create ``_GEN/g-<n>`` for its
+# target generation. A superseded writer — one whose generation was computed
+# from a pointer read that another commit has since advanced — finds its
+# number already claimed (or below the max claim) and REFUSES before the
+# flip, closing the break_lease-override interleave the lease alone could
+# only surface after the fact. Exclusive create is NameNode-serialized on
+# HDFS and driver-side-fine on the local FS; on object stores without
+# conditional PUT it inherits ``fs.create_text_exclusive``'s caveat, which
+# is why ``verify_claim`` re-reads the claim immediately before the flip —
+# the same token-not-clock discipline as the lease itself.
+# ---------------------------------------------------------------------------
+
+GEN_DIR = "_GEN"
+_CLAIM_KEEP = 2  # current + previous, mirroring keep-two snapshot retention
+
+
+class PointerRegressionError(WriterFencedError):
+    """The pointer's recorded generation is BEHIND the max claim: a
+    superseded writer's late flip won the pointer (the pure-CAS
+    residual). The committed data of the true winner may have been
+    pruned by the loser — this is an operator-repair situation, which
+    is exactly why it refuses loudly at the next writer's acquire
+    instead of silently merging onto the regressed snapshot."""
+
+
+def _gen_dir(root: str) -> str:
+    return f"{root.rstrip('/')}/{GEN_DIR}"
+
+
+def _claim_path(root: str, gen: int) -> str:
+    return f"{_gen_dir(root)}/g-{gen:020d}"
+
+
+def _claim_parse(text: str | None) -> tuple[str, str, str]:
+    """(token, snapshot, owner) from a claim body; empty strings when
+    absent/torn (same held-by-unknown posture as the lease parser)."""
+    if not text:
+        return "", "", ""
+    parts = text.split(None, 2)
+    parts += [""] * (3 - len(parts))
+    return parts[0], parts[1], parts[2].strip()
+
+
+def claimed_generations(spark: SparkSession, root: str) -> list[int]:
+    """Sorted generation numbers currently claimed under ``root``
+    (empty before the first r15-format commit)."""
+    out = []
+    for name in fs.list_child_files(spark, _gen_dir(root)):
+        if name.startswith("g-"):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass  # foreign garbage in _GEN: never a claim
+    return sorted(out)
+
+
+def claim_snapshot(spark: SparkSession, root: str, gen: int) -> str:
+    """The snapshot name recorded in generation ``gen``'s claim (empty
+    when the claim is absent/torn) — lets the pruners RETAIN claimed
+    snapshots and lets an operator identify the true winner after a
+    detected regression."""
+    return _claim_parse(fs.read_text(spark, _claim_path(root, gen)))[1]
+
+
+def claim_generation(
+    spark: SparkSession,
+    root: str,
+    gen: int,
+    token: str,
+    snapshot: str,
+    owner: str = "",
+    committed_gen: int = 0,
+    ttl_s: float = DEFAULT_TTL_S,
+) -> None:
+    """Exclusively claim generation ``gen`` for this writer, called
+    after the lease ``verify`` and before the pointer flip. Raises
+    ``WriterFencedError`` when the generation is already spoken for:
+
+    - ``gen`` below the max existing claim — another commit advanced
+      past this writer's base read: unconditionally superseded;
+    - ``gen`` already claimed by a DIFFERENT live writer — it is
+      mid-flip; this writer's base is stale either way;
+    - claimed by a different writer that CRASHED between claim and flip
+      (claim older than ``ttl_s`` while the pointer, per the caller's
+      fresh ``committed_gen`` read, never advanced to it): taken over,
+      token rotated — the crashed original, if merely paused, refuses
+      at ``verify_claim``;
+    - claimed by the SAME ``owner`` (this logical writer's own crash
+      replay, token rotated by re-acquire): re-entered immediately, the
+      lease's same-owner contract.
+    """
+    claims = claimed_generations(spark, root)
+    mx = max(claims, default=0)
+    if gen < mx or gen <= committed_gen:
+        raise WriterFencedError(
+            f"generation {gen} at {root} is superseded (max claim {mx}, "
+            f"pointer at {committed_gen}): another writer committed past "
+            "this writer's base read — it must not flip"
+        )
+    body = f"{token} {snapshot} {owner}".rstrip()
+    if fs.create_text_exclusive(spark, _claim_path(root, gen), body):
+        return
+    # claim exists: same-owner replay, crashed claimer, or a live racer
+    path = _claim_path(root, gen)
+    held_token, held_snap, held_owner = _claim_parse(
+        fs.read_text(spark, path)
+    )
+    if held_token == token:
+        return  # our own claim (a replayed commit step)
+    if owner and held_owner == owner:
+        fs.write_text_atomic(spark, path, body)
+        return
+    mt = fs.mtime_ms(spark, path)
+    age_s = None if mt is None else (time.time() * 1000 - mt) / 1000
+    if (
+        age_s is not None
+        and age_s > ttl_s
+        and committed_gen < gen
+    ):
+        # claimer died between claim and flip; the generation must not
+        # brick the table — take over, rotating the token so the
+        # original refuses at verify_claim if it was merely paused
+        fs.write_text_atomic(spark, path, body)
+        return
+    raise WriterFencedError(
+        f"generation {gen} at {root} is already claimed by "
+        f"{held_owner or '<torn/unreadable claim>'!r} "
+        f"(snapshot {held_snap!r}, age "
+        f"{'?' if age_s is None else f'{age_s:.1f}s'}): a second writer "
+        "committed or is mid-flip — this writer's base is stale"
+    )
+
+
+def verify_claim(
+    spark: SparkSession, root: str, gen: int, token: str
+) -> None:
+    """Require that this writer still holds generation ``gen``'s claim —
+    re-read immediately before the pointer flip (the CAS-emulating
+    read; see the module banner for the residual it leaves)."""
+    held_token, _, held_owner = _claim_parse(
+        fs.read_text_retry(spark, _claim_path(root, gen))
+    )
+    if held_token != token:
+        raise WriterFencedError(
+            f"generation claim {gen} at {root} no longer holds this "
+            f"writer's token (now {held_owner!r}): the claim was taken "
+            "over — this writer must not flip"
+        )
+
+
+def prune_claims(spark: SparkSession, root: str, committed_gen: int) -> None:
+    """Best-effort removal of claims older than keep-two (claims for
+    ``committed_gen`` and its predecessor stay, mirroring snapshot
+    retention). Safe against late re-claims of a pruned number:
+    ``claim_generation`` refuses any generation below the max surviving
+    claim, so pruning never reopens a superseded generation."""
+    for g in claimed_generations(spark, root):
+        if g < committed_gen - (_CLAIM_KEEP - 1):
+            try:
+                fs.delete(spark, _claim_path(root, g), recursive=False)
+            except Exception:  # noqa: BLE001 — next commit's prune retries
+                pass
+
+
+def detect_pointer_regression(
+    spark: SparkSession,
+    root: str,
+    pointer_gen: int,
+    pointer_token: str,
+) -> None:
+    """Raise ``PointerRegressionError`` when the pointer was last
+    flipped by a SUPERSEDED writer — the pure-CAS residual's signature
+    (module banner). Called by the pointer protocols at acquire time so
+    the NEXT writer refuses to build on a regressed snapshot. Two
+    detectable shapes:
+
+    - the pointer's recorded generation is ≥2 behind the max claim (one
+      behind is a writer mid-flip or crashed pre-flip, which
+      ``claim_generation``'s TTL takeover handles, not a regression):
+      an OLD generation's late flip won after newer commits;
+    - the pointer's recorded writer token differs from its own
+      generation's surviving claim token: the loser of a same-
+      generation claim takeover flipped last (the winner's token is in
+      the claim — takeover rotates it; the loser's is in the pointer).
+
+    Legacy pointers (no generation/token recorded) predate claims and
+    are exempt — their tables carry no claim files until the first
+    r15-format commit."""
+    claims = claimed_generations(spark, root)
+    mx = max(claims, default=0)
+    if pointer_gen < mx - 1:
+        raise PointerRegressionError(
+            f"pointer at {root} records generation {pointer_gen} but "
+            f"generation {mx} was claimed (snapshot "
+            f"{claim_snapshot(spark, root, mx)!r}): a superseded "
+            "writer's late flip regressed the pointer — repair by "
+            "re-flipping to the max claim's snapshot (if its directory "
+            "survived) or replaying the winner's batch before any new "
+            "writer merges onto the regressed base"
+        )
+    if pointer_gen >= 1 and pointer_token and pointer_gen in claims:
+        held_token, held_snap, _ = _claim_parse(
+            fs.read_text(spark, _claim_path(root, pointer_gen))
+        )
+        if held_token and held_token != pointer_token:
+            raise PointerRegressionError(
+                f"pointer at {root} (generation {pointer_gen}) was "
+                "flipped by a writer whose claim was taken over — the "
+                f"claim's winner committed snapshot {held_snap!r}; "
+                "repair by re-flipping to it (if its directory "
+                "survived) or replaying the winner's batch before any "
+                "new writer merges onto the regressed base"
+            )

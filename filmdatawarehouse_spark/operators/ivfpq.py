@@ -205,7 +205,10 @@ def ivfpq_index_build(
             .partitionBy("list_id")
             .parquet(f"{vdir}/codes")
         )
-        _commit_index_version(spark, index_path, token, lease_token=fence)
+        _commit_index_version(
+            spark, index_path, token,
+            lease_token=fence, lease_owner=f"build-{token}",
+        )
     except BaseException:
         stop_hb()
         lease.release_quiet(spark, index_path, fence)

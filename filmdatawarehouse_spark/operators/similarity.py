@@ -372,44 +372,78 @@ def _ivf_pointer_path(index_path: str) -> str:
 
 
 def _commit_index_version(
-    spark, index_path: str, token: str, lease_token: str | None = None
+    spark,
+    index_path: str,
+    token: str,
+    lease_token: str | None = None,
+    lease_owner: str = "",
 ) -> None:
     """Atomic pointer flip + keep-two prune, shared by every persisted
     index family (flat IVF here; IVF-PQ in ``operators.ivfpq``). Line 2
     of the pointer records the RETAINED previous version — the keep-two
-    contract concurrent readers rely on (see ``ivf_index_build``). Any
-    older ``v-*`` dir is pruned best-effort: a failed delete is garbage
-    for the next commit's prune, never corruption. ``lease_token``
-    (r14): the caller's writer-fence token, re-verified immediately
-    before the flip so a superseded builder refuses instead of
-    committing over the winner (``io.lease``)."""
+    contract concurrent readers rely on (see ``ivf_index_build``); the
+    trailing ``g=<n> w=<fence>`` line stamps the monotone generation +
+    writer token backing the r15 claim protocol. Any older ``v-*`` dir
+    not named by a surviving claim is pruned best-effort: a failed
+    delete is garbage for the next commit's prune, never corruption.
+    ``lease_token`` (r14): the caller's writer-fence token, re-verified
+    immediately before the flip; the generation claim (r15,
+    ``io.lease.claim_generation``) then refuses a superseded builder
+    BEFORE the flip — exclusive-create of the generation number is the
+    CAS-emulating step — instead of only surfacing it after."""
     from filmdatawarehouse_spark.io import fs, lease
 
     if lease_token is not None:
         lease.verify(spark, index_path, lease_token)
     root = index_path.rstrip("/")
     try:
-        prev, _ = _ivf_pointer_pair(spark, index_path)
+        prev, _, base_gen, ptoken = _ivf_pointer_full(spark, index_path)
     except ValueError:
-        prev = None  # first commit: no committed version to retain
+        prev, base_gen, ptoken = None, 0, ""  # first commit
+    lease.detect_pointer_regression(spark, index_path, base_gen, ptoken)
+    g_next = base_gen + 1
+    fence = lease_token or token
+    lease.claim_generation(
+        spark, index_path, g_next, fence, token,
+        owner=lease_owner, committed_gen=base_gen,
+    )
+    lease.verify_claim(spark, index_path, g_next, fence)
+    meta = f"g={g_next} w={fence}"
     fs.write_text_atomic(
         spark,
         _ivf_pointer_path(index_path),
-        token if prev is None else f"{token}\n{prev}",
+        f"{token}\n{meta}" if prev is None else f"{token}\n{prev}\n{meta}",
     )
     keep = {token, prev}
+    for g in (g_next, g_next - 1):
+        claimed = lease.claim_snapshot(spark, index_path, g)
+        if claimed:
+            keep.add(claimed)
     for d in fs.list_child_dirs(spark, root):
         if d.startswith("v-") and d not in keep:
             try:
                 fs.delete(spark, f"{root}/{d}")
             except Exception:
                 pass
+    lease.prune_claims(spark, index_path, g_next)
 
 
 def _ivf_pointer_pair(spark, index_path: str) -> tuple[str, str | None]:
     """``(current, retained_previous)`` version names from ONE atomic
     pointer read (two-line format since r12, mirroring streaming.merge;
     single-line pointers from r11 read as (current, None))."""
+    cur, prev, _, _ = _ivf_pointer_full(spark, index_path)
+    return cur, prev
+
+
+def _ivf_pointer_full(
+    spark, index_path: str
+) -> tuple[str, str | None, int, str]:
+    """``(current, retained_previous, generation, writer_token)`` from
+    ONE pointer read. The ``g=<n> w=<token>`` metadata line (r15) backs
+    the claim protocol; pre-r15 pointers read as generation 0 with an
+    empty token, exempting them from regression checks until their
+    first r15-format commit (mirrors ``streaming.merge``)."""
     from filmdatawarehouse_spark.io import fs
 
     text = fs.read_text_retry(spark, _ivf_pointer_path(index_path))
@@ -418,9 +452,23 @@ def _ivf_pointer_pair(spark, index_path: str) -> tuple[str, str | None]:
             f"no IVF index at {index_path} (missing {IVF_POINTER} pointer)"
         )
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
-    if not lines:
+    gen, tok = 0, ""
+    names: list[str] = []
+    for ln in lines:
+        if ln.startswith("g="):
+            for part in ln.split():
+                if part.startswith("g="):
+                    try:
+                        gen = int(part[2:])
+                    except ValueError:
+                        pass  # torn metadata line: stay at legacy 0
+                elif part.startswith("w="):
+                    tok = part[2:]
+        else:
+            names.append(ln)
+    if not names:
         raise ValueError(f"empty {IVF_POINTER} pointer at {index_path}")
-    return lines[0], (lines[1] if len(lines) > 1 else None)
+    return names[0], (names[1] if len(names) > 1 else None), gen, tok
 
 
 def ivf_index_version_dir(spark, index_path: str) -> str:
@@ -547,7 +595,10 @@ def ivf_index_build(
         )
         # atomic commit: keep-two pointer flip + prune, refusing if the
         # writer fence was taken over during the build (shared helper)
-        _commit_index_version(spark, index_path, token, lease_token=fence)
+        _commit_index_version(
+            spark, index_path, token,
+            lease_token=fence, lease_owner=f"build-{token}",
+        )
     except BaseException:
         stop_hb()
         lease.release_quiet(spark, index_path, fence)

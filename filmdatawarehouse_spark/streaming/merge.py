@@ -123,12 +123,40 @@ def _read_pointer(
     directory heuristic for them. All pointer I/O goes through the
     Hadoop FileSystem (``io.fs``) since r12 so the table path may live
     on HDFS/S3A, not just the driver's local disk."""
+    cur, prev, _, _ = _read_pointer_full(spark, table_path)
+    return cur, prev
+
+
+def _read_pointer_full(
+    spark: SparkSession, table_path: str
+) -> tuple[str | None, str | None, int, str]:
+    """``(current, previous, generation, writer_token)`` from ONE
+    pointer read. Since r15 the commit appends a ``g=<n> w=<token>``
+    line — the monotone generation + flipping writer's fence token that
+    back the claim protocol (``io.lease.claim_generation``); legacy
+    pointers (one or two bare snapshot lines) read as generation 0 with
+    an empty token, which exempts them from regression checks until
+    their first r15-format commit."""
     text = fs.read_text_retry(spark, _pointer_path(table_path))
     if text is None:
-        return None, None
+        return None, None, 0, ""
     lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
-    if not lines:
-        return None, None
+    gen, tok = 0, ""
+    names: list[str] = []
+    for ln in lines:
+        if ln.startswith("g="):
+            for part in ln.split():
+                if part.startswith("g="):
+                    try:
+                        gen = int(part[2:])
+                    except ValueError:
+                        pass  # torn metadata line: stay at legacy 0
+                elif part.startswith("w="):
+                    tok = part[2:]
+        else:
+            names.append(ln)
+    if not names:
+        return None, None, gen, tok
 
     def _resolve(name: str) -> str:
         # legacy pointer format (pre-run-identity): a bare batch id whose
@@ -136,9 +164,9 @@ def _read_pointer(
         # still read and merge onto a table committed by the old code
         return name if name.startswith("v-") else f"v-{name}"
 
-    cur = _resolve(lines[0])
-    prev = _resolve(lines[1]) if len(lines) > 1 else None
-    return cur, prev
+    cur = _resolve(names[0])
+    prev = _resolve(names[1]) if len(names) > 1 else None
+    return cur, prev, gen, tok
 
 
 def current_snapshot(
@@ -459,7 +487,7 @@ def merge_upsert_batch(
         # this writer retain a stale `prev` — pruning the REAL previous
         # snapshot (keep-two breach for concurrent readers) and feeding
         # the CDC consumer a diff against the wrong baseline
-        prev = current_snapshot(spark, table_path)
+        prev, _, base_gen, ptoken = _read_pointer_full(spark, table_path)
         if prev == snap:
             # our own (run, batch) landed between probe and lease (a
             # concurrent replay of this very writer): re-enter the
@@ -470,6 +498,10 @@ def merge_upsert_batch(
                 batch_df, batch_id, table_path, keys, seq_col, run_id,
                 on_changes, schema_evolution, lease_ttl_s, lease_owner,
             )
+        # refuse to merge onto a REGRESSED base: a superseded writer's
+        # late flip (the pure-CAS residual, io.lease banner) is loud at
+        # the next acquire, not silently compounded
+        lease.detect_pointer_regression(spark, table_path, base_gen, ptoken)
         base = read_merge_table(spark, table_path)
         merged = merged_frame(
             base, batch_df, keys, seq_col, schema_evolution=schema_evolution
@@ -481,26 +513,54 @@ def merge_upsert_batch(
         # broken + re-acquired during the snapshot write must refuse
         # HERE, before the irreversible flip
         lease.verify(spark, table_path, token)
+        # claim this commit's generation (r15): exclusive-create of
+        # _GEN/g-<n> is the CAS-emulating step — a writer whose base
+        # read another commit has since advanced is REFUSED before the
+        # flip (io.lease.claim_generation), closing the break_lease-
+        # override interleave the verify alone could only surface
+        g_next = base_gen + 1
+        _, _, fresh_gen, _ = _read_pointer_full(spark, table_path)
+        lease.claim_generation(
+            spark, table_path, g_next, token, snap,
+            owner=lease_owner or run_id, committed_gen=fresh_gen,
+            ttl_s=lease_ttl_s,
+        )
+        lease.verify_claim(spark, table_path, g_next, token)
         # line 2 records the retained previous snapshot so CDC consumers
         # get a consistent (current, previous) pair from one atomic read;
+        # line 3 stamps generation + writer token for the claim protocol;
         # the write is temp-file + rename through the Hadoop FileSystem
         # (atomic on local/HDFS; see io.fs for the object-store caveat)
+        meta = f"g={g_next} w={token}"
         fs.write_text_atomic(
             spark,
             _pointer_path(table_path),
-            snap if prev is None else f"{snap}\n{prev}",
+            f"{snap}\n{meta}" if prev is None
+            else f"{snap}\n{prev}\n{meta}",
         )
         # best-effort prune, RETAINING the previous snapshot so a reader
         # that resolved it just before this commit can still finish its
         # query (a crash here just leaves garbage for the next batch's
-        # prune — never corrupts the committed snapshot)
+        # prune — never corrupts the committed snapshot). Snapshots
+        # named by SURVIVING CLAIMS are retained too: if a late flip
+        # ever wins the pointer (pure-CAS residual), the true winner's
+        # data must outlive the loser's prune so the detected
+        # regression stays repairable.
         keep = {snap, prev}
+        for g in (g_next, g_next - 1):
+            claimed = lease.claim_snapshot(spark, table_path, g)
+            if claimed:
+                keep.add(claimed)
         for d in fs.list_child_dirs(spark, root):
             if d.startswith("v-") and d not in keep:
                 try:
                     fs.delete(spark, f"{root}/{d}")
                 except Exception:
                     pass  # best-effort: next batch's prune retries
+        # claims keep-two as well (claim_generation refuses anything
+        # below the max SURVIVING claim, so pruning never reopens a
+        # superseded generation)
+        lease.prune_claims(spark, table_path, g_next)
         if on_changes is not None:
             on_changes(
                 _changes_between(spark, table_path, keys, None, snap, prev),

