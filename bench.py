@@ -162,6 +162,19 @@ HEADLINE = [
     "corpus_shuffle_shards",
 ]
 
+# Record-layout revision stamped into BENCH_full.json (VERDICT r14 item 7).
+# Drift tooling (the anchor-ratio comparisons below) ANNOTATES any
+# comparison that crosses a revision boundary instead of diffing silently.
+#   absent  — pre-r15 records. Within them, overhead_post semantics moved
+#             twice (r13 measured it after the plan captures; r14 moved it
+#             back) — exactly the silent boundary this field now marks.
+#   3       — r15 layout: overhead_post directly after the warm suite
+#             (r14 semantics), plus the "active" subtotals (value_active /
+#             value_warm_active: retired regression-canary queries
+#             excluded, so round-over-round totals track the production
+#             surface).
+BENCH_REV = 3
+
 
 def _anchor_ratios(
     cur: dict[str, float], prev: dict[str, float], anchors: tuple[str, ...]
@@ -222,6 +235,13 @@ def committed_anchor_drift(
         "median": round(statistics.median(ratios.values()), 4),
         "committed_value_warm": committed.get("value_warm"),
     }
+    if committed.get("rev") != BENCH_REV:
+        # cross-revision comparison: anchor ratios stay valid (anchor
+        # queries are layout-independent) but total/overhead semantics
+        # may differ — annotated so no tool diffs the boundary silently
+        out["rev_mismatch"] = {
+            "committed": committed.get("rev"), "current": BENCH_REV,
+        }
     cold_ratios = _anchor_ratios(cold, committed.get("queries", {}), anchors)
     if cold_ratios:
         out["ratios_cold"] = cold_ratios
@@ -253,6 +273,9 @@ def build_compact(out: dict, full_path: str) -> str:
         "queries_note": f"8 slowest cold of {len(cold)}; full dicts in full_json",
         "full_json": full_path,
     }
+    for k in ("rev", "value_active", "value_warm_active", "n_queries_active"):
+        if k in out:
+            compact[k] = out[k]
     if "n_errors" in out:
         compact["n_errors"] = out["n_errors"]
     if "anchor_drift" in out:
@@ -440,13 +463,29 @@ def main() -> None:
         print(f"bench: runtime plan capture unavailable: {exc}", file=sys.stderr)
     release_managed()
 
+    # actives-only subtotal (VERDICT r14 item 4): ~8 s of the headline is
+    # retired regression-canary exhibits (dedup_clusters min-label BSP,
+    # similarity_ann_ivf, ...) whose production twins are elsewhere in the
+    # suite; the active subtotal tracks the production surface while the
+    # full total keeps the canaries timed.
+    from filmdatawarehouse_spark.queries.registry import RETIRED
+
+    active = [n for n in names if n not in RETIRED]
     out = {
         "metric": "headline_queries_total_runtime",
+        "rev": BENCH_REV,
         "value": round(sum(cold.values()), 4),
         "unit": "sec",
         "queries": cold,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
+        "value_active": round(
+            sum(v for n, v in cold.items() if n in set(active)), 4
+        ),
+        "value_warm_active": round(
+            sum(v for n, v in warm.items() if n in set(active)), 4
+        ),
+        "n_queries_active": len(active),
         "sf": sf,
         "job_overhead_ms": {"pre": overhead_pre, "post": overhead_post},
     }
@@ -514,6 +553,10 @@ def main() -> None:
                 "median": round(statistics.median(ratios.values()), 4),
                 "prev_value_warm": prev.get("value_warm"),
             }
+            if prev.get("rev") != BENCH_REV:
+                out["anchor_drift"]["rev_mismatch_vs_prev"] = {
+                    "prev": prev.get("rev"), "current": BENCH_REV,
+                }
             # cold axis (VERDICT r13 item 2): same anchors on the
             # release-each pass, so cold-total creep divides into
             # environment drift vs real regression like warm always did

