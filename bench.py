@@ -160,6 +160,9 @@ HEADLINE = [
     # round-10 additions: balanced training-data mix + deterministic shuffle
     "corpus_mix_sample",
     "corpus_shuffle_shards",
+    # round-15: prefix-filtered containment (the 100 TB-default shape for
+    # the containment family — SCALING.md round-15)
+    "text_containment_prefix_pairs",
 ]
 
 # Record-layout revision stamped into BENCH_full.json (VERDICT r14 item 7).

@@ -2601,3 +2601,141 @@ EXTENDED_QUERIES["text_hof_stats"] = (
     q_text_hof_stats,
     ORACLES["text_hof_stats"],
 )
+
+
+# Integer form of CONTAIN_T for the prefix-length arithmetic below —
+# ceil(t*n) must be exact integer math, not a float floor. Kept adjacent
+# to its only consumer; drift against CONTAIN_T is refused at import.
+CONTAIN_T_NUM, CONTAIN_T_DEN = 4, 5
+assert CONTAIN_T_NUM / CONTAIN_T_DEN == CONTAIN_T
+
+
+def q_text_containment_prefix_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``text_containment_pairs`` with PREFIX-FILTERED candidate
+    generation — the SAME output rows (df-capped containment ≥
+    ``CONTAIN_T``), certified against the identical oracle, but the
+    candidate stage indexes only each document's rarest shingles.
+
+    Why it exists (r15 scale probe, SCALING.md "round-15"): the plain
+    inverted-index candidate stage emits C(df, 2) pairs per kept
+    shingle, and on heavy-tailed shingle distributions the sub-cap df
+    band KEEPS FILLING as the corpus grows — measured shuffle-byte
+    exponents of 1.51-1.57 per 10x at 200k-400k synthetic docs (within
+    the deterministic cap²·n_shingles bound, but super-linear through
+    the regime). Prefix filtering attacks exactly that band: a pair
+    with containment ≥ t must share a shingle inside the SMALLER
+    document's prefix of its (global-rarity-ordered) kept set — if the
+    prefix (length a − ⌈t·a⌉ + 1) misses B entirely, the intersection
+    fits in the suffix of size ⌈t·a⌉ − 1 < ⌈t·a⌉ ≤ needed overlap
+    (AllPairs/PPJoin, Bayardo WWW'07, adapted to the asymmetric
+    containment bound: the prefix side must be the pair's MIN-size
+    doc, so candidates join the smaller side's prefix against the
+    larger side's FULL capped postings). A near-cap-df shingle is
+    COMMON among kept shingles, so it rarely survives into any
+    document's rarity prefix — the C(df,2) band mass that the plain
+    plan shuffles mostly never becomes candidate rows here (measured:
+    see the SCALING.md round-15 table). Exactness is preserved:
+    candidates verify on the full kept-shingle arrays with the same
+    containment expression, so output equality with
+    ``text_containment_pairs`` is a frame identity, pinned by
+    ``tests/test_containment_prefix.py`` and the shared oracle.
+
+    Determinism: ranks are total-ordered by (df, shingle); prefix
+    length is integer; verification counts are exact ints; the one
+    double division is the shared containment expression.
+    """
+    from pyspark.sql.window import Window
+
+    from filmdatawarehouse_spark.operators.cache import managed_persist
+
+    sh = shingle_rows_shared(spark, sf_dir)
+    # census inline over the cached shingle frame (not persisted) — the
+    # r10 plan-audit rule: persisting the census suppresses broadcasts
+    df_census = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # persisted: feeds the prefix filter, the full-postings join side,
+    # and the verification arrays (three consumers of one subtree)
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_size = Window.partitionBy("doc_id")
+    ranked = managed_persist(
+        sh.join(df_census, "shingle")
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_size))
+        .select("shingle", "doc_id", "df", "rn", "n")
+    )
+    # needed overlap for the min-size doc: ceil(t*n) in exact ints
+    need = F.floor(
+        (F.lit(CONTAIN_T_NUM) * F.col("n") + F.lit(CONTAIN_T_DEN - 1))
+        / F.lit(CONTAIN_T_DEN)
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("n") - need + F.lit(1)).select(
+        "shingle", "doc_id", "n"
+    )
+    full = ranked.select("shingle", "doc_id", "n")
+    # the prefix side must be the pair's min-size member (ties broken by
+    # doc_id so each pair has exactly one canonical generator)
+    cand = (
+        pref.alias("p")
+        .join(full.alias("f"), "shingle")
+        .filter(
+            (F.col("p.n") < F.col("f.n"))
+            | (
+                (F.col("p.n") == F.col("f.n"))
+                & (F.col("p.doc_id") < F.col("f.doc_id"))
+            )
+        )
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_id_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sets = ranked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(CONTAIN_T))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_inter",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "containment",
+        )
+    )
+
+
+# Same SEMANTICS as text_containment_pairs, so the oracle is the same
+# SQL — output equality with the plain plan is exactly the claim the
+# prefix filter must defend.
+ORACLES["text_containment_prefix_pairs"] = ORACLES["text_containment_pairs"]
+
+EXTENDED_QUERIES["text_containment_prefix_pairs"] = (
+    q_text_containment_prefix_pairs,
+    ORACLES["text_containment_prefix_pairs"],
+)

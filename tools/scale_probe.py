@@ -184,7 +184,7 @@ def main() -> None:
     ap.add_argument(
         "--ops",
         default="minhash,ivfpq_build,ivfpq_search,containment,"
-        "sparse_cosine,gemm_dedup",
+        "containment_prefix,sparse_cosine,gemm_dedup",
         help="comma list of legs to run (the exact-GEMM anchor is n² by "
         "design — skip it at large bases)",
     )
@@ -205,6 +205,7 @@ def main() -> None:
     from filmdatawarehouse_spark.queries.extended import (
         COSINE_T,
         q_text_containment_pairs,
+        q_text_containment_prefix_pairs,
         q_text_sparse_cosine_pairs,
     )
     from filmdatawarehouse_spark.session import get_spark
@@ -292,6 +293,11 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save(),
             )
             timed(
+                "containment_prefix",
+                lambda: q_text_containment_prefix_pairs(spark, sfdir)
+                .write.format("noop").mode("overwrite").save(),
+            )
+            timed(
                 "sparse_cosine",
                 lambda: q_text_sparse_cosine_pairs(spark, sfdir)
                 .write.format("noop").mode("overwrite").save(),
@@ -306,7 +312,8 @@ def main() -> None:
 
         ops = (
             "minhash", "ivfpq_build", "ivfpq_search",
-            "containment", "sparse_cosine", "gemm_dedup",
+            "containment", "containment_prefix", "sparse_cosine",
+            "gemm_dedup",
         )
         base, big = results["1x"], results[f"{args.factor}x"]
 
