@@ -473,7 +473,7 @@ def main() -> None:
     # full total keeps the canaries timed.
     from filmdatawarehouse_spark.queries.registry import RETIRED
 
-    active = [n for n in names if n not in RETIRED]
+    active = {n for n in names if n not in RETIRED}
     out = {
         "metric": "headline_queries_total_runtime",
         "rev": BENCH_REV,
@@ -483,10 +483,10 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 4),
         "value_active": round(
-            sum(v for n, v in cold.items() if n in set(active)), 4
+            sum(v for n, v in cold.items() if n in active), 4
         ),
         "value_warm_active": round(
-            sum(v for n, v in warm.items() if n in set(active)), 4
+            sum(v for n, v in warm.items() if n in active), 4
         ),
         "n_queries_active": len(active),
         "sf": sf,

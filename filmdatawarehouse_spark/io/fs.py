@@ -264,12 +264,21 @@ def mtime_ms(spark: SparkSession, path: str) -> int | None:
         raise
 
 
-def set_mtime_now(spark: SparkSession, path: str) -> bool:
+def set_mtime_now(spark: SparkSession, path: str) -> bool | None:
     """Refresh ``path``'s modification time to the current wall clock
-    WITHOUT touching its content (``FileSystem.setTimes``); False when
-    the store does not support it (object stores where mtime is
-    immutable PUT metadata) or the file is gone — the caller falls back
-    to a content rewrite. This is the heartbeat's preferred refresh
+    WITHOUT touching its content (``FileSystem.setTimes``). Tri-state
+    (r15 review — the two failure kinds demand OPPOSITE reactions):
+
+    - ``True``  — refreshed;
+    - ``None``  — the file is GONE (deleted under us — e.g. an operator
+      ``break_lease``): the caller must STOP, never recreate. Folding
+      this into False let the heartbeat's content-rewrite fallback
+      resurrect a broken lease forever on stores that do support
+      setTimes;
+    - ``False`` — the store cannot setTimes (object stores with
+      immutable PUT metadata): the caller may fall back to a rewrite.
+
+    This is the heartbeat's preferred refresh
     (``io.lease.start_heartbeat``): a takeover's token can never be
     clobbered by a refresh that writes no bytes."""
     import time as _time
@@ -278,7 +287,11 @@ def set_mtime_now(spark: SparkSession, path: str) -> bool:
     try:
         fs.setTimes(p, int(_time.time() * 1000), -1)
         return True
-    except Exception:  # noqa: BLE001 — unsupported/raced: caller falls back
+    except Exception as e:  # noqa: BLE001 — classify, then decide
+        name = type(e).__name__
+        java = str(getattr(e, "java_exception", "")) or str(e)
+        if "FileNotFound" in name or "FileNotFound" in java:
+            return None
         return False
 
 

@@ -256,8 +256,13 @@ def start_heartbeat(
                 )
                 if held_token != token:
                     return  # taken over / broken: the verify will refuse
-                if fs.set_mtime_now(spark, _lease_path(root)):
+                refreshed = fs.set_mtime_now(spark, _lease_path(root))
+                if refreshed:
                     continue  # content untouched: no takeover clobbered
+                if refreshed is None:
+                    return  # lease DELETED under us (operator break):
+                    # stop — a rewrite here would resurrect it and
+                    # fence the new writer out forever (r15 review)
                 # store without setTimes: rewrite, then re-read — stop
                 # (without restoring) if a takeover landed around the
                 # rewrite, so no further beat reinstates our token
@@ -318,6 +323,38 @@ class PointerRegressionError(WriterFencedError):
     instead of silently merging onto the regressed snapshot."""
 
 
+def format_pointer_meta(gen: int, token: str) -> str:
+    """The pointer body's generation/writer-token metadata line. The
+    claim protocol OWNS this wire format (r15 review: it was duplicated
+    across both pointer families); parse with ``split_pointer_meta``."""
+    return f"g={gen} w={token}"
+
+
+def split_pointer_meta(lines: list[str]) -> tuple[list[str], int, str]:
+    """``(snapshot_name_lines, generation, writer_token)`` from a
+    pointer body's non-empty lines. Metadata lines start with ``g=``;
+    anything else is a snapshot name (legacy pointers have no metadata
+    and read as generation 0 with an empty token, which exempts them
+    from regression checks until their first claim-format commit). A
+    torn metadata line parses as legacy rather than raising — the same
+    held-by-unknown posture as ``_parse``."""
+    gen, tok = 0, ""
+    names: list[str] = []
+    for ln in lines:
+        if ln.startswith("g="):
+            for part in ln.split():
+                if part.startswith("g="):
+                    try:
+                        gen = int(part[2:])
+                    except ValueError:
+                        pass  # torn metadata: stay at legacy 0
+                elif part.startswith("w="):
+                    tok = part[2:]
+        else:
+            names.append(ln)
+    return names, gen, tok
+
+
 def _gen_dir(root: str) -> str:
     return f"{root.rstrip('/')}/{GEN_DIR}"
 
@@ -351,10 +388,26 @@ def claimed_generations(spark: SparkSession, root: str) -> list[int]:
 
 def claim_snapshot(spark: SparkSession, root: str, gen: int) -> str:
     """The snapshot name recorded in generation ``gen``'s claim (empty
-    when the claim is absent/torn) — lets the pruners RETAIN claimed
-    snapshots and lets an operator identify the true winner after a
-    detected regression."""
+    when the claim is absent/torn) — lets an operator identify the true
+    winner after a detected regression."""
     return _claim_parse(fs.read_text(spark, _claim_path(root, gen)))[1]
+
+
+def claimed_snapshots(spark: SparkSession, root: str) -> set[str]:
+    """Snapshot names recorded in EVERY surviving claim — the pruners'
+    keep-set extension. It must be all surviving claims, not just the
+    pruner's own (gen, gen-1) neighborhood: a superseded writer's late
+    flip runs ITS prune with a STALE generation, and consulting only
+    its own neighborhood would let it delete the true winner's NEWER
+    committed snapshots — destroying the repair target
+    ``detect_pointer_regression`` points at (r15 review). O(#surviving
+    claims) reads — keep-two, so ≤ ~3."""
+    out: set[str] = set()
+    for g in claimed_generations(spark, root):
+        snap = claim_snapshot(spark, root, g)
+        if snap:
+            out.add(snap)
+    return out
 
 
 def claim_generation(
@@ -393,17 +446,20 @@ def claim_generation(
             "this writer's base read — it must not flip"
         )
     body = f"{token} {snapshot} {owner}".rstrip()
-    if fs.create_text_exclusive(spark, _claim_path(root, gen), body):
+    path = _claim_path(root, gen)
+    if fs.create_text_exclusive(spark, path, body):
+        _recheck_claim_is_max(spark, root, gen, token)
         return
     # claim exists: same-owner replay, crashed claimer, or a live racer
-    path = _claim_path(root, gen)
     held_token, held_snap, held_owner = _claim_parse(
         fs.read_text(spark, path)
     )
     if held_token == token:
+        _recheck_claim_is_max(spark, root, gen, token)
         return  # our own claim (a replayed commit step)
     if owner and held_owner == owner:
         fs.write_text_atomic(spark, path, body)
+        _recheck_claim_is_max(spark, root, gen, token)
         return
     mt = fs.mtime_ms(spark, path)
     age_s = None if mt is None else (time.time() * 1000 - mt) / 1000
@@ -416,6 +472,7 @@ def claim_generation(
         # brick the table — take over, rotating the token so the
         # original refuses at verify_claim if it was merely paused
         fs.write_text_atomic(spark, path, body)
+        _recheck_claim_is_max(spark, root, gen, token)
         return
     raise WriterFencedError(
         f"generation {gen} at {root} is already claimed by "
@@ -424,6 +481,47 @@ def claim_generation(
         f"{'?' if age_s is None else f'{age_s:.1f}s'}): a second writer "
         "committed or is mid-flip — this writer's base is stale"
     )
+
+
+def _recheck_claim_is_max(
+    spark: SparkSession, root: str, gen: int, token: str
+) -> None:
+    """Post-acquisition recheck (r15 review): the pre-create staleness
+    check is check-then-act, so a writer paused between its claim LIST
+    and its claim CREATE could exclusively re-create a generation
+    number ``prune_claims`` has since removed — reopening a superseded
+    generation. Re-listing AFTER the acquisition closes that: any newer
+    claim present by create time is seen, the stale claim is released,
+    and the writer refuses. What remains is the claim-verify→flip
+    window the module banner already documents."""
+    claims = claimed_generations(spark, root)
+    mx = max(claims, default=gen)
+    if gen < mx:
+        release_claim(spark, root, gen, token)
+        raise WriterFencedError(
+            f"generation {gen} at {root} was re-claimed after newer "
+            f"commits (max claim now {mx}): this writer paused across a "
+            "claim prune — its base is stale and it must not flip"
+        )
+
+
+def release_claim(
+    spark: SparkSession, root: str, gen: int, token: str
+) -> None:
+    """Remove generation ``gen``'s claim IFF it still holds ``token`` —
+    the FAILURE-path cleanup for writers whose claim owner cannot
+    re-enter (fresh-per-call identities like index builds): a commit
+    that claimed and then failed before flipping must not fence its
+    own retry out for the full TTL. Never raises; a takeover observed
+    here is the thief's protocol to surface (mirrors
+    ``release_quiet``)."""
+    try:
+        path = _claim_path(root, gen)
+        held_token, _, _ = _claim_parse(fs.read_text(spark, path))
+        if held_token == token:
+            fs.delete(spark, path, recursive=False)
+    except Exception:  # noqa: BLE001 — failure-path cleanup only
+        pass
 
 
 def verify_claim(
@@ -446,9 +544,11 @@ def verify_claim(
 def prune_claims(spark: SparkSession, root: str, committed_gen: int) -> None:
     """Best-effort removal of claims older than keep-two (claims for
     ``committed_gen`` and its predecessor stay, mirroring snapshot
-    retention). Safe against late re-claims of a pruned number:
-    ``claim_generation`` refuses any generation below the max surviving
-    claim, so pruning never reopens a superseded generation."""
+    retention). A late re-claim of a pruned number is closed by
+    ``claim_generation``'s pre-create refusal plus the post-create
+    re-list (``_recheck_claim_is_max``, r15 review — the pre-check
+    alone was check-then-act); the surviving residual is the
+    claim-verify→flip window the module banner documents."""
     for g in claimed_generations(spark, root):
         if g < committed_gen - (_CLAIM_KEEP - 1):
             try:

@@ -407,25 +407,36 @@ def _commit_index_version(
         spark, index_path, g_next, fence, token,
         owner=lease_owner, committed_gen=base_gen,
     )
-    lease.verify_claim(spark, index_path, g_next, fence)
-    meta = f"g={g_next} w={fence}"
-    fs.write_text_atomic(
-        spark,
-        _ivf_pointer_path(index_path),
-        f"{token}\n{meta}" if prev is None else f"{token}\n{prev}\n{meta}",
-    )
-    keep = {token, prev}
-    for g in (g_next, g_next - 1):
-        claimed = lease.claim_snapshot(spark, index_path, g)
-        if claimed:
-            keep.add(claimed)
+    try:
+        lease.verify_claim(spark, index_path, g_next, fence)
+        meta = lease.format_pointer_meta(g_next, fence)
+        fs.write_text_atomic(
+            spark,
+            _ivf_pointer_path(index_path),
+            f"{token}\n{meta}" if prev is None
+            else f"{token}\n{prev}\n{meta}",
+        )
+    except BaseException:
+        # builds use fresh-per-call owners (no crash re-entry path): a
+        # failure between claim and flip must release the claim or the
+        # RETRY is fenced out for the full TTL (r15 review)
+        lease.release_claim(spark, index_path, g_next, fence)
+        raise
+    # claims prune FIRST (so keep-two holds: the about-to-expire claim
+    # must not pin its snapshot an extra round), then retain EVERY
+    # surviving claim's snapshot, not just this writer's neighborhood —
+    # a superseded late-flipper's stale prune_claims removes only OLD
+    # claims, never the winner's newer ones, so the winner's versions
+    # still outlive its snapshot prune (r15 review; mirrors
+    # streaming.merge)
+    lease.prune_claims(spark, index_path, g_next)
+    keep = {token, prev} | lease.claimed_snapshots(spark, index_path)
     for d in fs.list_child_dirs(spark, root):
         if d.startswith("v-") and d not in keep:
             try:
                 fs.delete(spark, f"{root}/{d}")
             except Exception:
                 pass
-    lease.prune_claims(spark, index_path, g_next)
 
 
 def _ivf_pointer_pair(spark, index_path: str) -> tuple[str, str | None]:
@@ -446,26 +457,16 @@ def _ivf_pointer_full(
     first r15-format commit (mirrors ``streaming.merge``)."""
     from filmdatawarehouse_spark.io import fs
 
+    from filmdatawarehouse_spark.io import lease
+
     text = fs.read_text_retry(spark, _ivf_pointer_path(index_path))
     if text is None:
         raise ValueError(
             f"no IVF index at {index_path} (missing {IVF_POINTER} pointer)"
         )
-    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
-    gen, tok = 0, ""
-    names: list[str] = []
-    for ln in lines:
-        if ln.startswith("g="):
-            for part in ln.split():
-                if part.startswith("g="):
-                    try:
-                        gen = int(part[2:])
-                    except ValueError:
-                        pass  # torn metadata line: stay at legacy 0
-                elif part.startswith("w="):
-                    tok = part[2:]
-        else:
-            names.append(ln)
+    names, gen, tok = lease.split_pointer_meta(
+        [ln.strip() for ln in text.splitlines() if ln.strip()]
+    )
     if not names:
         raise ValueError(f"empty {IVF_POINTER} pointer at {index_path}")
     return names[0], (names[1] if len(names) > 1 else None), gen, tok

@@ -140,21 +140,9 @@ def _read_pointer_full(
     text = fs.read_text_retry(spark, _pointer_path(table_path))
     if text is None:
         return None, None, 0, ""
-    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
-    gen, tok = 0, ""
-    names: list[str] = []
-    for ln in lines:
-        if ln.startswith("g="):
-            for part in ln.split():
-                if part.startswith("g="):
-                    try:
-                        gen = int(part[2:])
-                    except ValueError:
-                        pass  # torn metadata line: stay at legacy 0
-                elif part.startswith("w="):
-                    tok = part[2:]
-        else:
-            names.append(ln)
+    names, gen, tok = lease.split_pointer_meta(
+        [ln.strip() for ln in text.splitlines() if ln.strip()]
+    )
     if not names:
         return None, None, gen, tok
 
@@ -531,36 +519,33 @@ def merge_upsert_batch(
         # line 3 stamps generation + writer token for the claim protocol;
         # the write is temp-file + rename through the Hadoop FileSystem
         # (atomic on local/HDFS; see io.fs for the object-store caveat)
-        meta = f"g={g_next} w={token}"
+        meta = lease.format_pointer_meta(g_next, token)
         fs.write_text_atomic(
             spark,
             _pointer_path(table_path),
             f"{snap}\n{meta}" if prev is None
             else f"{snap}\n{prev}\n{meta}",
         )
-        # best-effort prune, RETAINING the previous snapshot so a reader
-        # that resolved it just before this commit can still finish its
-        # query (a crash here just leaves garbage for the next batch's
-        # prune — never corrupts the committed snapshot). Snapshots
-        # named by SURVIVING CLAIMS are retained too: if a late flip
-        # ever wins the pointer (pure-CAS residual), the true winner's
-        # data must outlive the loser's prune so the detected
-        # regression stays repairable.
-        keep = {snap, prev}
-        for g in (g_next, g_next - 1):
-            claimed = lease.claim_snapshot(spark, table_path, g)
-            if claimed:
-                keep.add(claimed)
+        # claims keep-two prune FIRST (so the about-to-expire claim
+        # cannot pin its snapshot an extra round and keep-two holds);
+        # then the snapshot prune RETAINS the previous snapshot so a
+        # reader that resolved it just before this commit can still
+        # finish its query (a crash here just leaves garbage for the
+        # next batch's prune — never corrupts the committed snapshot),
+        # plus the snapshot named by EVERY surviving claim (r15 review:
+        # all of them, not this writer's own neighborhood — a
+        # superseded late-flipper prunes with a STALE generation, which
+        # removes only OLD claims, so the true winner's newer
+        # snapshots stay claim-pinned and its detected regression
+        # stays repairable).
+        lease.prune_claims(spark, table_path, g_next)
+        keep = {snap, prev} | lease.claimed_snapshots(spark, table_path)
         for d in fs.list_child_dirs(spark, root):
             if d.startswith("v-") and d not in keep:
                 try:
                     fs.delete(spark, f"{root}/{d}")
                 except Exception:
                     pass  # best-effort: next batch's prune retries
-        # claims keep-two as well (claim_generation refuses anything
-        # below the max SURVIVING claim, so pruning never reopens a
-        # superseded generation)
-        lease.prune_claims(spark, table_path, g_next)
         if on_changes is not None:
             on_changes(
                 _changes_between(spark, table_path, keys, None, snap, prev),

@@ -822,7 +822,22 @@ def test_atomic_write_uses_unique_temp_names(spark, tmp_path):
         t.start()
     for t in threads:
         t.join()
-    assert fs.read_text(spark, target) in bodies  # one complete body
+    # final read retried: Hadoop's LOCAL FS (ChecksumFs) renames the
+    # data and its sidecar .crc non-atomically, so under this hammer a
+    # read can transiently throw ChecksumException, and two same-
+    # instant racers can even leave the path ABSENT (delete+place
+    # window) — both local-test-FS artifacts, both benign for a lease
+    # (absent reads as released; the next acquire re-creates). The
+    # load-bearing claims: NEVER a mixed/cross-writer body, never a
+    # leaked staging file.
+    text = None
+    for _ in range(5):
+        try:
+            text = fs.read_text(spark, target)
+            break
+        except Exception:  # noqa: BLE001 — stale local crc sidecar
+            time.sleep(0.1)
+    assert text is None or text in bodies
     leftovers = [
         p.name for p in tmp_path.iterdir() if p.name.startswith("p.tmp-")
     ]
@@ -835,3 +850,98 @@ def test_mtime_ms_absent_is_none_not_raise(spark, tmp_path):
     raw py4j not-found error. (The race itself is untestable
     deterministically; the contract for an absent path is.)"""
     assert fs.mtime_ms(spark, str(tmp_path / "never")) is None
+
+
+# ----------------------------------------------- r15 review hardening
+# Four defects the round's self-review found in the claim protocol's
+# retention/liveness edges, each pinned here.
+
+
+def test_stale_prune_never_unpins_newer_claims_snapshots(spark, tmp_path):
+    """The late-flipper data-loss closure (r15 review), at the level
+    where it lives: a superseded writer runs its prune with a STALE
+    generation. ``prune_claims(stale)`` must remove only claims OLDER
+    than its own neighborhood — the true winner's NEWER claims (and so
+    their snapshots, via the keep-set union with
+    ``claimed_snapshots``) survive, keeping the detected regression
+    repairable. And the keep-set helper must report every surviving
+    claim's snapshot, not any single generation's."""
+    root = str(tmp_path / "t")
+    lease.claim_generation(spark, root, 2, "t2", "v-a-2", owner="a",
+                           committed_gen=1)
+    lease.claim_generation(spark, root, 3, "t3", "v-a-3", owner="a",
+                           committed_gen=2)
+    # the winner's newer commit, claimed after taking over the loser
+    lease.claim_generation(spark, root, 4, "tW", "v-W-9", owner="w",
+                           committed_gen=3)
+    # the superseded loser prunes with its stale generation (3)
+    lease.prune_claims(spark, root, 3)
+    assert lease.claimed_generations(spark, root) == [2, 3, 4]
+    assert lease.claimed_snapshots(spark, root) == {
+        "v-a-2", "v-a-3", "v-W-9",
+    }  # the loser's keep-set union retains the winner's v-W-9
+    # and a CURRENT pruner advances normally: keep-two of claims
+    lease.prune_claims(spark, root, 4)
+    assert lease.claimed_generations(spark, root) == [3, 4]
+    assert "v-W-9" in lease.claimed_snapshots(spark, root)
+
+
+def test_set_mtime_now_tristate_gone_is_none(spark, tmp_path):
+    """File deleted under the refresh must read as None (caller STOPS),
+    never as the False that triggers the content-rewrite fallback — a
+    rewrite there resurrects a broken lease forever."""
+    missing = str(tmp_path / "never")
+    assert fs.set_mtime_now(spark, missing) is None
+    present = str(tmp_path / "p")
+    fs.write_text_atomic(spark, present, "x")
+    assert fs.set_mtime_now(spark, present) is True
+
+
+def test_failed_flip_releases_claim_for_fresh_owner_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Index builds use fresh-per-call owners: a commit that claimed its
+    generation and then failed at the flip must release the claim, or
+    the retry is fenced out for the full TTL."""
+    from filmdatawarehouse_spark.io import fs as fs_mod
+    from filmdatawarehouse_spark.operators.ivfpq import ivfpq_index_build
+
+    idx = str(tmp_path / "idx")
+    real_write = fs_mod.write_text_atomic
+    state = {"fail_next_pointer_write": True}
+
+    def flaky(spark_, path, text):
+        if state["fail_next_pointer_write"] and path.endswith("/INDEX"):
+            state["fail_next_pointer_write"] = False
+            raise OSError("injected transient flip failure")
+        return real_write(spark_, path, text)
+
+    monkeypatch.setattr(fs_mod, "write_text_atomic", flaky)
+    with pytest.raises(OSError, match="injected"):
+        ivfpq_index_build(_tiny_emb(spark), idx, n_lists=2, m=2, n_codes=4,
+                          n_iters=1)
+    assert lease.claimed_generations(spark, idx) == []  # claim released
+    # immediate retry (fresh owner + fresh token): no TTL wait
+    ivfpq_index_build(_tiny_emb(spark), idx, n_lists=2, m=2, n_codes=4,
+                      n_iters=1)
+    assert lease.claimed_generations(spark, idx) == [1]
+
+
+def test_reclaim_of_pruned_generation_is_refused_and_released(
+    spark, tmp_path
+):
+    """Check-then-act closure: a writer that paused across a claim
+    prune and exclusively re-created a pruned generation number must be
+    refused by the post-create re-list — and its stale claim removed,
+    not left to brick the generation."""
+    root = str(tmp_path / "t")
+    # survivors say the table is at generation 3
+    lease.claim_generation(spark, root, 3, "t3", "v-a-3", owner="a")
+    # the paused writer re-creates pruned g-1 (pre-check bypassed by
+    # writing the file directly, as its create-exclusive would have)
+    fs.write_text_atomic(
+        spark, f"{root}/{lease.GEN_DIR}/g-{1:020d}", "tX v-x-1 x"
+    )
+    with pytest.raises(WriterFencedError, match="re-claimed|stale"):
+        lease._recheck_claim_is_max(spark, root, 1, "tX")
+    assert lease.claimed_generations(spark, root) == [3]  # g-1 released
