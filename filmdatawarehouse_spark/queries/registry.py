@@ -60,67 +60,65 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # rotation tool reports the headroom (capacity - active) so growth is
 # planned, not discovered at an over-committed rotation.
 # --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
-CURRENT_ROUND = 15
+CURRENT_ROUND = 16
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- r12-certified (staleness deadline)
-    "events_funnel",
-    "text_prefix_filter_pairs",
-    "text_hof_stats",
-    "asof_join_events",
-    "snapshot_diff_customers",
-    "ntile_order_value",
-    "corr_qty_price",
-    "window_rank_family",
-    "regional_supplier_revenue",
-    "customer_rfm",
-    "orders_abc_pareto",
-    "pricing_summary",
-    "shipping_priority",
-    "skew_profile_custkey",
-    "promo_revenue_monthly",
-    "priority_lines_by_status",
-    "pipeline_curate_documents",
-    "join_bigbig_rollup",
-    "decontaminate_docs",
-    "stratified_sample_events",
-    "pack_sequences",
-    "redact_pii_docs",
-    "corpus_merge_priority",
-    "text_repetition_metrics",
-    "dedup_incremental",
-    "incremental_daily_rollup",
-    "orders_upsert_merge",
-    "embedding_quantize_codes",
-    "embedding_quantize_error",
-    "chunk_documents",
-    "events_ohlc_hourly",
-    "events_range_window",
-    "events_zscore_outliers",
-    "events_daily_streaks",
-    "events_first_touch",
-    "events_mode_type",
-    "events_hour_heatmap",
-    "events_hourly_anomalies",
-    "events_transitions",
-    "graph_bfs_hops",
-    "stream_sessions_final",
-    "stream_sessions_capped",
-    "stream_dedup_final",
-    "stream_interval_join",
-    "stream_heavy_hitters",
-    # -- r13-certified (filler slot)
-    "filter_pushdown",
-    "dim_date_generate",
-    "derive_date_id",
-    "derive_month_key",
-    "join_inner_equi",
+    # -- r13-certified (staleness deadline)
+    "fact_daily_orders",
+    "fact_monthly_totals",
+    "monthly_revenue",
+    "top10_parts",
+    "filtered_daily_series",
+    "sql_passthrough",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters_star",
+    "dedup_embedding_ann_recall",
+    "similarity_topk",
+    "similarity_range",
+    "similarity_ann_recall",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_word_freq",
+    "text_vocab_encode",
+    "text_word_entropy_native",
+    "text_bigram_lm",
+    "text_heavy_hitters",
+    "events_sliding_window",
+    "events_session_window",
+    "events_user_totals",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "profile_orders",
+    "events_gaps",
+    "events_json_props",
+    "unpivot_part",
+    "events_locf_fill",
+    "latest_order_per_customer",
+    "grouping_sets_orders",
+    "range_join_events",
+    "events_hourly_gapfill",
+    "join_bigbig_bucketed",
+    "weighted_sample_docs",
+    "corpus_mix_sample",
+    "ivfpq_recall",
+    "semdedup_planted",
+    "stream_merge_upsert",
+    # -- driver-never-seen (new this round)
+    "text_containment_prefix_pairs",
+    # -- r14-certified (filler slot)
+    "scan_project",
+    "clean_dropna_dedup",
+    "text_sparse_cosine_pairs",
+    "text_containment_pairs",
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (
-    # new this round, first window slot deferred to r16 (the staleness backlog fills the window);
-    # locally oracle-verified every pytest run in the meantime
-    "text_containment_prefix_pairs",
 )
 # --- END ROTATION-MANAGED ---
 
