@@ -242,6 +242,50 @@ def create_text_exclusive(
     return True
 
 
+# Not-found classification (ADVICE r15): classify by the JAVA EXCEPTION
+# CLASS along the cause chain, not by substring-matching the rendered
+# message — a store surfacing deletion as a raw NoSuchKey/404 that the
+# Hadoop connector did not translate to FileNotFoundException must still
+# land in the "gone" branch (otherwise set_mtime_now returns False and
+# the heartbeat's content-rewrite fallback resurrects a deleted lease).
+# Class-name markers cover java.io.FileNotFoundException and its Hadoop
+# subclasses, java.nio NoSuchFileException, and S3-style NoSuchKey /
+# *NotFoundException connector classes; the message fallback catches
+# connectors that wrap the store error in a generic IOException but
+# preserve the store's error code in the text.
+_NOT_FOUND_CLASS_MARKERS = ("FileNotFound", "NoSuchFile", "NoSuchKey", "NotFound")
+_NOT_FOUND_MSG_MARKERS = ("FileNotFound", "NoSuchKey", "404 Not Found", "Status Code: 404")
+
+
+def _is_not_found(e: Exception) -> bool:
+    """True when ``e`` (a py4j-surfaced Java error or a plain Python
+    exception) means the path does not exist, classified primarily by
+    exception CLASS names along the Java cause chain."""
+    class_names = [type(e).__name__]
+    je = getattr(e, "java_exception", None)
+    msg = ""
+    if je is not None:
+        try:
+            cur = je
+            for _ in range(8):  # bounded cause-chain walk
+                if cur is None:
+                    break
+                class_names.append(str(cur.getClass().getName()))
+                cur = cur.getCause()
+        except Exception:  # noqa: BLE001 — classification must not raise
+            pass
+        try:
+            msg = str(je)
+        except Exception:  # noqa: BLE001
+            msg = ""
+    else:
+        msg = str(e)
+    joined = " ".join(class_names)
+    if any(m in joined for m in _NOT_FOUND_CLASS_MARKERS):
+        return True
+    return any(m in msg for m in _NOT_FOUND_MSG_MARKERS)
+
+
 def mtime_ms(spark: SparkSession, path: str) -> int | None:
     """The file's modification time in epoch milliseconds, or None when
     it does not exist (the lease-expiry clock — see ``io.lease`` for
@@ -257,9 +301,7 @@ def mtime_ms(spark: SparkSession, path: str) -> int | None:
     try:
         return int(fs.getFileStatus(p).getModificationTime())
     except Exception as e:  # noqa: BLE001 — classify, then re-raise
-        name = type(e).__name__
-        java = str(getattr(e, "java_exception", "")) or str(e)
-        if "FileNotFound" in name or "FileNotFound" in java:
+        if _is_not_found(e):
             return None
         raise
 
@@ -288,9 +330,7 @@ def set_mtime_now(spark: SparkSession, path: str) -> bool | None:
         fs.setTimes(p, int(_time.time() * 1000), -1)
         return True
     except Exception as e:  # noqa: BLE001 — classify, then decide
-        name = type(e).__name__
-        java = str(getattr(e, "java_exception", "")) or str(e)
-        if "FileNotFound" in name or "FileNotFound" in java:
+        if _is_not_found(e):
             return None
         return False
 

@@ -2607,7 +2607,13 @@ EXTENDED_QUERIES["text_hof_stats"] = (
 # ceil(t*n) must be exact integer math, not a float floor. Kept adjacent
 # to its only consumer; drift against CONTAIN_T is refused at import.
 CONTAIN_T_NUM, CONTAIN_T_DEN = 4, 5
-assert CONTAIN_T_NUM / CONTAIN_T_DEN == CONTAIN_T
+# Explicit raise, not `assert`: the refused-at-import contract must
+# survive `python -O` (which strips asserts).
+if CONTAIN_T_NUM / CONTAIN_T_DEN != CONTAIN_T:
+    raise AssertionError(
+        f"CONTAIN_T_NUM/CONTAIN_T_DEN ({CONTAIN_T_NUM}/{CONTAIN_T_DEN}) "
+        f"drifted from CONTAIN_T ({CONTAIN_T})"
+    )
 
 
 def q_text_containment_prefix_pairs(

@@ -513,19 +513,30 @@ def merge_upsert_batch(
             owner=lease_owner or run_id, committed_gen=fresh_gen,
             ttl_s=lease_ttl_s,
         )
-        lease.verify_claim(spark, table_path, g_next, token)
-        # line 2 records the retained previous snapshot so CDC consumers
-        # get a consistent (current, previous) pair from one atomic read;
-        # line 3 stamps generation + writer token for the claim protocol;
-        # the write is temp-file + rename through the Hadoop FileSystem
-        # (atomic on local/HDFS; see io.fs for the object-store caveat)
-        meta = lease.format_pointer_meta(g_next, token)
-        fs.write_text_atomic(
-            spark,
-            _pointer_path(table_path),
-            f"{snap}\n{meta}" if prev is None
-            else f"{snap}\n{prev}\n{meta}",
-        )
+        try:
+            lease.verify_claim(spark, table_path, g_next, token)
+            # line 2 records the retained previous snapshot so CDC
+            # consumers get a consistent (current, previous) pair from
+            # one atomic read; line 3 stamps generation + writer token
+            # for the claim protocol; the write is temp-file + rename
+            # through the Hadoop FileSystem (atomic on local/HDFS; see
+            # io.fs for the object-store caveat)
+            meta = lease.format_pointer_meta(g_next, token)
+            fs.write_text_atomic(
+                spark,
+                _pointer_path(table_path),
+                f"{snap}\n{meta}" if prev is None
+                else f"{snap}\n{prev}\n{meta}",
+            )
+        except BaseException:
+            # a claim left behind by a failed flip fences out any
+            # REPLACEMENT writer (new run_id) for the full claim TTL —
+            # only the same (run_id, lease_owner) re-enters past it; a
+            # same-token release here keeps that liveness without ever
+            # deleting a thief's claim (release_claim is token-checked;
+            # mirrors operators.similarity._commit_index_version)
+            lease.release_claim(spark, table_path, g_next, token)
+            raise
         # claims keep-two prune FIRST (so the about-to-expire claim
         # cannot pin its snapshot an extra round and keep-two holds);
         # then the snapshot prune RETAINS the previous snapshot so a

@@ -945,3 +945,110 @@ def test_reclaim_of_pruned_generation_is_refused_and_released(
     with pytest.raises(WriterFencedError, match="re-claimed|stale"):
         lease._recheck_claim_is_max(spark, root, 1, "tX")
     assert lease.claimed_generations(spark, root) == [3]  # g-1 released
+
+
+# ----------------------------------------------- r16 ADVICE hardening
+
+
+class _FakeJClass:
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+
+class _FakeJThrowable:
+    """Minimal py4j-shaped Java throwable: getClass().getName() + a
+    cause chain, like the objects `_is_not_found` walks."""
+
+    def __init__(self, class_name, message="", cause=None):
+        self._cls = _FakeJClass(class_name)
+        self._msg = message
+        self._cause = cause
+
+    def getClass(self):
+        return self._cls
+
+    def getCause(self):
+        return self._cause
+
+    def __str__(self):
+        return f"{self._cls.getName()}: {self._msg}"
+
+
+class _FakePy4JError(Exception):
+    def __init__(self, jthrowable):
+        super().__init__(str(jthrowable))
+        self.java_exception = jthrowable
+
+
+def test_not_found_classified_by_java_class_not_message(spark):
+    """ADVICE r15: classification must use the Java exception CLASS
+    along the cause chain, so a store surfacing deletion as an
+    untranslated NoSuchKey/404 (no 'FileNotFound' anywhere in the
+    message) still reads as gone — the branch that stops the heartbeat
+    instead of resurrecting a deleted lease via the rewrite fallback."""
+    # classic translated case: Hadoop FileNotFoundException
+    assert fs._is_not_found(_FakePy4JError(_FakeJThrowable(
+        "java.io.FileNotFoundException", "File does not exist: /x")))
+    # untranslated S3-style NoSuchKey class, generic message
+    assert fs._is_not_found(_FakePy4JError(_FakeJThrowable(
+        "com.amazonaws.services.s3.model.NoSuchKeyException",
+        "The specified key does not exist")))
+    # NoSuchKey buried as the CAUSE under a generic IOException wrapper
+    assert fs._is_not_found(_FakePy4JError(_FakeJThrowable(
+        "java.io.IOException", "request failed",
+        cause=_FakeJThrowable("software.amazon.awssdk.services.s3.model.NoSuchKeyException"))))
+    # 404 preserved only in the wrapper's message text
+    assert fs._is_not_found(_FakePy4JError(_FakeJThrowable(
+        "java.io.IOException", "GET /b/k: 404 Not Found")))
+    # a genuinely different failure must NOT classify as gone
+    assert not fs._is_not_found(_FakePy4JError(_FakeJThrowable(
+        "java.io.IOException", "connection reset by peer")))
+    assert not fs._is_not_found(_FakePy4JError(_FakeJThrowable(
+        "org.apache.hadoop.security.AccessControlException", "denied")))
+    # plain Python exceptions still classify by name/message
+    assert fs._is_not_found(FileNotFoundError("gone"))
+    assert not fs._is_not_found(OSError("disk full"))
+
+
+def test_merge_failed_flip_releases_claim_for_replacement_writer(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15: a transient pointer-flip failure AFTER
+    claim_generation must release the claim — otherwise a REPLACEMENT
+    writer (new run_id / new lease owner) is fenced out for the full
+    claim TTL, not just the same-identity retry that can re-enter."""
+    from filmdatawarehouse_spark.io import fs as fs_mod
+    from filmdatawarehouse_spark.streaming.merge import (
+        _read_pointer,
+        merge_upsert_batch,
+    )
+
+    table = str(tmp_path / "t")
+    merge_upsert_batch(_batch(spark, [(1, "a")]), 0, table, ["k"],
+                       run_id="r1")
+
+    real_write = fs_mod.write_text_atomic
+    state = {"arm": True}
+
+    def flaky(spark_, path, text):
+        if state["arm"] and path.endswith("/_LATEST"):
+            state["arm"] = False
+            raise OSError("injected transient flip failure")
+        return real_write(spark_, path, text)
+
+    monkeypatch.setattr(fs_mod, "write_text_atomic", flaky)
+    with pytest.raises(OSError, match="injected"):
+        merge_upsert_batch(_batch(spark, [(2, "b")]), 1, table, ["k"],
+                           run_id="r1")
+    # the failed flip's claim (g=2) is gone; only the committed g=1 claim
+    assert lease.claimed_generations(spark, table) == [1]
+    # a REPLACEMENT writer under a brand-new identity commits at once —
+    # no TTL wait behind the dead writer's leftover claim
+    merge_upsert_batch(_batch(spark, [(2, "b")]), 0, table, ["k"],
+                       run_id="r2")
+    cur, _ = _read_pointer(spark, table)
+    assert cur == "v-r2-0"
+    assert lease.claimed_generations(spark, table)[-1] == 2
