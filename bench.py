@@ -163,6 +163,14 @@ HEADLINE = [
     # round-15: prefix-filtered containment (the 100 TB-default shape for
     # the containment family — SCALING.md round-15)
     "text_containment_prefix_pairs",
+    # round-16: the size-keyed dispatcher (`text_containment_auto_pairs`)
+    # is deliberately NOT a headline row — at bench SF it would run the
+    # plain plan verbatim (the corpus is far below CONTAIN_DISPATCH_DOCS),
+    # double-counting `text_containment_pairs` while measuring nothing
+    # new. Both underlying plans stay benched individually above; the
+    # headline set is therefore UNCHANGED by the dispatcher and BENCH_REV
+    # does not bump (VERDICT r15 item 7's rule: bump only when the set of
+    # timed queries actually changes).
 ]
 
 # Record-layout revision stamped into BENCH_full.json (VERDICT r14 item 7).

@@ -2745,3 +2745,52 @@ EXTENDED_QUERIES["text_containment_prefix_pairs"] = (
     q_text_containment_prefix_pairs,
     ORACLES["text_containment_prefix_pairs"],
 )
+
+
+# Size-keyed dispatch threshold (VERDICT r15 item 2). The two
+# containment plans are output-identical; which one is CHEAPER is a
+# measured byte crossover (SCALING.md "Round-15"): at 200k docs the
+# plain plan shuffles less (789.6 vs 863.9 MB — the prefix plan pays
+# fixed linear stages: the rarity-rank window and the verification
+# arrays), at 400k it shuffles 1.4x MORE (2,335.6 vs 1,678.0 MB) and
+# its byte exponent is still 1.57/doubling vs the prefix plan's 0.958.
+# Interpolating those measured exponents puts the absolute-bytes
+# crossover at ~230k docs; 200_000 keeps the switch conservative —
+# past it the plain plan's superlinear candidate band only worsens,
+# so flipping slightly early costs a few percent once and never pays
+# the 1.57-exponent tax.
+CONTAIN_DISPATCH_DOCS = 200_000
+
+
+def containment_plan_for(n_docs: int) -> str:
+    """Which containment plan the dispatcher runs at ``n_docs``
+    corpus documents: ``"plain"`` at/below the measured byte crossover,
+    ``"prefix"`` beyond it (constants above; SCALING.md "Round-15")."""
+    return "plain" if n_docs <= CONTAIN_DISPATCH_DOCS else "prefix"
+
+
+def q_text_containment_auto_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The containment entry point callers should use: picks the plain
+    inverted-index plan or the prefix-filtered plan from CORPUS SIZE,
+    so the measured crossover (SCALING.md "Round-15") selects the plan
+    instead of the caller having to know it exists. Both plans are
+    certified output-identical against the same oracle
+    (``tests/test_containment_prefix.py`` pins the frame identity and
+    this dispatcher's selection), so the dispatch is a pure cost
+    choice; the count it keys on is one metadata-cheap aggregate over
+    the documents scan, a rounding error next to either plan's
+    shingle explosion."""
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    if containment_plan_for(n_docs) == "plain":
+        return q_text_containment_pairs(spark, sf_dir)
+    return q_text_containment_prefix_pairs(spark, sf_dir)
+
+
+ORACLES["text_containment_auto_pairs"] = ORACLES["text_containment_pairs"]
+
+EXTENDED_QUERIES["text_containment_auto_pairs"] = (
+    q_text_containment_auto_pairs,
+    ORACLES["text_containment_auto_pairs"],
+)

@@ -119,6 +119,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (
+    # new this round, first window slot deferred to r17 (the staleness backlog fills the window);
+    # locally oracle-verified every pytest run in the meantime
+    "text_containment_auto_pairs",
 )
 # --- END ROTATION-MANAGED ---
 

@@ -114,3 +114,40 @@ def test_prefix_candidates_subset_of_plain(spark, sf_dir):
     )
     assert pref_cand <= plain_cand
     assert pref_cand < plain_cand
+
+
+# ------------------------------------------ r16: size-keyed dispatcher
+
+
+def test_dispatcher_selection_tracks_measured_crossover():
+    """The plan choice is the measured byte crossover (SCALING.md
+    "Round-15"): plain at/below CONTAIN_DISPATCH_DOCS, prefix beyond."""
+    from filmdatawarehouse_spark.queries.extended import (
+        CONTAIN_DISPATCH_DOCS,
+        containment_plan_for,
+    )
+
+    assert containment_plan_for(0) == "plain"
+    assert containment_plan_for(CONTAIN_DISPATCH_DOCS) == "plain"
+    assert containment_plan_for(CONTAIN_DISPATCH_DOCS + 1) == "prefix"
+    assert containment_plan_for(10 * CONTAIN_DISPATCH_DOCS) == "prefix"
+    # the constant sits inside the measured bracket: plain was cheaper
+    # at 200k docs, more expensive at 400k
+    assert 200_000 <= CONTAIN_DISPATCH_DOCS < 400_000
+
+
+def test_dispatcher_output_identical_on_both_branches(
+    spark, sf_dir, monkeypatch
+):
+    """Frame identity through the dispatcher on BOTH branches: the
+    certification corpus is far below the crossover (plain branch);
+    forcing the threshold to 0 drives the same corpus through the
+    prefix branch — output must be identical either way."""
+    from filmdatawarehouse_spark.queries import extended
+
+    plain = _rows(q_text_containment_pairs(spark, sf_dir))
+    auto = _rows(extended.q_text_containment_auto_pairs(spark, sf_dir))
+    assert auto == plain and plain
+    monkeypatch.setattr(extended, "CONTAIN_DISPATCH_DOCS", 0)
+    forced = _rows(extended.q_text_containment_auto_pairs(spark, sf_dir))
+    assert forced == plain
