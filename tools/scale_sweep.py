@@ -155,6 +155,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--batch-size", type=int, default=30)
     ap.add_argument(
+        "--jobs",
+        type=int,
+        default=1,
+        help="concurrent driver_sim batches (per-query comparisons are "
+        "independent processes, so parallelism changes wall time only, "
+        "never results; each job is one vanilla local[8] Spark session "
+        "plus a DuckDB oracle — size to cores/8)",
+    )
+    ap.add_argument(
         "--list", action="store_true", help="print the derived class and exit"
     )
     args = ap.parse_args()
@@ -170,10 +179,14 @@ def main() -> int:
         f"scale sweep: {len(names)} risk-class queries at {args.sf_dir} "
         f"in batches of {args.batch_size}"
     )
-    failed = False
-    for i in range(0, len(names), args.batch_size):
-        batch = names[i : i + args.batch_size]
-        print(f"-- batch {i // args.batch_size + 1}: {len(batch)} queries")
+    batches = [
+        names[i : i + args.batch_size]
+        for i in range(0, len(names), args.batch_size)
+    ]
+
+    def run_batch(idx_batch: tuple[int, list[str]]) -> int:
+        idx, batch = idx_batch
+        print(f"-- batch {idx + 1}: {len(batch)} queries")
         res = subprocess.run(
             [
                 sys.executable,
@@ -183,8 +196,20 @@ def main() -> int:
             ],
             cwd=REPO,
         )
-        if res.returncode != 0:
-            failed = True
+        return res.returncode
+
+    failed = False
+    if args.jobs <= 1:
+        for ib in enumerate(batches):
+            if run_batch(ib) != 0:
+                failed = True
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            for rc in pool.map(run_batch, enumerate(batches)):
+                if rc != 0:
+                    failed = True
     print("SWEEP " + ("FAILED" if failed else "GREEN"))
     if not failed:
         with open(LOG_PATH, "w") as f:
