@@ -66,6 +66,61 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+def spread_unsplittable_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive fix for UNSPLITTABLE input feeding a heavy per-row
+    stage (guide §2.5 "one huge unsplittable file … repartition
+    immediately after the read").
+
+    Parquet scan parallelism is bounded by row-group count, and a
+    single-file single-row-group table (every certification-SF table
+    here) plans a ONE-TASK scan — so a zero-shuffle Arrow stage fused
+    onto it (MinHash/ngram/SimHash signatures) runs on one core at any
+    ``local[N]``, capping both wall time and the measured core scaling.
+
+    Adaptive, not constant: only when the input's planned partition
+    count is BELOW the session's default parallelism does this insert a
+    deterministic hash repartition on ``keys``; at production scale the
+    scan has file/row-group counts >> cores, the condition is false and
+    the plan is untouched — no shuffle is ever added where the data
+    already parallelizes. Hash-on-key (not round-robin) keeps the
+    assignment deterministic under task retry (guide §2.5 SPARK-38388)
+    and skips round-robin's sort-before-repartition. Apply ONLY above
+    compute-heavy per-row stages: for cheap JVM projections the added
+    exchange costs more than the parallelism pays (measured r16 — the
+    containment shingle explode got SLOWER with it; OPTIMIZATION_r16.md).
+    """
+    spark = df.sparkSession
+    if not scan_is_subparallel(df):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(
+        spark.sparkContext.defaultParallelism, *[F.col(k) for k in keys]
+    )
+
+
+def scan_is_subparallel(df: DataFrame) -> bool:
+    """True when ``df``'s PLANNED partition count is below the session's
+    default parallelism — the unsplittable-local-input regime.
+
+    Only meaningful for scans and cached frames: a not-yet-executed
+    shuffle reports the static ``spark.sql.shuffle.partitions``, not
+    what AQE will coalesce it to, so probe the SOURCE scan (whose split
+    count is real) when deciding for a mid-plan frame. Queries use this
+    to give compute-explosive exchanges (candidate self-joins whose
+    downstream work is quadratic in posting-list length) an explicit
+    key-partitioned width in the local regime, where AQE's bytes-based
+    coalescing sees a tiny exchange and serializes the heavy join onto
+    one task; at production scale the condition is False and the plan
+    keeps AQE's sizing."""
+    spark = df.sparkSession
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # exotic plan the RDD probe cannot plan — not local
+        return False
+    return nparts < spark.sparkContext.defaultParallelism
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

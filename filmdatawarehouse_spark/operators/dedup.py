@@ -86,6 +86,26 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams_all(toks, n))
 
 
+def _spread_for_compute(
+    df: DataFrame, *keys: str
+) -> tuple[DataFrame, bool]:
+    """``spread_unsplittable_scan`` plus a DID-IT flag, so the caller can
+    COMPACT the heavy stage's output back to the pre-spread layout
+    before persisting it. Measured r16: spreading alone made the full
+    pair queries SLOWER — the persisted signature frame then holds
+    ``defaultParallelism`` partitions and every downstream cache-reading
+    map stage (the banding join, census, both verify joins: ~12 stages)
+    pays 32 trivial tasks instead of 1, ~2 s of pure scheduling at
+    sf0.1. Spread-for-compute + compact-for-cache keeps the one
+    expensive stage parallel and the many cheap stages single-task;
+    at production scale the input is splittable, the flag is False, and
+    NEITHER exchange exists."""
+    from filmdatawarehouse_spark.io.sources import spread_unsplittable_scan
+
+    out = spread_unsplittable_scan(df, *keys)
+    return out, out is not df
+
+
 def word_shingle_frame(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -338,10 +358,17 @@ def minhash_dedup_pairs(
     ~1e-7-per-pair LSH miss probability at the threshold.
     Returns (doc_id_a, doc_id_b, jaccard).
     """
-    shingled = word_shingle_frame(docs, id_col, text_col, shingle_words)
+    # spread BEFORE the shingle projection so the per-shingle md5 chain
+    # and the numpy signature stage both run post-exchange (parallel);
+    # the flag compacts the persisted signature frame back afterwards
+    # (_spread_for_compute has the measured why)
+    base, compact = _spread_for_compute(
+        docs.select(id_col, text_col), id_col
+    )
+    shingled = word_shingle_frame(base, id_col, text_col, shingle_words)
     return _lsh_verified_pairs(
         shingled, threshold, id_col, num_perm, seed, cache=cache,
-        bucket_cap=bucket_cap, n_docs=n_docs,
+        bucket_cap=bucket_cap, n_docs=n_docs, compact=compact,
     )
 
 
@@ -355,6 +382,7 @@ def _lsh_verified_pairs(
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
     n_docs: int | None = None,
+    compact: bool = False,
 ) -> DataFrame:
     """Shared LSH-candidates + exact-Jaccard-verify tail.
 
@@ -371,7 +399,7 @@ def _lsh_verified_pairs(
     )
     return _verified_pairs_from_sigs(
         sigs, threshold, id_col, num_perm, band_rows, cache, bucket_cap,
-        n_docs=n_docs,
+        n_docs=n_docs, compact=compact,
     )
 
 
@@ -384,10 +412,15 @@ def _verified_pairs_from_sigs(
     cache: bool = True,
     bucket_cap: int | None = BUCKET_CAP,
     n_docs: int | None = None,
+    compact: bool = False,
 ) -> DataFrame:
     """Banding candidates + exact-Jaccard verify over a prebuilt
     (id, sig_*, shingles) frame (persisted so the three plan branches share
-    the one Python stage)."""
+    the one Python stage). ``compact``: the input was spread for the
+    signature compute — restore the pre-spread single-partition cache
+    layout before persisting (_spread_for_compute has the measurement)."""
+    if compact:
+        sigs = sigs.repartition(1)
     if cache:
         sigs = managed_persist(sigs)
     cands = lsh_candidate_pairs(
@@ -582,7 +615,15 @@ def byte_ngram_signatures(
         + ", ".join(f"{s} long" for s in sig_names)
         + ", shingles array<long>"
     )
-    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+    # heavy per-row numpy stage fused onto the scan: spread unsplittable
+    # local input across cores first (adaptive no-op at scale — r16,
+    # measured 2.4 s -> 0.9 s warm at sf0.1), then compact the output
+    # back so the persisted frame keeps its pre-spread layout
+    base, compact = _spread_for_compute(
+        docs.select(id_col, text_col), id_col
+    )
+    out = base.mapInPandas(gen, schema)
+    return out.repartition(1) if compact else out
 
 
 def ngram_jaccard_pairs(
@@ -629,7 +670,13 @@ def simhash_values(
     import numpy as np
     import pandas as pd
 
-    base = docs.select(
+    # the per-token md5 projection AND the numpy bit-sum stage are heavy
+    # per-row work on the scan task: spread unsplittable local input
+    # (adaptive no-op at scale), compacting the small output afterwards
+    spread_docs, compact = _spread_for_compute(
+        docs.select(id_col, text_col), id_col
+    )
+    base = spread_docs.select(
         F.col(id_col),
         F.transform(F.split(F.col(text_col), " "), _hash60).alias("_h"),
     )
@@ -651,7 +698,8 @@ def simhash_values(
                 }
             )
 
-    return base.mapInPandas(gen, f"{id_col} long, simhash long")
+    out = base.mapInPandas(gen, f"{id_col} long, simhash long")
+    return out.repartition(1) if compact else out
 
 
 def simhash_pairs(
@@ -1087,23 +1135,29 @@ def _exact_cosine_rescore(
     dim: int | None = None,
     broadcast_cand: bool = True,
 ) -> DataFrame:
-    """Exact pinned-chain cosine over a candidate pair frame: the shared
+    """Exact pinned-fold cosine over a candidate pair frame: the shared
     correctness tail of the exact (block-GEMM) and approximate (IVF-
     bucketed) dedup paths — whatever the candidate generator, every
-    emitted pair is re-scored with the oracle-identical multiply-add chain
-    and filtered at the exact threshold."""
-    from filmdatawarehouse_spark.operators.similarity import cosine, norm
+    emitted pair is re-scored with the oracle-identical left-fold
+    (Arrow fold stage since r16 — bit-identical to the expression
+    chain, without its ~1s/run driver-side analysis+codegen cost;
+    operators/similarity.py module banner) and filtered at the exact
+    threshold."""
+    from filmdatawarehouse_spark.operators.similarity import (
+        fold_dot_udf,
+        fold_norm_udf,
+    )
 
     # dim defaults to the corpus embedding width; pass the actual width for
-    # other collections (the unrolled chain indexes 1..dim)
+    # other collections (the fold indexes 0..dim-1)
     if dim is None:
         from filmdatawarehouse_spark.operators.similarity import EMBEDDING_DIM
 
         dim = EMBEDDING_DIM
     nd = emb.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vd"),
-        norm(F.col(vec_col), dim).alias("_norm"),
+        F.col(vec_col).alias("_vd"),
+        fold_norm_udf(dim)(F.col(vec_col)).alias("_norm"),
     )
     a = nd.select(
         F.col(id_col).alias("vec_id_a"),
@@ -1123,8 +1177,9 @@ def _exact_cosine_rescore(
         .select(
             "vec_id_a",
             "vec_id_b",
-            cosine(
-                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"), dim
+            (
+                fold_dot_udf(dim)(F.col("v_a"), F.col("v_b"))
+                / (F.col("n_a") * F.col("n_b"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))

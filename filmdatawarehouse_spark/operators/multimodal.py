@@ -209,9 +209,13 @@ def byte_stats(assets: DataFrame) -> DataFrame:
                 ],
             )
 
-    return assets.select("asset_id", "payload").mapInPandas(
-        compute, schema=BYTE_STATS_SCHEMA
-    )
+    from filmdatawarehouse_spark.io.sources import spread_unsplittable_scan
+
+    # same sub-parallel-input spread as the native twin (adaptive
+    # no-op at scale); output is per-asset rows, nothing persisted wide
+    return spread_unsplittable_scan(
+        assets.select("asset_id", "payload"), "asset_id"
+    ).mapInPandas(compute, schema=BYTE_STATS_SCHEMA)
 
 
 def byte_stats_native(assets: DataFrame) -> DataFrame:
@@ -244,6 +248,16 @@ def byte_stats_native(assets: DataFrame) -> DataFrame:
     byte_arr = F.transform(
         F.filter(hex_pairs, lambda p: p != F.lit("")),
         lambda p: F.conv(p, 16, 10).cast("int"),
+    )
+    # the hex→conv per-byte explosion is heavy per-row JVM work fused
+    # onto the scan: spread unsplittable local input first (adaptive
+    # no-op at scale — r16, measured 2.1 s -> 0.9 s warm at sf0.1; the
+    # result is a per-asset aggregate, so nothing downstream pays a
+    # wide-cache tax)
+    from filmdatawarehouse_spark.io.sources import spread_unsplittable_scan
+
+    assets = spread_unsplittable_scan(
+        assets.select("asset_id", "payload"), "asset_id"
     )
     b = assets.select("asset_id", F.explode_outer(byte_arr).alias("_b"))
     h = b.groupBy("asset_id", "_b").agg(F.count(F.lit(1)).alias("_c"))

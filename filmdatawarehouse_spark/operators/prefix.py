@@ -66,14 +66,20 @@ def global_running_sum(
         )
 
     spark = df.sparkSession
+    # n_partitions=None lets AQE size the range exchange (guide §2.2):
+    # repartitionByRange WITHOUT a pinned count is coalescible, so a
+    # 20k-row local input collapses to one-few partitions (r16 measured:
+    # the pinned shuffle.partitions=32 layout dragged ~600 trivial tasks
+    # through the 11 downstream jobs) while a 100 TB input keeps
+    # advisory-sized parallel ranges. Every downstream step reads the
+    # ACTUAL partition ids dynamically, so the result is partition-count
+    # independent either way (the module docstring's exactness argument).
     if n_partitions is None:
-        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ranged = df.repartitionByRange(*order)
+    else:
+        ranged = df.repartitionByRange(n_partitions, *order)
 
-    base = managed_persist(
-        df.repartitionByRange(n_partitions, *order).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
+    base = managed_persist(ranged.withColumn("_pid", F.spark_partition_id()))
 
     tot_df = base.groupBy("_pid").agg(
         F.sum(value).alias("t"), F.count(value).alias("n_vals")

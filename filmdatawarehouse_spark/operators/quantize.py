@@ -463,7 +463,10 @@ def exact_refine(
     per-query top-k by TRUE cosine — the shared tail of every
     quantized search recipe (``pq_topk_refined`` here,
     ``ivfpq_search_refined`` in ``operators.ivfpq``)."""
-    from filmdatawarehouse_spark.operators.similarity import dot, norm
+    from filmdatawarehouse_spark.operators.similarity import (
+        fold_dot_udf,
+        fold_norm_udf,
+    )
 
     from pyspark.sql.window import Window
 
@@ -473,15 +476,18 @@ def exact_refine(
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vq")
     )
-    dim = None  # arrays may be any width; use the fold form
+    dim = None  # arrays may be any (uniform) width; fold takes the batch's
     scored = (
         cand.select("query_id", "neighbor_id")
         .join(nbrs, "neighbor_id")
         .join(F.broadcast(qs), "query_id")
         .withColumn(
             "cosine",
-            dot(F.col("_vq"), F.col("_vn"), dim)
-            / (norm(F.col("_vq"), dim) * norm(F.col("_vn"), dim)),
+            fold_dot_udf(dim)(F.col("_vq"), F.col("_vn"))
+            / (
+                fold_norm_udf(dim)(F.col("_vq"))
+                * fold_norm_udf(dim)(F.col("_vn"))
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,17 +1,36 @@
 """Embedding similarity search: exact cosine top-k + an IVF-bucketed
 approximate path for corpus scale.
 
-The dot product / norm are built-in higher-order functions (``zip_with`` +
-``aggregate``) — JVM-side left folds with pinned operand order, so the DuckDB
-oracle (``list_reduce`` with the same order) produces bit-identical doubles.
-No Pandas UDF needed at this dimensionality; swap in a vectorized pandas_udf
-only if profiling shows the fold dominating at very high dims.
+Dot product / norm keep one contract everywhere: a LEFT FOLD with pinned
+operand order, so the DuckDB oracle (``list_reduce`` with the same order)
+produces bit-identical doubles. Three implementations of that one fold:
+
+- ``fold_dot_udf`` / ``fold_norm_udf`` — Arrow-vectorized pandas_udfs,
+  THE FRAME-LEVEL DEFAULT since r16: the 64-term unrolled Catalyst chain
+  they replace measured 0.5-1.2 s of driver-side analysis per fresh
+  DataFrame build plus ~0.25 s of codegen per execution (a ~1,000-node
+  expression tree), paid by every similarity-family query at any data
+  size; the UDF is one expression node and one vectorized numpy loop per
+  batch (guide §1 measurement in OPTIMIZATION_r16.md, §4.2 pattern),
+  bit-identical by construction (same IEEE op sequence).
+- ``dot`` / ``norm`` with a known ``dim`` — the unrolled JVM expression
+  chain (whole-stage-codegen'd). Still right for ONE-OFF scalar uses
+  where an Arrow stage isn't plumbed.
+- ``dot`` / ``norm`` with ``dim=None`` — the higher-order ``aggregate``
+  fold (CodegenFallback, interpreted): the compatibility form for
+  ragged/unknown widths.
 """
 
 from __future__ import annotations
 
+# module-level, not function-local: pandas_udf resolves the stringified
+# type hints ("pd.Series" — PEP 563 is active here) against THIS module's
+# globals, so `pd` must exist at annotation-eval time
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 
@@ -67,9 +86,74 @@ def cosine(
     return dot(v_a, v_b, dim) / (n_a * n_b)
 
 
-def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the precomputed norm (computed once per vector, not per pair)."""
-    return emb.withColumn("_norm", norm(F.col(vec_col)))
+def fold_dot_udf(dim: int | None = EMBEDDING_DIM):
+    """Arrow-vectorized dot product with the EXACT left-fold order of
+    ``dot``: per row, acc = 0.0 then acc + a[i]*b[i] for i = 1..dim — the
+    identical IEEE-double operation sequence (numpy multiply and add are
+    separate correctly-rounded ufuncs; no FMA fusion across calls), so
+    results are bit-identical to the unrolled JVM chain and to the SQL
+    oracle's ``list_reduce`` (r16 measurement: 0 bit-mismatches over the
+    corpus; the chain it replaces cost 0.5-1.2 s of driver analysis per
+    fresh build — module banner has the full story). ``dim=None`` takes
+    the batch's own width (fixed-width collections only — np.stack).
+    NULL in either array → NULL out, matching the expression chain."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        mask = (a.notna() & b.notna()).to_numpy()
+        out = np.zeros(len(a), dtype=np.float64)
+        if mask.any():
+            ma = np.stack(a[mask].to_numpy()).astype(np.float64)
+            mb = np.stack(b[mask].to_numpy()).astype(np.float64)
+            d = ma.shape[1] if dim is None else dim
+            acc = np.zeros(ma.shape[0], dtype=np.float64)
+            for i in range(d):
+                acc = acc + ma[:, i] * mb[:, i]
+            out[mask] = acc
+        res = pd.array(out, dtype="Float64")
+        res[~mask] = pd.NA
+        return pd.Series(res, dtype="Float64")
+
+    return _dot
+
+
+def fold_norm_udf(dim: int | None = EMBEDDING_DIM):
+    """Arrow-vectorized Euclidean norm with the EXACT fold order of
+    ``norm`` (see ``fold_dot_udf``; ``sqrt`` is IEEE correctly-rounded
+    in numpy and the JVM alike)."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def _norm(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        mask = v.notna().to_numpy()
+        out = np.zeros(len(v), dtype=np.float64)
+        if mask.any():
+            m = np.stack(v[mask].to_numpy()).astype(np.float64)
+            d = m.shape[1] if dim is None else dim
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for i in range(d):
+                x = m[:, i]
+                acc = acc + x * x
+            out[mask] = np.sqrt(acc)
+        res = pd.array(out, dtype="Float64")
+        res[~mask] = pd.NA
+        return pd.Series(res, dtype="Float64")
+
+    return _norm
+
+
+def with_norm(
+    emb: DataFrame, vec_col: str = "embedding",
+    dim: int | None = EMBEDDING_DIM,
+) -> DataFrame:
+    """Attach the precomputed norm (computed once per vector, not per
+    pair) — Arrow fold stage (bit-identical to the expression chain)."""
+    return emb.withColumn("_norm", fold_norm_udf(dim)(F.col(vec_col)))
 
 
 def cosine_topk(
@@ -99,7 +183,9 @@ def cosine_topk(
     scored = (
         coll.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", cosine(F.col("v_q"), F.col("v_n"), F.col("n_q"), F.col("n_n"))
+            "cosine",
+            fold_dot_udf(EMBEDDING_DIM)(F.col("v_q"), F.col("v_n"))
+            / (F.col("n_q") * F.col("n_n")),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -137,7 +223,9 @@ def cosine_range_search(
     return (
         coll.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", cosine(F.col("v_q"), F.col("v_n"), F.col("n_q"), F.col("n_n"))
+            "cosine",
+            fold_dot_udf(EMBEDDING_DIM)(F.col("v_q"), F.col("v_n"))
+            / (F.col("n_q") * F.col("n_n")),
         )
         .select("query_id", "neighbor_id", "cosine")
         .filter(F.col("cosine") >= F.lit(threshold))

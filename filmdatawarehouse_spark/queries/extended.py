@@ -374,7 +374,22 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= CONTAIN_DF_CAP)
         .select("shingle")
     )
-    kept = managed_persist(sh.join(rare, "shingle", "left_semi"))
+    kept = sh.join(rare, "shingle", "left_semi")
+    # local sub-parallel regime (probed on the SOURCE scan — r16): the
+    # pair self-join below explodes to C(df,2) rows per shingle, work
+    # AQE's bytes-based coalescing serializes onto one task because the
+    # kept frame's shuffle is only a few MB; pre-partition the persisted
+    # frame by the join key so both self-join sides inherit a
+    # cores-wide layout (no extra exchange in the join itself). At
+    # scale the condition is False and AQE keeps sizing the exchange.
+    docs_scan = read_table(spark, sf_dir, "documents").select("doc_id")
+    from filmdatawarehouse_spark.io.sources import scan_is_subparallel
+
+    if scan_is_subparallel(docs_scan):
+        kept = kept.repartition(
+            spark.sparkContext.defaultParallelism, "shingle"
+        )
+    kept = managed_persist(kept)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_a"))
     b = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_b"))
@@ -1103,10 +1118,10 @@ def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     is trained on it. The norm is the pinned left-fold (same as the
     similarity operators), the bucket is exact integer math on the fold
     result, and the aggregation is an ordinary two-phase count."""
-    from filmdatawarehouse_spark.operators.similarity import norm
+    from filmdatawarehouse_spark.operators.similarity import fold_norm_udf
 
     emb = read_table(spark, sf_dir, "embeddings")
-    n = emb.select(norm(F.col("embedding")).alias("nrm"))
+    n = emb.select(fold_norm_udf()(F.col("embedding")).alias("nrm"))
     bucket = F.floor(F.col("nrm") / F.lit(NORM_BUCKET_W)).cast("bigint")
     return (
         n.select(bucket.alias("bucket"))
@@ -2333,6 +2348,12 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the prefix frame feeds BOTH sides of the candidate
     # self-join — unpersisted, the census-join + double-window subtree
     # executes twice
+    # persisted 1-partition as AQE sizes it: the r16 sub-parallel-regime
+    # repartition that pays off for the CONTAINMENT pair join was tried
+    # here too and measured ~2x SLOWER (7-10 s vs 3.2 s) — the prefix
+    # postings are short by construction, so the candidate join's
+    # per-row work is modest and the wide persisted layout only
+    # multiplies the distinct/verify stages' task counts
     prefix = managed_persist(
         ranked.withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_size))

@@ -49,6 +49,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan INSIDE cached subtrees too (default false pins
+        # the cached layout): the engine's persisted frames are all
+        # partition-count independent by construction (partition ids are
+        # read dynamically where they matter — operators/prefix.py), so
+        # the cache keeps AQE's coalescing/skew handling instead of
+        # freezing a worst-case layout. r16: without this, the ABC/Pareto
+        # range exchange stayed at the pinned width under persist and
+        # dragged ~600 trivial tasks through 11 jobs at sf0.1.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow for the pandas boundaries (pandas_udf / mapInPandas / toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Idempotent fact re-loads: overwrite only the partitions present in

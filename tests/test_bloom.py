@@ -23,22 +23,38 @@ def test_no_false_negatives(spark):
 
 def test_false_positive_rate_near_theory(spark):
     """Probing 20k keys NOT in a 500-key filter: observed FP rate must be
-    within 3x of (1 - e^(-kn/m))^k (loose bound, deterministic corpus)."""
+    within 3x of (1 - e^(-kn/m))^k (loose bound, deterministic corpus).
+    m comes from the ADAPTIVE sizing (r16: build_bloom sizes the bitmap
+    to BITS_PER_KEY × keys instead of a fixed 2^17), read back from the
+    word list — which also pins the encode/decode round-trip."""
     import math
 
-    from filmdatawarehouse_spark.operators.bloom import K_HASHES, M_BITS
+    from filmdatawarehouse_spark.operators.bloom import K_HASHES
 
     n = 500
     keys = spark.range(0, n).select((F.col("id") * 7919).alias("k"))
     words = build_bloom(keys, "k")
+    m_bits = len(words) * 64
+    # adaptive sizing: smallest pow2 >= 10*500, i.e. 8192 bits
+    assert m_bits == 8192, m_bits
     # disjoint probe set (offset beyond the build range)
     probe_n = 20_000
     probes = spark.range(0, probe_n).select(
         (F.col("id") * 7919 + 1).alias("k")
     )
     fp = bloom_prefilter(probes, words, "k").count()
-    theory = (1 - math.exp(-K_HASHES * n / M_BITS)) ** K_HASHES
+    theory = (1 - math.exp(-K_HASHES * n / m_bits)) ** K_HASHES
     assert fp / probe_n <= max(3 * theory, 1e-3), (fp, theory)
+
+
+def test_adaptive_m_clamps(spark):
+    """Tiny key sets get the floor; the cap bounds the driver collect."""
+    from filmdatawarehouse_spark.operators.bloom import M_BITS, M_BITS_FLOOR
+
+    one = spark.range(0, 1).select(F.col("id").alias("k"))
+    assert len(build_bloom(one, "k")) * 64 == M_BITS_FLOOR
+    big = spark.range(0, 200_000).select(F.col("id").alias("k"))
+    assert len(build_bloom(big, "k")) * 64 == M_BITS
 
 
 def test_prefilter_is_scan_side_jvm(spark, sf_dir):
