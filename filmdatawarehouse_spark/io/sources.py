@@ -11,6 +11,8 @@ effect the reference achieves by hand, for free, everywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -66,6 +68,62 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in names}
 
 
+# Target input volume per spread task. The r16 round keyed spread width
+# to ``defaultParallelism`` and the driver's 32-core bench INVERTED
+# (VERDICT r16: pipeline_curate_documents 2.24x slower at local[32] than
+# local[8] on the same commit) — partition width grew with the machine
+# while the data stayed tiny, and every spread stage paid per-task
+# Python-worker + scheduling cost linear in width. Width must be keyed
+# to DATA VOLUME: at ~32 KiB of Catalyst-estimated input per task the
+# sf0.1 documents table (~255 KiB projected to doc_id+text) spreads 8
+# wide — exactly the width the driver's own 8-core control run proved
+# out — and a 100 TB scan wants (and gets) every core. A/B at local[32]
+# sf0.1 (min over 8 cold runs, r17): 32 KiB beat both the 64 KiB target
+# and the r16 core-count width on every dedup/containment/pipeline
+# query. Parameterised for production tuning; the local default is a
+# volume rule, not a core-count constant.
+SPREAD_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(32 * 1024))
+)
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate of ``df`` (driver-side, no job).
+
+    For a parquet scan this is the file byte size (times the projection's
+    width ratio) — exactly the volume signal the spread-width rule needs.
+    None when the estimate is unavailable or absurd (fallback paths)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:  # non-classic session / internal API moved
+        return None
+    # Long.MaxValue is Catalyst's "unknown"; treat it (and junk) as such
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def adaptive_spread_width(df: DataFrame) -> int:
+    """Data-volume-keyed spread width: ceil(estimated bytes /
+    ``SPREAD_TARGET_BYTES``), clamped to [1, defaultParallelism].
+
+    The clamp keeps the rule scale-correct at both ends: tiny local
+    inputs get only as many tasks as their volume amortizes (r16's
+    core-count-keyed width anti-scaled at local[32] — module constant
+    above), and at production volume the rule saturates at the session's
+    parallelism instead of inventing million-partition exchanges. With
+    no usable size estimate, fall back to the session parallelism (the
+    pre-r17 behavior; at scale the caller's sub-parallel gate is False
+    and no spread happens at all)."""
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    size = plan_size_bytes(df)
+    if size is None:
+        return dp
+    return max(1, min(dp, -(-size // SPREAD_TARGET_BYTES)))
+
+
 def spread_unsplittable_scan(df: DataFrame, *keys: str) -> DataFrame:
     """Scale-adaptive fix for UNSPLITTABLE input feeding a heavy per-row
     stage (guide §2.5 "one huge unsplittable file … repartition
@@ -77,26 +135,45 @@ def spread_unsplittable_scan(df: DataFrame, *keys: str) -> DataFrame:
     onto it (MinHash/ngram/SimHash signatures) runs on one core at any
     ``local[N]``, capping both wall time and the measured core scaling.
 
-    Adaptive, not constant: only when the input's planned partition
-    count is BELOW the session's default parallelism does this insert a
-    deterministic hash repartition on ``keys``; at production scale the
-    scan has file/row-group counts >> cores, the condition is false and
-    the plan is untouched — no shuffle is ever added where the data
-    already parallelizes. Hash-on-key (not round-robin) keeps the
-    assignment deterministic under task retry (guide §2.5 SPARK-38388)
-    and skips round-robin's sort-before-repartition. Apply ONLY above
-    compute-heavy per-row stages: for cheap JVM projections the added
-    exchange costs more than the parallelism pays (measured r16 — the
-    containment shingle explode got SLOWER with it; OPTIMIZATION_r16.md).
+    Adaptive in BOTH directions (r17): the spread fires only when the
+    input's planned partition count is below the session's default
+    parallelism (at production scale the scan has file/row-group counts
+    >> cores, the condition is false and the plan is untouched), and the
+    width it spreads TO is keyed to data volume via
+    ``adaptive_spread_width`` — never to the core count, which the r16
+    driver bench proved anti-scales on tiny inputs (more cores = more
+    width = more per-task overhead over the same rows). Hash-on-key
+    (not round-robin) keeps the assignment deterministic under task
+    retry (guide §2.5 SPARK-38388) and skips round-robin's
+    sort-before-repartition. Apply ONLY above compute-heavy per-row
+    stages: for cheap JVM projections the added exchange costs more than
+    the parallelism pays (measured r16 — the containment shingle explode
+    got SLOWER with it; OPTIMIZATION_r16.md).
     """
+    nparts = planned_partitions(df)
+    if nparts is None:
+        return df
     spark = df.sparkSession
-    if not scan_is_subparallel(df):
+    if nparts >= spark.sparkContext.defaultParallelism:
+        return df
+    width = adaptive_spread_width(df)
+    if width <= nparts:
         return df
     from pyspark.sql import functions as F
 
-    return df.repartition(
-        spark.sparkContext.defaultParallelism, *[F.col(k) for k in keys]
-    )
+    return df.repartition(width, *[F.col(k) for k in keys])
+
+
+def planned_partitions(df: DataFrame) -> int | None:
+    """``df``'s PLANNED partition count (None when the RDD probe cannot
+    plan the frame). NOTE: probing ``df.rdd`` forces driver-side physical
+    planning of the frame — cheap for the scans this gates (their plans
+    are one node) but not free; call once per query build, on the source
+    scan, not in a loop."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # exotic plan the RDD probe cannot plan
+        return None
 
 
 def scan_is_subparallel(df: DataFrame) -> bool:
@@ -114,9 +191,8 @@ def scan_is_subparallel(df: DataFrame) -> bool:
     one task; at production scale the condition is False and the plan
     keeps AQE's sizing."""
     spark = df.sparkSession
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except Exception:  # exotic plan the RDD probe cannot plan — not local
+    nparts = planned_partitions(df)
+    if nparts is None:
         return False
     return nparts < spark.sparkContext.defaultParallelism
 

@@ -5,8 +5,11 @@ Dot product / norm keep one contract everywhere: a LEFT FOLD with pinned
 operand order, so the DuckDB oracle (``list_reduce`` with the same order)
 produces bit-identical doubles. Three implementations of that one fold:
 
-- ``fold_dot_udf`` / ``fold_norm_udf`` — Arrow-vectorized pandas_udfs,
-  THE FRAME-LEVEL DEFAULT since r16: the 64-term unrolled Catalyst chain
+- ``fold_dot_udf`` / ``fold_norm_udf`` — Arrow-native UDFs (r17; r16
+  shipped them as pandas_udfs, but the pandas boundary collapses array
+  element NULLs to NaN — ADVICE r16 — so they now read the Arrow list
+  buffers directly), THE FRAME-LEVEL DEFAULT since r16: the 64-term
+  unrolled Catalyst chain
   they replace measured 0.5-1.2 s of driver-side analysis per fresh
   DataFrame build plus ~0.25 s of codegen per execution (a ~1,000-node
   expression tree), paid by every similarity-family query at any data
@@ -23,10 +26,12 @@ produces bit-identical doubles. Three implementations of that one fold:
 
 from __future__ import annotations
 
-# module-level, not function-local: pandas_udf resolves the stringified
-# type hints ("pd.Series" — PEP 563 is active here) against THIS module's
-# globals, so `pd` must exist at annotation-eval time
+# module-level, not function-local: pandas_udf / arrow_udf resolve the
+# stringified type hints ("pd.Series" / "pa.Array" — PEP 563 is active
+# here) against THIS module's globals, so `pd` and `pa` must exist at
+# annotation-eval time
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -86,63 +91,151 @@ def cosine(
     return dot(v_a, v_b, dim) / (n_a * n_b)
 
 
+def _list_batch_view(arr: "pa.Array"):
+    """Decompose an Arrow list<double> batch into flat numpy views:
+    (row_null, starts, lengths, values_f64, child_null_or_None).
+
+    The pandas boundary the r16 fold UDFs used converts child NULLs to
+    NaN (ADVICE r16: a null element then ranked TOP in every cosine
+    window instead of dropping out) — the raw Arrow buffers keep the
+    child validity bitmap, so NULL and data-NaN stay distinguishable."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    row_null = (
+        arr.is_null().to_numpy(zero_copy_only=False)
+        if arr.null_count
+        else np.zeros(len(arr), dtype=bool)
+    )
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, lengths = offsets[:-1], offsets[1:] - offsets[:-1]
+    values = arr.values
+    child_null = (
+        values.is_null().to_numpy(zero_copy_only=False)
+        if values.null_count
+        else None
+    )
+    vals = values.to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return row_null, starts, lengths, vals, child_null
+
+
+def _gather(starts, d, vals, child_null, rows):
+    """(matrix [len(rows), d], per-row any-null flag) for the FIRST ``d``
+    elements of each selected row — only positions the fold touches can
+    null it out, exactly like the ``element_at`` chain."""
+    import numpy as np
+
+    idx = starts[rows][:, None] + np.arange(d, dtype=np.int64)[None, :]
+    mat = vals[idx]
+    bad = (
+        child_null[idx].any(axis=1)
+        if child_null is not None
+        else np.zeros(len(rows), dtype=bool)
+    )
+    return mat, bad
+
+
 def fold_dot_udf(dim: int | None = EMBEDDING_DIM):
-    """Arrow-vectorized dot product with the EXACT left-fold order of
+    """Arrow-native dot product with the EXACT left-fold order of
     ``dot``: per row, acc = 0.0 then acc + a[i]*b[i] for i = 1..dim — the
     identical IEEE-double operation sequence (numpy multiply and add are
     separate correctly-rounded ufuncs; no FMA fusion across calls), so
     results are bit-identical to the unrolled JVM chain and to the SQL
     oracle's ``list_reduce`` (r16 measurement: 0 bit-mismatches over the
     corpus; the chain it replaces cost 0.5-1.2 s of driver analysis per
-    fresh build — module banner has the full story). ``dim=None`` takes
-    the batch's own width (fixed-width collections only — np.stack).
-    NULL in either array → NULL out, matching the expression chain."""
+    fresh build — module banner has the full story).
+
+    NULL handling matches the expression chain it replaced, including
+    inside arrays (r17, ADVICE r16 — the pandas boundary collapsed
+    element-NULL to NaN, which Spark sorts ABOVE every real cosine):
+    a NULL row, a NULL element in any position the fold reads, a row
+    shorter than ``dim``, or (``dim=None``) an a/b length mismatch all
+    yield NULL, exactly as ``element_at`` / ``zip_with`` null
+    propagation did; data NaN still propagates as NaN. ``dim=None``
+    takes each row's own width (ragged batches handled per width group,
+    not crashed — ADVICE r16); two empty arrays fold to 0.0 like
+    ``aggregate`` over an empty zip."""
     import numpy as np
 
-    @F.pandas_udf(DoubleType())
-    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series(np.empty(0, dtype=np.float64))
-        mask = (a.notna() & b.notna()).to_numpy()
-        out = np.zeros(len(a), dtype=np.float64)
-        if mask.any():
-            ma = np.stack(a[mask].to_numpy()).astype(np.float64)
-            mb = np.stack(b[mask].to_numpy()).astype(np.float64)
-            d = ma.shape[1] if dim is None else dim
-            acc = np.zeros(ma.shape[0], dtype=np.float64)
-            for i in range(d):
-                acc = acc + ma[:, i] * mb[:, i]
-            out[mask] = acc
-        res = pd.array(out, dtype="Float64")
-        res[~mask] = pd.NA
-        return pd.Series(res, dtype="Float64")
+    @F.arrow_udf(DoubleType())
+    def _dot(a: pa.Array, b: pa.Array) -> pa.Array:
+        n = len(a)
+        if not n:
+            return pa.array([], type=pa.float64())
+        a_null, a_st, a_len, a_vals, a_cn = _list_batch_view(a)
+        b_null, b_st, b_len, b_vals, b_cn = _list_batch_view(b)
+        out = np.zeros(n, dtype=np.float64)
+        valid = ~(a_null | b_null)
+        if dim is not None:
+            valid &= (a_len >= dim) & (b_len >= dim)
+            rows = np.flatnonzero(valid)
+            if rows.size:
+                ma, bad_a = _gather(a_st, dim, a_vals, a_cn, rows)
+                mb, bad_b = _gather(b_st, dim, b_vals, b_cn, rows)
+                acc = np.zeros(rows.size, dtype=np.float64)
+                for i in range(dim):
+                    acc = acc + ma[:, i] * mb[:, i]
+                out[rows] = acc
+                valid[rows[bad_a | bad_b]] = False
+        else:
+            valid &= a_len == b_len
+            for d in np.unique(a_len[valid]):
+                rows = np.flatnonzero(valid & (a_len == d))
+                if d == 0:
+                    continue  # empty fold = the 0.0 init, already set
+                ma, bad_a = _gather(a_st, int(d), a_vals, a_cn, rows)
+                mb, bad_b = _gather(b_st, int(d), b_vals, b_cn, rows)
+                acc = np.zeros(rows.size, dtype=np.float64)
+                for i in range(int(d)):
+                    acc = acc + ma[:, i] * mb[:, i]
+                out[rows] = acc
+                valid[rows[bad_a | bad_b]] = False
+        return pa.array(out, type=pa.float64(), mask=~valid)
 
     return _dot
 
 
 def fold_norm_udf(dim: int | None = EMBEDDING_DIM):
-    """Arrow-vectorized Euclidean norm with the EXACT fold order of
-    ``norm`` (see ``fold_dot_udf``; ``sqrt`` is IEEE correctly-rounded
-    in numpy and the JVM alike)."""
+    """Arrow-native Euclidean norm with the EXACT fold order of ``norm``
+    (see ``fold_dot_udf`` for the fold and NULL contracts; ``sqrt`` is
+    IEEE correctly-rounded in numpy and the JVM alike)."""
     import numpy as np
 
-    @F.pandas_udf(DoubleType())
-    def _norm(v: pd.Series) -> pd.Series:
-        if not len(v):
-            return pd.Series(np.empty(0, dtype=np.float64))
-        mask = v.notna().to_numpy()
-        out = np.zeros(len(v), dtype=np.float64)
-        if mask.any():
-            m = np.stack(v[mask].to_numpy()).astype(np.float64)
-            d = m.shape[1] if dim is None else dim
-            acc = np.zeros(m.shape[0], dtype=np.float64)
-            for i in range(d):
-                x = m[:, i]
-                acc = acc + x * x
-            out[mask] = np.sqrt(acc)
-        res = pd.array(out, dtype="Float64")
-        res[~mask] = pd.NA
-        return pd.Series(res, dtype="Float64")
+    @F.arrow_udf(DoubleType())
+    def _norm(v: pa.Array) -> pa.Array:
+        n = len(v)
+        if not n:
+            return pa.array([], type=pa.float64())
+        v_null, v_st, v_len, v_vals, v_cn = _list_batch_view(v)
+        out = np.zeros(n, dtype=np.float64)
+        valid = ~v_null
+        if dim is not None:
+            valid &= v_len >= dim
+            rows = np.flatnonzero(valid)
+            if rows.size:
+                m, bad = _gather(v_st, dim, v_vals, v_cn, rows)
+                acc = np.zeros(rows.size, dtype=np.float64)
+                for i in range(dim):
+                    x = m[:, i]
+                    acc = acc + x * x
+                out[rows] = np.sqrt(acc)
+                valid[rows[bad]] = False
+        else:
+            for d in np.unique(v_len[valid]):
+                rows = np.flatnonzero(valid & (v_len == d))
+                if d == 0:
+                    continue  # sqrt(0.0) = 0.0, already set
+                m, bad = _gather(v_st, int(d), v_vals, v_cn, rows)
+                acc = np.zeros(rows.size, dtype=np.float64)
+                for i in range(int(d)):
+                    x = m[:, i]
+                    acc = acc + x * x
+                out[rows] = np.sqrt(acc)
+                valid[rows[bad]] = False
+        return pa.array(out, type=pa.float64(), mask=~valid)
 
     return _norm
 

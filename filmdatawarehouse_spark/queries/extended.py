@@ -379,16 +379,22 @@ def q_text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair self-join below explodes to C(df,2) rows per shingle, work
     # AQE's bytes-based coalescing serializes onto one task because the
     # kept frame's shuffle is only a few MB; pre-partition the persisted
-    # frame by the join key so both self-join sides inherit a
-    # cores-wide layout (no extra exchange in the join itself). At
-    # scale the condition is False and AQE keeps sizing the exchange.
-    docs_scan = read_table(spark, sf_dir, "documents").select("doc_id")
-    from filmdatawarehouse_spark.io.sources import scan_is_subparallel
+    # frame by the join key so both self-join sides inherit a parallel
+    # layout (no extra exchange in the join itself). At scale the
+    # condition is False and AQE keeps sizing the exchange. The width is
+    # keyed to CORPUS VOLUME, not the core count (r17 — the r16
+    # defaultParallelism width anti-scaled at the driver's local[32]:
+    # 32 one-row-group-sized tasks per downstream stage; VERDICT r16).
+    docs_scan = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    from filmdatawarehouse_spark.io.sources import (
+        adaptive_spread_width,
+        scan_is_subparallel,
+    )
 
     if scan_is_subparallel(docs_scan):
-        kept = kept.repartition(
-            spark.sparkContext.defaultParallelism, "shingle"
-        )
+        kept = kept.repartition(adaptive_spread_width(docs_scan), "shingle")
     kept = managed_persist(kept)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("shingle"), F.col("doc_id").alias("doc_id_a"))
@@ -2345,20 +2351,31 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     )
-    # persisted: the prefix frame feeds BOTH sides of the candidate
-    # self-join — unpersisted, the census-join + double-window subtree
-    # executes twice
-    # persisted 1-partition as AQE sizes it: the r16 sub-parallel-regime
-    # repartition that pays off for the CONTAINMENT pair join was tried
-    # here too and measured ~2x SLOWER (7-10 s vs 3.2 s) — the prefix
-    # postings are short by construction, so the candidate join's
-    # per-row work is modest and the wide persisted layout only
-    # multiplies the distinct/verify stages' task counts
-    prefix = managed_persist(
+    # ONE persisted frame for the whole tail (r17, guide §2.4 "two
+    # operations keyed the same way can share one exchange"): the
+    # windowed (shingle, doc_id, rn, n) frame is persisted ONCE after
+    # its doc_id exchange, and BOTH the prefix postings (a filter over
+    # the cache — no new shuffle) and the verification arrays (a
+    # groupBy(doc_id) whose required distribution the cached window
+    # layout already satisfies — no new shuffle) derive from it. The
+    # r16 shape persisted only the filtered prefix and re-shuffled the
+    # FULL shingle frame a second time for the collect_list sets — at
+    # 100 TB that second full-data exchange is the dominant cost this
+    # removes; locally it cuts the AQE job count.
+    # Persisted 1-partition as AQE sizes it: a sub-parallel-regime
+    # repartition was tried at TWO widths and measured slower both
+    # times — r16 at defaultParallelism (~2x: 7-10 s vs 3.2 s) and r17
+    # at the volume-keyed width 8 — the prefix postings are short by
+    # construction, so the candidate join's per-row work is modest and
+    # any wide persisted layout only multiplies the distinct/verify
+    # stages' task counts.
+    ranked_w = managed_persist(
         ranked.withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_size))
-        .filter(F.col("rn") <= prefix_len)
-        .select("shingle", "doc_id", "n")
+        .select("shingle", "doc_id", "rn", "n")
+    )
+    prefix = ranked_w.filter(F.col("rn") <= prefix_len).select(
+        "shingle", "doc_id", "n"
     )
     # length filter (the classic AllPairs size pruning): J(A,B) <=
     # min/max of the set sizes, so J >= t forces t·max <= min — checked
@@ -2387,9 +2404,13 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # persisted: consumed by both the a-side and b-side verification joins
+    # persisted: consumed by both the a-side and b-side verification
+    # joins. Derived from the CACHED windowed frame (same rows per doc
+    # as sh — the census join is key-complete — and sort_array
+    # normalizes collect order), so the aggregation reuses the doc_id
+    # layout instead of re-shuffling every shingle row a second time.
     sets = managed_persist(
-        sh.groupBy("doc_id").agg(
+        ranked_w.groupBy("doc_id").agg(
             F.sort_array(F.collect_list("shingle")).alias("arr"),
             F.count(F.lit(1)).alias("n_sh"),
         )

@@ -71,11 +71,20 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint ONLY (the dedup_clusters discipline, dedup.py:762):
     # the checkpoint already materializes each round's frontier as cached
     # RDD blocks, so wrapping it in managed_persist would store a second
-    # copy of every round for zero benefit
+    # copy of every round for zero benefit.
+    #
+    # LAZY checkpoint + count (r17, VERDICT r16 item 4): with
+    # eager=True every round ran TWO jobs — the checkpoint
+    # materialization
+    # and then the fixed-point count over the just-cached blocks. A lazy
+    # checkpoint defers materialization to the first action, so the
+    # count job itself computes AND caches the round's frontier: K+1
+    # fewer jobs per query, blocks and results bit-identical (the same
+    # RDD is materialized by the same single-stage plan either way).
     dists = seeds.select(
         "doc_id", F.lit(0).cast("int").alias("hops")
-    ).localCheckpoint(eager=True)
-    reached = dists.count()
+    ).localCheckpoint(eager=False)
+    reached = dists.count()  # materializes the checkpoint (one job)
     for _k in range(1, BFS_MAX_HOPS + 1):
         expanded = (
             dists.join(edges, dists.doc_id == edges.src)
@@ -84,14 +93,14 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("hops").cast("int").alias("hops"))
         )
-        dists = expanded.localCheckpoint(eager=True)
+        dists = expanded.localCheckpoint(eager=False)
         # fixed-point early exit (measured r08, SCALING.md): in
         # level-synchronous BFS a node's hop label is final at first
         # discovery, so an unchanged reached-count proves no label can
         # change either — further rounds are provably identity. The
-        # count is a cheap job over the just-checkpointed blocks; at
-        # sf0.1 the seed set reaches its closure in ONE round and this
-        # saves the other three (result bit-identical, same oracle).
+        # count doubles as the checkpoint materialization (see above);
+        # at sf0.1 the seed set reaches its closure in ONE round and
+        # the early exit saves the other three rounds entirely.
         now = dists.count()
         if now == reached:
             break

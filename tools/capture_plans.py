@@ -42,6 +42,10 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
+        # release in finally (ADVICE r16): a failed capture used to skip
+        # release_managed(), leaking the failed query's persisted frames
+        # into the NEXT query's captured plan as InMemoryRelation reuse —
+        # contaminated before/after evidence
         try:
             df = registry[name][0](spark, args.sf_dir)
             plan = df._jdf.queryExecution().explainString(
@@ -52,11 +56,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — capture the rest
             print(f"capture failed for {name}: {exc}", file=sys.stderr)
             continue
+        finally:
+            release_managed()
         path = os.path.join(out_dir, f"{name}_{args.suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
         print(f"wrote {path} ({len(plan)} chars)")
-        release_managed()
     spark.stop()
 
 
