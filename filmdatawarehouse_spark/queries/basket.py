@@ -48,6 +48,15 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     frequent = managed_persist(item.filter(F.col("n_item") >= MIN_ITEM_SUPPORT))
+    # An explicit order-key repartition of the pair-join input (the
+    # VERDICT r16 item-5 candidate) was A/B'd at widths 8/16/32 in r17
+    # and measured FLAT to slightly negative (12 interleaved cold runs:
+    # no-repartition medians 2.86-2.88 s and the most stable; width 16
+    # min 2.65 s but median 3.04 s with a 4.1 s outlier) — the
+    # within-order explosion at this SF is not single-task-bound (the
+    # distinct already leaves ~3 scan partitions and AQE sizes the
+    # li exchange), so the extra exchange only adds variance. Left at
+    # AQE sizing; OPTIMIZATION_r17.md has the table.
     d = li.join(
         F.broadcast(frequent.select("l_partkey")), "l_partkey", "left_semi"
     )

@@ -864,7 +864,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    # doc_len = Σ tf per doc — EXACTLY the token count, but aggregated
+    # from the (doc_id, term) counts instead of re-exploding the corpus
+    # (r17, guide §2.3/§2.4): the r16 shape derived doclen from ``words``
+    # directly, so the token stream was exploded AND shuffled twice (AQE
+    # exchange reuse dedupes the tf exchange across its two consumers,
+    # but doclen's doc_id exchange was a second full-token pass). Summing
+    # tf shuffles vocab-sized partial aggregates instead.
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     def idf_stage(batches):
@@ -996,8 +1003,12 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bic = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = with_toks.select(F.explode(F.col("_ts")).alias("w"))
     uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # n_tok = Σ unigram counts — exactly the token-stream count, but
+    # aggregated from the vocab-sized ``uc`` partials instead of
+    # re-exploding the corpus a third time (r17, guide §2.3: the r16
+    # shape ran explode passes for bigrams, unigrams, AND this count)
     totals = bic.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
-        uni.agg(F.count(F.lit(1)).alias("n_tok"))
+        uc.agg(F.sum("c").alias("n_tok"))
     )
     ratio = (
         (F.col("c_ab").cast("double") / F.col("n_bi"))
