@@ -2414,6 +2414,27 @@ def q_text_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # local sub-parallel regime (r17, measured via tools/profile_stages):
+    # the candidate frame's distinct exchange is ~1.4 MB, so AQE
+    # coalesces it to ONE partition and the verification stage — an
+    # array_intersect over the full shingle arrays PER CANDIDATE PAIR,
+    # the query's heaviest per-row work — ran 2-2.8 s single-task. The
+    # verify joins are broadcasts (sets is bounded), so an explicit
+    # volume-keyed repartition of the tiny candidate frame widens the
+    # verify stage without adding any join exchange. At scale the gate
+    # is False and AQE keeps sizing the exchange.
+    from filmdatawarehouse_spark.io.sources import (
+        adaptive_spread_width,
+        scan_is_subparallel,
+    )
+
+    docs_scan = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    if scan_is_subparallel(docs_scan):
+        cand = cand.repartition(
+            adaptive_spread_width(docs_scan), "doc_id_a", "doc_id_b"
+        )
 
     # persisted: consumed by both the a-side and b-side verification
     # joins. Derived from the CACHED windowed frame (same rows per doc
@@ -2751,6 +2772,22 @@ def q_text_containment_prefix_pairs(
         )
         .distinct()
     )
+    # same sub-parallel-regime verify widening as
+    # q_text_prefix_filter_pairs (r17, measured there via
+    # tools/profile_stages: the per-candidate array_intersect verify ran
+    # single-task behind the AQE-coalesced ~1.4 MB candidate exchange)
+    from filmdatawarehouse_spark.io.sources import (
+        adaptive_spread_width,
+        scan_is_subparallel,
+    )
+
+    docs_scan = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    if scan_is_subparallel(docs_scan):
+        cand = cand.repartition(
+            adaptive_spread_width(docs_scan), "doc_id_a", "doc_id_b"
+        )
     sets = ranked.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("arr"),
         F.count(F.lit(1)).alias("n_sh"),
