@@ -60,68 +60,65 @@ Entry = tuple[QueryFn, str | None]  # (spark builder, duckdb oracle sql or None)
 # rotation tool reports the headroom (capacity - active) so growth is
 # planned, not discovered at an over-committed rotation.
 # --- BEGIN ROTATION-MANAGED (tools/rotate_window.py) ---
-CURRENT_ROUND = 16
+CURRENT_ROUND = 17
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- r13-certified (staleness deadline)
-    "fact_daily_orders",
-    "fact_monthly_totals",
-    "monthly_revenue",
-    "top10_parts",
-    "filtered_daily_series",
-    "sql_passthrough",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters_star",
-    "dedup_embedding_ann_recall",
-    "similarity_topk",
-    "similarity_range",
-    "similarity_ann_recall",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_word_freq",
-    "text_vocab_encode",
-    "text_word_entropy_native",
-    "text_bigram_lm",
-    "text_heavy_hitters",
-    "events_sliding_window",
-    "events_session_window",
-    "events_user_totals",
-    "skew_salted_group_count",
-    "skew_salted_join",
-    "profile_orders",
-    "events_gaps",
-    "events_json_props",
-    "unpivot_part",
-    "events_locf_fill",
-    "latest_order_per_customer",
-    "grouping_sets_orders",
-    "range_join_events",
-    "events_hourly_gapfill",
-    "join_bigbig_bucketed",
-    "weighted_sample_docs",
-    "corpus_mix_sample",
-    "ivfpq_recall",
-    "semdedup_planted",
-    "stream_merge_upsert",
+    # -- r14-certified (staleness deadline)
+    "text_unigram_logprob",
+    "dedup_edit_distance",
+    "dedup_triangles",
+    "text_tfidf",
+    "events_running_totals",
+    "sketch_accuracy",
+    "corpus_split",
+    "text_normalize_dedup",
+    "embedding_norm_hist",
+    "text_pmi_bigrams",
+    "multimodal_frame_meta",
+    "multimodal_byte_stats_native",
+    "multimodal_payload_meta",
+    "set_ops_customers",
+    "count_distinct",
+    "scd2_point_in_time",
+    "scd2_customer_dim",
+    "cube_order_stats",
+    "percentile_order_value",
+    "above_customer_avg",
+    "window_value_family",
+    "events_time_rollup",
+    "revenue_forecast_q6",
+    "returned_items_topk",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "orders_exists_late_lines",
+    "part_min_price_per_type",
+    "customers_anti_orders",
+    "orders_rollup_totals",
+    "events_pivot_type_daily",
+    "acctbal_histogram",
+    "text_topk_per_lang",
+    "split_contamination_rate",
+    "skew_profile_custkey_approx",
+    "docs_mad_outliers_approx",
+    "events_distinct_users_approx",
+    "bloom_prefilter_join",
+    "corpus_shuffle_shards",
+    "events_cohort_retention",
+    "events_rolling_actives",
+    "events_wow_growth",
+    "events_sessions_capped",
+    "dq_checks",
+    "docs_mad_outliers",
+    "basket_part_pairs",
     # -- driver-never-seen (new this round)
-    "text_containment_prefix_pairs",
-    # -- r14-certified (filler slot)
-    "scan_project",
-    "clean_dropna_dedup",
-    "text_sparse_cosine_pairs",
-    "text_containment_pairs",
+    "text_containment_auto_pairs",
+    # -- r15-certified (filler slot)
+    "orders_abc_pareto",
+    "filter_pushdown",
+    "dim_date_generate",
 )
 
 WINDOW_DEFERRED: tuple[str, ...] = (
-    # new this round, first window slot deferred to r17 (the staleness backlog fills the window);
-    # locally oracle-verified every pytest run in the meantime
-    "text_containment_auto_pairs",
 )
 # --- END ROTATION-MANAGED ---
 

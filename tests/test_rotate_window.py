@@ -186,3 +186,31 @@ def test_derive_window_invariants_random_ledgers():
             never_seen = n not in ledger
             if at_deadline or never_seen:
                 assert n in w1, (trial, n, ledger.get(n), target)
+
+
+def test_include_takes_priority_filler_slots():
+    # r17: --include re-certifies changed paths ahead of staleness math
+    ledger = {n: 7 for n in REG}
+    ledger["q05"] = 6  # stalest filler candidate
+    window = derive_window(
+        REG, ledger, 8, defer=[], window_size=3, include=["q09"]
+    )
+    assert window[0] == "q09"  # included before the stalest filler
+    assert "q05" in window
+
+
+def test_include_validates_names_and_capacity():
+    import pytest as _pytest
+
+    ledger = {n: 7 for n in REG}
+    with _pytest.raises(SystemExit, match="not registered"):
+        derive_window(REG, ledger, 8, defer=[], window_size=3,
+                      include=["nope"])
+    with _pytest.raises(SystemExit, match="retired"):
+        derive_window(REG, ledger, 8, defer=[], window_size=3,
+                      include=["q02"], retired=("q02",))
+    stale_ledger = {n: 5 for n in REG[:3]}
+    stale_ledger.update({n: 7 for n in REG[3:]})
+    with _pytest.raises(SystemExit, match="overflows"):
+        derive_window(REG, stale_ledger, 8, defer=[], window_size=3,
+                      include=["q09"])

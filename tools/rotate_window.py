@@ -49,6 +49,7 @@ def derive_window(
     defer: list[str],
     window_size: int = WINDOW_SIZE,
     retired: tuple[str, ...] = (),
+    include: list[str] | None = None,
 ) -> list[str]:
     """Pure core: the window for ``target_round`` given the registry order
     and the certification ledger. ``retired`` names (registry.RETIRED)
@@ -96,6 +97,23 @@ def derive_window(
         )
 
     window = list(mandatory)
+    # --include names (r17): priority FILLER — active entries whose code
+    # changed this round and should re-certify ahead of staleness math
+    # (e.g. a VERDICT "give them slots" list). Validated like everything
+    # else; they can never displace a mandatory entry, only other filler.
+    include = [n for n in (include or []) if n not in window]
+    unknown_inc = [n for n in include if n not in reg]
+    if unknown_inc:
+        raise SystemExit(f"--include names not registered: {unknown_inc}")
+    retired_inc = [n for n in include if n in retired]
+    if retired_inc:
+        raise SystemExit(f"--include names are retired: {retired_inc}")
+    if len(window) + len(include) > window_size:
+        raise SystemExit(
+            f"--include overflows the window: {len(window)} mandatory + "
+            f"{len(include)} included > {window_size} slots"
+        )
+    window += include
     if len(window) < window_size:
         filler = sorted(
             (n for n in active if n not in window and n not in defer),
@@ -106,7 +124,7 @@ def derive_window(
 
 
 def compute_window(
-    target_round: int, defer: list[str]
+    target_round: int, defer: list[str], include: list[str] | None = None
 ) -> tuple[list[str], list[str]]:
     """The (window, deferred) pair for ``target_round``, derived from the
     live registry + on-disk CORRECTNESS ledger."""
@@ -121,7 +139,9 @@ def compute_window(
 
     reg = list(all_queries())
     ledger = last_certified(target_round - 1)
-    window = derive_window(reg, ledger, target_round, defer, retired=RETIRED)
+    window = derive_window(
+        reg, ledger, target_round, defer, retired=RETIRED, include=include
+    )
     capacity = WINDOW_SIZE * 3  # each active entry needs a slot every 3 rounds
     active = len(reg) - len(RETIRED)
     if active > capacity:
@@ -216,10 +236,17 @@ def main() -> int:
     ap.add_argument(
         "--no-tests", action="store_true", help="skip the pytest gate"
     )
+    ap.add_argument(
+        "--include",
+        default="",
+        help="comma-separated active names given priority filler slots "
+        "(re-certify changed paths ahead of staleness math)",
+    )
     args = ap.parse_args()
     defer = [n for n in args.defer.split(",") if n]
+    include = [n for n in args.include.split(",") if n]
 
-    window, deferred = compute_window(args.target, defer)
+    window, deferred = compute_window(args.target, defer, include)
     sys.path.insert(0, os.path.join(REPO, "tools"))
     try:
         from gen_query_inventory import last_certified
