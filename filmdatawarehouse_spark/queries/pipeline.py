@@ -68,7 +68,12 @@ def _gated_survivors(
     # stage — persist so the scan+clean shuffle runs once, not per branch
     docs = managed_persist(clean(read_table(spark, sf_dir, "documents")))
 
-    # one fused zero-shuffle projection instead of lang ⋈ quality ⋈ tokens
+    # one fused zero-shuffle projection instead of lang ⋈ quality ⋈ tokens.
+    # A volume-keyed (width 8) spread of this projection was re-A/B'd in
+    # r17 (r16 measured the width-32 variant regressing every composed
+    # consumer): 6 interleaved cold runs read mins 4.28 s (spread) vs
+    # 4.13 s (none) with ±2 s host noise — no resolvable win on a
+    # ~0.68 s single-task stage, so the r16 leave-alone stands.
     metrics = tx.text_metrics_frame(docs)
     gated = metrics.filter(
         (F.col("quality") >= F.lit(QUALITY_MIN))
