@@ -331,6 +331,17 @@ def _word_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filmdatawarehouse_spark.operators.dedup import word_shingles
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # volume-keyed spread of the explode input (r17): the shared frame
+    # is built ONCE per cold query from a one-task scan — ~1 s of
+    # single-task split+shingle+explode work in every consumer's cold
+    # profile. The r16 negative was the width-32 variant (wide persisted
+    # layout taxing every cache reader); at the volume-keyed width 8 the
+    # interleaved A/B wins on all four consumers (containment −29 %,
+    # prefix_filter −10 %, BFS −5 %, containment_prefix flat; 3
+    # iterations, mins and medians agree). Adaptive no-op at scale.
+    from filmdatawarehouse_spark.io.sources import spread_unsplittable_scan
+
+    docs = spread_unsplittable_scan(docs, "doc_id")
     with_toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("_toks")
     )
